@@ -1,0 +1,91 @@
+"""Set-oriented mutation operators: bulk copy, upsert (merge), keyed delete.
+
+Reference behavior re-expressed:
+- bulk copy  ≈ ``copy`` verb → full scan + batched INSERT
+  (``Main.java:170-180``, ``CopyUtils.java:805-834,907-917``)
+- upsert     ≈ ``update`` verb → per-row UPDATE-else-INSERT
+  (``Main.java:181-191``, ``CopyUtils.java:741-779``)
+- keyed delete ≈ ``DeleteByPk`` (``DeleteByPk.java:15-43``)
+
+The reference's upsert is O(rows) round-trips (optimistic UPDATE per row,
+INSERT on miss). The Spark-native strategy is a single set-oriented merge:
+``updates ∪ (target ⟕anti updates)`` — one shuffle-free pass when the key
+side broadcasts, one shuffle otherwise. The reference's "more than one row
+updated" guard (``CopyUtils.java:765-767``) becomes an explicit duplicate-
+key assertion on both sides.
+
+On immutable storage (parquet) a mutation is a rewrite: callers write the
+returned DataFrame to a staging dir and atomically rename (see
+plans/oplog.py for the transactional delta vs the reference's single
+JDBC commit).
+
+Scale: the merge keys shuffle hash-partitions both sides by the PK —
+the same plan MERGE INTO produces on Delta. For skewed PKs AQE skew-join
+splitting applies. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def assert_unique_keys(df: DataFrame, key_columns: list[str], side: str = "updates") -> None:
+    """Raise if any key occurs more than once (reference's >1-row-updated guard)."""
+    dup = (
+        df.groupBy(*[F.col(c) for c in key_columns])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise AssertionError(
+            f"{side} has duplicate key {dup[0][:len(key_columns)]} — upsert would match >1 row"
+        )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_columns: list[str] | str,
+    check_unique: bool = True,
+) -> DataFrame:
+    """Rows of ``target`` with matching-key rows replaced by ``updates``,
+    plus any update rows whose key is absent (insert path).
+
+    Equivalent to ``MERGE INTO target USING updates ON keys WHEN MATCHED
+    UPDATE * WHEN NOT MATCHED INSERT *``, expressed as anti-join + union so
+    it runs on plain DataFrames with no table format requirement.
+    """
+    keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+    updates = updates.select(*target.columns)  # align column order
+    if check_unique:
+        assert_unique_keys(updates, keys)
+    untouched = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return untouched.unionByName(updates)
+
+
+def delete_by_keys(
+    target: DataFrame,
+    key_column: str,
+    keys: Iterable | DataFrame,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Rows of ``target`` surviving a keyed delete (anti-join rewrite)."""
+    if not isinstance(keys, DataFrame):
+        assert spark is not None, "spark session required for driver-side key lists"
+        keys = spark.createDataFrame([(k,) for k in keys], [key_column])
+    kcol = keys.columns[0]
+    return target.join(
+        F.broadcast(keys.distinct()), target[key_column] == keys[kcol], "left_anti"
+    )
+
+
+def bulk_copy(source: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Full-table copy projection (the reference's explicit column list —
+    ``generateColumnList``, ``CopyUtils.java:672-680`` — is Catalyst column
+    pruning here: select only what you need and the parquet scan narrows)."""
+    return source.select(*columns) if columns else source

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Used by tests and bench; the verification driver passes its own session
+into ``__spark_entry__`` functions, so nothing here is required at query
+time — but the configs below document the intended cluster posture:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- shuffle partitions sized to the local core count (on a real cluster this
+  would be ~2-3x total cores; AQE coalesces small ones anyway)
+- Arrow enabled for the few pandas-UDF paths (vectorized Python)
+- nanosAsLong so parquet TIMESTAMP(NANOS) columns (events.ts) are readable
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def tuning_confs(cpus: int) -> dict[str, str]:
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # dim tables (region/nation/customer at test SFs) stay broadcast-able
+        "spark.sql.autoBroadcastJoinThreshold": "64MB",
+        "spark.sql.files.maxPartitionBytes": "128MB",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+
+
+def get_spark(app: str = "oracle-schema-copy-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app)
+    builder = builder.config("spark.ui.enabled", "false")
+    for k, v in tuning_confs(cpus).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

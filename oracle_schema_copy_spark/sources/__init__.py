@@ -1,0 +1,1 @@
+from oracle_schema_copy_spark.sources.tables import load_table, load_tables  # noqa: F401

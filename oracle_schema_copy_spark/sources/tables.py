@@ -1,0 +1,57 @@
+"""Parquet table sources (the engine's S1 scan path).
+
+Full-table scan ≈ reference ``exportTable`` (``CopyUtils.java:682-710``) —
+but declarative: ``spark.read.parquet`` gives Catalyst column pruning and
+predicate pushdown for free, where the reference hand-built ``SELECT
+<cols>`` strings.
+
+Scale notes: parquet scans split by row-group; ``maxPartitionBytes``
+controls split size. Filters written against the returned DataFrame reach
+the scan (verify with ``df.explain`` → PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes the events nano-timestamp column.
+
+    The events parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as a long (nanosAsLong) and
+    convert to a microsecond timestamp column of the same name.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries work."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

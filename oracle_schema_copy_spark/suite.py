@@ -1,0 +1,339 @@
+"""The engine's named query suite: every operator gets a (spark, sf_dir) ->
+DataFrame callable plus (where expressible) an ANSI-SQL oracle string that
+DuckDB runs over the same parquet tables. This is the correctness contract
+consumed by ``__spark_entry__.py``.
+
+Conventions (driver compares row-count + schema + order-insensitive value
+hash, columns sorted by name):
+- every computed/aggregate column is explicitly aliased, identically in
+  Spark and SQL;
+- integer aggregates are cast to BIGINT on both sides (DuckDB sums int32
+  into HUGEINT otherwise);
+- double aggregates that sum many terms are rounded to a tolerance-safe
+  number of decimals on both sides (summation order differs between
+  engines);
+- timestamps run under UTC sessions on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark import catalog as cat
+from oracle_schema_copy_spark.operators import mutate, walk
+from oracle_schema_copy_spark.sources.tables import load_table, load_tables
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, None -> rows-only check
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# FK walk / subgraph extraction (SURVEY §2.3 G1-G4, §2.1 S2/S3)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_PATHS = ["CUSTOMER->ORDERS.O_CUSTKEY", "ORDERS->LINEITEM.L_ORDERKEY"]
+
+
+def _flagship_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seed frontier: every 10th customer key."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey")
+    )
+
+
+@query(
+    "copy_tree_lineitem",
+    """
+    SELECT l.* FROM lineitem l
+    WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0))
+    """,
+    headline=True,
+)
+def q_copy_tree_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: FK-subgraph copy customer→orders→lineitem, return the copied
+    lineitem rows (walk = ordered left-semi joins over cached key frontiers)."""
+    c = cat.tpch_catalog(sf_dir)
+    tables = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    copied = walk.copy_tree(
+        spark, tables, c, FLAGSHIP_PATHS, _flagship_roots(spark, sf_dir)
+    )
+    return copied["lineitem"]
+
+
+@query(
+    "copy_tree_summary",
+    """
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0))
+    """,
+)
+def q_copy_tree_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table copied-row counts of the flagship walk (exercises the count
+    assertions of copy_selections)."""
+    c = cat.tpch_catalog(sf_dir)
+    tables = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    copied = walk.copy_tree(
+        spark, tables, c, FLAGSHIP_PATHS, _flagship_roots(spark, sf_dir)
+    )
+    # one fused job: union of per-table count aggregates (no driver loop)
+    counts = None
+    for t, df in copied.items():
+        one = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("table_name"), F.col("n_rows")
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    return counts
+
+
+@query(
+    "delete_tree_orders",
+    """
+    SELECT o.* FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+    """,
+)
+def q_delete_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deleteTree: surviving orders rows after deleting the walked subgraph."""
+    c = cat.tpch_catalog(sf_dir)
+    tables = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    surviving = walk.delete_tree(
+        spark, tables, c, FLAGSHIP_PATHS, _flagship_roots(spark, sf_dir)
+    )
+    return surviving["orders"]
+
+
+@query(
+    "keyed_scan_orders",
+    """
+    SELECT o.* FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+    """,
+)
+def q_keyed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 keyed scan: orders whose o_custkey is in a key frontier (the
+    reference's 500-element IN-list batching becomes one semi-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey")
+    )
+    return walk.keyed_scan(orders, "o_custkey", keys)
+
+
+@query(
+    "linked_rows_probe",
+    """
+    SELECT DISTINCT l.l_orderkey FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+    """,
+)
+def q_linked_rows_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 linked-rows probe: child PKs reachable from a parent key set."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part_keys = (
+        load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40).select("p_partkey")
+    )
+    return walk.find_linked_rows(lineitem, "l_partkey", "l_orderkey", part_keys)
+
+
+# ---------------------------------------------------------------------------
+# Mutations (SURVEY §2.2 K3/K4/K5, §2.4 copy/update verbs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "upsert_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    headline=True,
+)
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 upsert as a single set-oriented merge (vs the reference's per-row
+    UPDATE-else-INSERT): updated rows replace, unmatched pass through."""
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return mutate.merge_upsert(orders, updates, "o_orderkey")
+
+
+@query(
+    "delete_by_keys_lineitem",
+    """
+    SELECT l.* FROM lineitem l
+    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0)
+    """,
+)
+def q_delete_by_keys_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 keyed delete: anti-join rewrite of lineitem."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey")
+    )
+    return mutate.delete_by_keys(lineitem, "l_orderkey", keys)
+
+
+@query("bulk_copy_projection", "SELECT c_custkey, c_name, c_acctbal FROM customer")
+def q_bulk_copy_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/K3 full-table copy with explicit column list (column pruning
+    reaches the parquet scan — the reference built SELECT lists by hand)."""
+    return mutate.bulk_copy(
+        load_table(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_acctbal"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph metadata operators (SURVEY §2.3 G5/G6/G7/G9)
+# ---------------------------------------------------------------------------
+
+_EDGE_VALUES = (
+    "(VALUES ('region','nation','n_regionkey'), ('nation','customer','c_nationkey'), "
+    "('nation','supplier','s_nationkey'), ('customer','orders','o_custkey'), "
+    "('orders','lineitem','l_orderkey'), ('part','lineitem','l_partkey'), "
+    "('supplier','lineitem','l_suppkey')) AS e(parent_t, child_t, child_col)"
+)
+
+
+@query(
+    "topo_depth",
+    f"""
+    WITH RECURSIVE edges AS (SELECT * FROM {_EDGE_VALUES}),
+    tabs AS (SELECT DISTINCT parent_t AS t FROM edges
+             UNION SELECT DISTINCT child_t FROM edges),
+    paths AS (
+        SELECT t AS tbl, 0 AS d FROM tabs
+        UNION ALL
+        SELECT e.child_t, p.d + 1 FROM paths p JOIN edges e ON e.parent_t = p.tbl
+    )
+    SELECT tbl AS table_name, CAST(max(d) AS BIGINT) AS depth
+    FROM paths GROUP BY tbl
+    """,
+)
+def q_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 dependency ordering, exposed as deterministic longest-path depth
+    per table (any valid topo linearization respects ascending depth)."""
+    c = cat.tpch_catalog(sf_dir)
+    tables = sorted({e.parent_table for e in c.edges} | {e.child_table for e in c.edges})
+    depth = cat.topo_depth(tables, c.edges)
+    return spark.createDataFrame(
+        [(t, d) for t, d in depth.items()], "table_name string, depth long"
+    )
+
+
+@query(
+    "edge_exclusion_filter",
+    f"""
+    SELECT parent_t AS parent_table, child_t AS child_table, child_col AS child_column
+    FROM {_EDGE_VALUES}
+    WHERE NOT (parent_t = 'nation' AND child_t = 'customer')
+      AND NOT (parent_t = 'supplier' AND child_t = 'lineitem')
+    """,
+)
+def q_edge_exclusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 FK-edge exclusion: drop edges named "C.ccol=P.pcol" (both
+    orientations accepted), return the surviving edge list."""
+    c = cat.tpch_catalog(sf_dir)
+    kept = cat.filter_edges(
+        c.edges,
+        ["customer.c_nationkey=nation.n_nationkey", "supplier.s_suppkey=lineitem.l_suppkey"],
+    )
+    return spark.createDataFrame(
+        [(e.parent_table, e.child_table, e.child_column) for e in kept],
+        "parent_table string, child_table string, child_column string",
+    )
+
+
+@query(
+    "edges_by_table",
+    f"""
+    WITH edges AS (SELECT * FROM {_EDGE_VALUES}),
+    touches AS (
+        SELECT parent_t AS t FROM edges UNION ALL SELECT child_t FROM edges
+    )
+    SELECT t AS table_name, CAST(count(*) AS BIGINT) AS n_edges
+    FROM touches GROUP BY t
+    """,
+)
+def q_edges_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 edges grouped by touching table (MultiMap analog) as edge counts."""
+    c = cat.tpch_catalog(sf_dir)
+    grouped = cat.edges_by_table(c.edges)
+    counts = {t: len(es) for t, es in grouped.items()}
+    return spark.createDataFrame(
+        [(t, n) for t, n in counts.items()], "table_name string, n_edges long"
+    )
+
+
+@query(
+    "table_exclusion",
+    """
+    SELECT t AS table_name FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
+        ('part'),('orders'),('lineitem')) AS tabs(t)
+    WHERE t NOT IN ('part','supplier')
+    """,
+)
+def q_table_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 table-set exclusion (excluded.dataTables semantics)."""
+    tables = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+    kept = cat.exclude_tables(tables, {"part", "supplier"})
+    return spark.createDataFrame([(t,) for t in kept], "table_name string")
+
+
+# ---------------------------------------------------------------------------
+# public surface consumed by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle.strip()
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}
