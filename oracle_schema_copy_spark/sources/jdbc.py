@@ -1,0 +1,150 @@
+"""JDBC source/sink: the database-facing half of the engine.
+
+Reference analogs: connection factory (``Main.java:46-58``,
+``SqlUtils.groovy:20-32``), direct-execute target (``ExecuteTarget.java``),
+batched INSERT (``CopyUtils.java:805-834``), and the Gradle prod-URL guard
+(``GradleUtils.groovy:42-51``).
+
+No database ships in this environment, so this module is exercised by
+unit tests on its config/SQL-generation logic only; the Spark calls are
+the standard ``spark.read/write.jdbc`` surface.
+
+Scale notes baked into the defaults:
+- reads partition on a numeric column (``partitionColumn/lowerBound/
+  upperBound/numPartitions``) so a 100 TB table fans out across executors
+  instead of one connection;
+- ``pushDownPredicate`` (default on) sends filters to the database;
+- writes batch at ``batchsize`` (the reference's 500 → 10k default here,
+  modern drivers handle it) and cap ``numPartitions`` to bound concurrent
+  connections.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ProductionGuardError(RuntimeError):
+    pass
+
+
+def prod_check(url: str, *, allow_production: bool = False) -> None:
+    """Refuse destination URLs that look like production unless explicitly
+    allowed (the reference's -PdstProduction guard)."""
+    if "prod" in url.lower() and not allow_production:
+        raise ProductionGuardError(
+            f"destination JDBC url {url!r} looks like production; "
+            "pass allow_production=True to proceed"
+        )
+
+
+@dataclass
+class JdbcConnection:
+    """Alias -> connection info (the reference's ~/.oracle-schema-copy
+    properties file becomes an explicit config object)."""
+
+    url: str
+    user: str = ""
+    password: str = ""
+    driver: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def spark_options(self) -> dict[str, str]:
+        opts = {"url": self.url, **self.options}
+        if self.user:
+            opts["user"] = self.user
+        if self.password:
+            opts["password"] = self.password
+        if self.driver:
+            opts["driver"] = self.driver
+        return opts
+
+
+def read_table(
+    spark: SparkSession,
+    conn: JdbcConnection,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Partitioned JDBC table read; single-connection only when no
+    partition column is given (fine for dimension tables)."""
+    reader = spark.read.format("jdbc").options(**conn.spark_options())
+    src = f"(SELECT * FROM {table} WHERE {predicate}) t" if predicate else table
+    reader = reader.option("dbtable", src)
+    if partition_column is not None:
+        assert lower_bound is not None and upper_bound is not None
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def read_query(spark: SparkSession, conn: JdbcConnection, query: str) -> DataFrame:
+    """Push an arbitrary query to the database (dictionary-view reads:
+    the reference's user_objects/user_constraints catalog scans, S4-S6)."""
+    return spark.read.format("jdbc").options(**conn.spark_options()).option("query", query).load()
+
+
+ORACLE_DICTIONARY_QUERIES = {
+    # The same dictionary interrogations the reference issues, reusable when
+    # the source really is Oracle (S4/S5/S6/S7 via JDBC pushdown).
+    "tables": (
+        "SELECT object_name FROM user_objects WHERE object_type = 'TABLE' "
+        "AND secondary = 'N' AND object_name NOT LIKE 'BIN$%'"
+    ),
+    "primary_keys": (
+        "SELECT ucc.table_name, ucc.column_name, ucc.position "
+        "FROM user_constraints uc JOIN user_cons_columns ucc "
+        "ON uc.constraint_name = ucc.constraint_name "
+        "WHERE uc.constraint_type = 'P'"
+    ),
+    "fk_edges": (
+        "SELECT uc.constraint_name AS name, uccp.table_name AS parent_table, "
+        "uccp.column_name AS parent_column, uccc.table_name AS child_table, "
+        "uccc.column_name AS child_column "
+        "FROM user_constraints uc "
+        "JOIN user_cons_columns uccc ON uc.constraint_name = uccc.constraint_name "
+        "JOIN user_cons_columns uccp ON uc.r_constraint_name = uccp.constraint_name "
+        "AND uccc.position = uccp.position "
+        "WHERE uc.constraint_type = 'R'"
+    ),
+    "columns": (
+        "SELECT table_name, column_name, data_type, column_id FROM user_tab_columns "
+        "ORDER BY table_name, column_id"
+    ),
+}
+
+
+def write_table(
+    df: DataFrame,
+    conn: JdbcConnection,
+    table: str,
+    *,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    max_connections: int = 16,
+    allow_production: bool = False,
+) -> None:
+    """Batched JDBC write (K1/K3). Caps write parallelism so a wide cluster
+    doesn't open thousands of connections against the database."""
+    prod_check(conn.url, allow_production=allow_production)
+    if df.rdd.getNumPartitions() > max_connections:
+        df = df.coalesce(max_connections)
+    (
+        df.write.format("jdbc")
+        .options(**conn.spark_options())
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+        .save()
+    )

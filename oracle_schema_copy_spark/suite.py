@@ -319,6 +319,125 @@ def q_table_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DDL + operation log (SURVEY §2.1 S8-S10, §2.2 K2/K6, §2.4 E1)
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@query("schema_ddl_catalog", None)
+def q_schema_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8: generated CREATE TABLE DDL per table from parquet schemas
+    (rows-only: no SQL engine can independently derive Spark DDL text)."""
+    from oracle_schema_copy_spark.plans import ddl
+
+    tables = load_tables(spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem"))
+    return ddl.ddl_catalog_df(spark, tables)
+
+
+_TRIGGER_TAIL_SQL = r'ALTER TRIGGER\s+("?\w+"?\.)?"?\w+"?\s+ENABLE\s*;?\s*$'
+
+
+@query(
+    "ddl_rewrite",
+    f"""
+    WITH raw(ddl) AS (VALUES
+      ('CREATE INDEX "S"."I1" ON "S"."T1"(C1)'),
+      ('CREATE OR REPLACE TRIGGER trg BEFORE INSERT ON "S"."T1" BEGIN NULL; END;
+ALTER TRIGGER "S"."TRG" ENABLE;'),
+      ('CREATE TABLE "S"."T2" ("ID" NUMBER)'),
+      ('CREATE TRIGGER t2 ...; ALTER TRIGGER t2 ENABLE; ALTER TRIGGER "S"."T2" ENABLE')
+    )
+    SELECT rtrim(regexp_replace(rtrim(regexp_replace(rtrim(regexp_replace(
+             regexp_replace(ddl, '"S"\\.', '', 'g'),
+             '(?i){_TRIGGER_TAIL_SQL}', '')), '(?i){_TRIGGER_TAIL_SQL}', '')),
+             '(?i){_TRIGGER_TAIL_SQL}', '')) AS ddl
+    FROM raw
+    """,
+)
+def q_ddl_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 data-plane DDL rewrites: strip schema qualifiers, then
+    iteratively strip trailing ALTER TRIGGER ... ENABLE statements."""
+    from oracle_schema_copy_spark.plans import ddl
+
+    rows = [
+        ('CREATE INDEX "S"."I1" ON "S"."T1"(C1)',),
+        (
+            'CREATE OR REPLACE TRIGGER trg BEFORE INSERT ON "S"."T1" BEGIN NULL; END;\n'
+            'ALTER TRIGGER "S"."TRG" ENABLE;',
+        ),
+        ('CREATE TABLE "S"."T2" ("ID" NUMBER)',),
+        ('CREATE TRIGGER t2 ...; ALTER TRIGGER t2 ENABLE; ALTER TRIGGER "S"."T2" ENABLE',),
+    ]
+    df = spark.createDataFrame(rows, "ddl string")
+    from oracle_schema_copy_spark.plans.ddl import drop_schema_name_col, strip_trigger_tail_col
+
+    return df.select(
+        strip_trigger_tail_col(drop_schema_name_col(F.col("ddl"), "S")).alias("ddl")
+    )
+
+
+@query(
+    "oplog_roundtrip_orders",
+    """
+    WITH upserted AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT * FROM upserted WHERE o_orderkey % 13 <> 0
+    """,
+)
+def q_oplog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+S10 operation-log round trip: export insert+upsert+delete ops to a
+    manifest+parquet log, replay into a fresh warehouse, read the result."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.plans import oplog
+
+    base = f"{_SCRATCH}/oplog_roundtrip_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    dels = orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    with oplog.OperationLogWriter(f"{base}/log") as log:
+        log.insert("orders", orders)
+        log.upsert("orders", updates, "o_orderkey")
+        log.delete("orders", "o_orderkey", dels)
+    wh = oplog.Warehouse(spark, f"{base}/wh")
+    oplog.replay(spark, f"{base}/log", wh)
+    return wh.read("orders")
+
+
+@query("export_all_roundtrip_nation", "SELECT * FROM nation")
+def q_export_all_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 exportAll pipeline: DDL → data in topo order → constraints after
+    data; replayed into a fresh warehouse, returning the imported nation."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.plans import oplog
+
+    base = f"{_SCRATCH}/export_all_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    tabs = load_tables(spark, sf_dir, ("region", "nation"))
+    oplog.export_all(
+        dict(tabs),
+        f"{base}/log",
+        topo_order=["region", "nation"],
+        constraint_sql=["ALTER TABLE nation ADD CONSTRAINT nation_fk FOREIGN KEY (n_regionkey) REFERENCES region"],
+    )
+    wh = oplog.Warehouse(spark, f"{base}/wh")
+    oplog.replay(spark, f"{base}/log", wh)
+    return wh.read("nation")
+
+
+# ---------------------------------------------------------------------------
 # public surface consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.plans import oplog
+from oracle_schema_copy_spark.sources.tables import load_table
+
+SCRATCH = os.path.join(os.path.dirname(__file__), "..", ".scratch")
+
+
+@pytest.fixture
+def scratch(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("oplog"))
+
+
+def test_manifest_is_ordered_and_atomic(spark, sf_dir, scratch):
+    log_path = os.path.join(scratch, "log1")
+    nation = load_table(spark, sf_dir, "nation")
+    with oplog.OperationLogWriter(log_path) as log:
+        log.ddl(["CREATE TABLE nation (n_nationkey INT) USING PARQUET"])
+        log.insert("nation", nation)
+        log.delete("nation", "n_nationkey", nation.filter(F.col("n_nationkey") < 3))
+    recs = list(oplog.read_manifest(log_path))
+    assert [r.seq for r in recs] == [0, 1, 2]
+    assert [r.kind for r in recs] == ["ddl", "insert", "delete"]
+    # payload dirs exist and are parquet
+    assert spark.read.parquet(os.path.join(log_path, recs[1].payload)).count() == 25
+
+
+def test_unclosed_log_has_no_manifest(spark, sf_dir, scratch):
+    log_path = os.path.join(scratch, "log2")
+    log = oplog.OperationLogWriter(log_path)
+    log.insert("nation", load_table(spark, sf_dir, "nation"))
+    assert not os.path.exists(os.path.join(log_path, oplog.MANIFEST))
+
+
+def test_roundtrip_insert_upsert_delete(spark, sf_dir, scratch):
+    """Export insert+upsert+delete ops, replay into a warehouse, verify the
+    final state matches computing the same mutations directly."""
+    log_path = os.path.join(scratch, "log3")
+    wh_path = os.path.join(scratch, "wh3")
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    dels = orders.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+
+    with oplog.OperationLogWriter(log_path) as log:
+        log.insert("orders", orders)
+        log.upsert("orders", updates, "o_orderkey")
+        log.delete("orders", "o_orderkey", dels)
+
+    wh = oplog.Warehouse(spark, wh_path)
+    applied = oplog.replay(spark, log_path, wh)
+    assert len(applied) == 3
+
+    final = wh.read("orders")
+    n_dels = dels.count()
+    assert final.count() == orders.count() - n_dels
+    # updated status only on surviving %10 keys
+    assert final.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderstatus") != "X")).count() == 0
+    assert final.filter(F.col("o_orderkey") % 100 == 0).count() == 0
+
+
+def test_replay_opaque_sql_skip_and_error(spark, scratch):
+    log_path = os.path.join(scratch, "log4")
+    with oplog.OperationLogWriter(log_path) as log:
+        log.ddl(["CREATE SEQUENCE seq1"], opaque=True)
+    wh = oplog.Warehouse(spark, os.path.join(scratch, "wh4"))
+    assert oplog.replay(spark, log_path, wh)[0].kind == "opaque_sql"
+    with pytest.raises(ValueError, match="opaque"):
+        oplog.replay(spark, log_path, wh, on_opaque="error")
+
+
+def test_export_all_orders_constraints_after_data(spark, sf_dir, scratch):
+    log_path = os.path.join(scratch, "log5")
+    tabs = {t: load_table(spark, sf_dir, t) for t in ("region", "nation")}
+    oplog.export_all(
+        tabs,
+        log_path,
+        topo_order=["region", "nation"],
+        constraint_sql=["ALTER TABLE nation ADD CONSTRAINT fk FOREIGN KEY (n_regionkey) REFERENCES region"],
+    )
+    kinds = [(r.kind, r.table) for r in oplog.read_manifest(log_path)]
+    assert kinds == [
+        ("ddl", None),
+        ("insert", "region"),
+        ("insert", "nation"),
+        ("opaque_sql", None),  # constraints land AFTER data (FK-safe load)
+    ]
+
+
+def test_rewrite_is_atomic_swap(spark, sf_dir, scratch):
+    wh = oplog.Warehouse(spark, os.path.join(scratch, "wh6"))
+    nation = load_table(spark, sf_dir, "nation")
+    wh.write("nation", nation)
+    wh.rewrite("nation", nation.filter(F.col("n_nationkey") >= 5))
+    assert wh.read("nation").count() == 20
+    assert not os.path.exists(os.path.join(wh.root, "nation.__stage__"))
+    assert not os.path.exists(os.path.join(wh.root, "nation.__old__"))
+
+
+def test_manifest_json_schema(spark, sf_dir, scratch):
+    log_path = os.path.join(scratch, "log7")
+    with oplog.OperationLogWriter(log_path) as log:
+        log.upsert("orders", load_table(spark, sf_dir, "orders").limit(5), ["o_orderkey"])
+    line = open(os.path.join(log_path, oplog.MANIFEST)).readline()
+    d = json.loads(line)
+    assert set(d) == {"seq", "kind", "table", "params", "payload"}
+    assert d["params"]["key_columns"] == ["o_orderkey"]
