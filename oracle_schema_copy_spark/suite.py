@@ -1,458 +1,27 @@
-"""The engine's named query suite: every operator gets a (spark, sf_dir) ->
-DataFrame callable plus (where expressible) an ANSI-SQL oracle string that
-DuckDB runs over the same parquet tables. This is the correctness contract
-consumed by ``__spark_entry__.py``.
+"""Back-compat shim: the query registry moved to
+``oracle_schema_copy_spark.queries`` (one module per surface area)."""
 
-Conventions (driver compares row-count + schema + order-insensitive value
-hash, columns sorted by name):
-- every computed/aggregate column is explicitly aliased, identically in
-  Spark and SQL;
-- integer aggregates are cast to BIGINT on both sides (DuckDB sums int32
-  into HUGEINT otherwise);
-- double aggregates that sum many terms are rounded to a tolerance-safe
-  number of decimals on both sides (summation order differs between
-  engines);
-- timestamps run under UTC sessions on both sides.
-"""
-
-from __future__ import annotations
-
-from collections.abc import Callable
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from oracle_schema_copy_spark import catalog as cat
-from oracle_schema_copy_spark.operators import mutate, walk
-from oracle_schema_copy_spark.sources.tables import load_table, load_tables
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB, None -> rows-only check
-    headline: bool = False  # include in bench.py
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def query(name: str, oracle: str | None, headline: bool = False):
-    def deco(fn):
-        REGISTRY[name] = QuerySpec(fn, oracle, headline)
-        return fn
-
-    return deco
-
-
-# ---------------------------------------------------------------------------
-# FK walk / subgraph extraction (SURVEY §2.3 G1-G4, §2.1 S2/S3)
-# ---------------------------------------------------------------------------
-
-FLAGSHIP_PATHS = ["CUSTOMER->ORDERS.O_CUSTKEY", "ORDERS->LINEITEM.L_ORDERKEY"]
-
-
-def _flagship_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic seed frontier: every 10th customer key."""
-    return (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") % 10 == 0)
-        .select("c_custkey")
-    )
-
-
-@query(
-    "copy_tree_lineitem",
-    """
-    SELECT l.* FROM lineitem l
-    WHERE l.l_orderkey IN (
-        SELECT o_orderkey FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0))
-    """,
-    headline=True,
+from oracle_schema_copy_spark.queries import (  # noqa: F401
+    REGISTRY,
+    QuerySpec,
+    headline_queries,
+    oracle_sql,
+    queries,
+    query,
 )
-def q_copy_tree_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: FK-subgraph copy customer→orders→lineitem, return the copied
-    lineitem rows (walk = ordered left-semi joins over cached key frontiers)."""
-    c = cat.tpch_catalog(sf_dir)
-    tables = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
-    copied = walk.copy_tree(
-        spark, tables, c, FLAGSHIP_PATHS, _flagship_roots(spark, sf_dir)
-    )
-    return copied["lineitem"]
-
-
-@query(
-    "copy_tree_summary",
-    """
-    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
-    FROM customer WHERE c_custkey % 10 = 0
-    UNION ALL
-    SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
-    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
-    UNION ALL
-    SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
-    WHERE l_orderkey IN (
-        SELECT o_orderkey FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0))
-    """,
-)
-def q_copy_tree_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-table copied-row counts of the flagship walk (exercises the count
-    assertions of copy_selections)."""
-    c = cat.tpch_catalog(sf_dir)
-    tables = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
-    copied = walk.copy_tree(
-        spark, tables, c, FLAGSHIP_PATHS, _flagship_roots(spark, sf_dir)
-    )
-    # one fused job: union of per-table count aggregates (no driver loop)
-    counts = None
-    for t, df in copied.items():
-        one = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(t).alias("table_name"), F.col("n_rows")
-        )
-        counts = one if counts is None else counts.unionByName(one)
-    return counts
-
-
-@query(
-    "delete_tree_orders",
-    """
-    SELECT o.* FROM orders o
-    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
-    """,
-)
-def q_delete_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """deleteTree: surviving orders rows after deleting the walked subgraph."""
-    c = cat.tpch_catalog(sf_dir)
-    tables = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
-    surviving = walk.delete_tree(
-        spark, tables, c, FLAGSHIP_PATHS, _flagship_roots(spark, sf_dir)
-    )
-    return surviving["orders"]
-
-
-@query(
-    "keyed_scan_orders",
-    """
-    SELECT o.* FROM orders o
-    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
-    """,
-)
-def q_keyed_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 keyed scan: orders whose o_custkey is in a key frontier (the
-    reference's 500-element IN-list batching becomes one semi-join)."""
-    orders = load_table(spark, sf_dir, "orders")
-    keys = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") % 5 == 0)
-        .select("c_custkey")
-    )
-    return walk.keyed_scan(orders, "o_custkey", keys)
-
-
-@query(
-    "linked_rows_probe",
-    """
-    SELECT DISTINCT l.l_orderkey FROM lineitem l
-    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
-    """,
-)
-def q_linked_rows_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 linked-rows probe: child PKs reachable from a parent key set."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part_keys = (
-        load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40).select("p_partkey")
-    )
-    return walk.find_linked_rows(lineitem, "l_partkey", "l_orderkey", part_keys)
-
-
-# ---------------------------------------------------------------------------
-# Mutations (SURVEY §2.2 K3/K4/K5, §2.4 copy/update verbs)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "upsert_orders",
-    """
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
-           o_orderdate, o_orderpriority
-    FROM orders WHERE o_orderkey % 7 = 0
-    UNION ALL
-    SELECT * FROM orders WHERE o_orderkey % 7 <> 0
-    """,
-    headline=True,
-)
-def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 upsert as a single set-oriented merge (vs the reference's per-row
-    UPDATE-else-INSERT): updated rows replace, unmatched pass through."""
-    orders = load_table(spark, sf_dir, "orders")
-    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
-    )
-    return mutate.merge_upsert(orders, updates, "o_orderkey")
-
-
-@query(
-    "delete_by_keys_lineitem",
-    """
-    SELECT l.* FROM lineitem l
-    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0)
-    """,
-)
-def q_delete_by_keys_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 keyed delete: anti-join rewrite of lineitem."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    keys = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 13 == 0)
-        .select("o_orderkey")
-    )
-    return mutate.delete_by_keys(lineitem, "l_orderkey", keys)
-
-
-@query("bulk_copy_projection", "SELECT c_custkey, c_name, c_acctbal FROM customer")
-def q_bulk_copy_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/K3 full-table copy with explicit column list (column pruning
-    reaches the parquet scan — the reference built SELECT lists by hand)."""
-    return mutate.bulk_copy(
-        load_table(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_acctbal"]
-    )
-
-
-# ---------------------------------------------------------------------------
-# Graph metadata operators (SURVEY §2.3 G5/G6/G7/G9)
-# ---------------------------------------------------------------------------
-
-_EDGE_VALUES = (
-    "(VALUES ('region','nation','n_regionkey'), ('nation','customer','c_nationkey'), "
-    "('nation','supplier','s_nationkey'), ('customer','orders','o_custkey'), "
-    "('orders','lineitem','l_orderkey'), ('part','lineitem','l_partkey'), "
-    "('supplier','lineitem','l_suppkey')) AS e(parent_t, child_t, child_col)"
+from oracle_schema_copy_spark.queries.reference_surface import (  # noqa: F401
+    q_copy_tree_lineitem,
 )
 
 
-@query(
-    "topo_depth",
-    f"""
-    WITH RECURSIVE edges AS (SELECT * FROM {_EDGE_VALUES}),
-    tabs AS (SELECT DISTINCT parent_t AS t FROM edges
-             UNION SELECT DISTINCT child_t FROM edges),
-    paths AS (
-        SELECT t AS tbl, 0 AS d FROM tabs
-        UNION ALL
-        SELECT e.child_t, p.d + 1 FROM paths p JOIN edges e ON e.parent_t = p.tbl
-    )
-    SELECT tbl AS table_name, CAST(max(d) AS BIGINT) AS depth
-    FROM paths GROUP BY tbl
-    """,
-)
-def q_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5 dependency ordering, exposed as deterministic longest-path depth
-    per table (any valid topo linearization respects ascending depth)."""
-    c = cat.tpch_catalog(sf_dir)
-    tables = sorted({e.parent_table for e in c.edges} | {e.child_table for e in c.edges})
-    depth = cat.topo_depth(tables, c.edges)
-    return spark.createDataFrame(
-        [(t, d) for t, d in depth.items()], "table_name string, depth long"
-    )
+def __getattr__(name):
+    from oracle_schema_copy_spark import queries as _q
 
+    _q._load_all()
+    for mod_name in ("reference_surface", "relational", "pipeline", "streaming"):
+        import importlib
 
-@query(
-    "edge_exclusion_filter",
-    f"""
-    SELECT parent_t AS parent_table, child_t AS child_table, child_col AS child_column
-    FROM {_EDGE_VALUES}
-    WHERE NOT (parent_t = 'nation' AND child_t = 'customer')
-      AND NOT (parent_t = 'supplier' AND child_t = 'lineitem')
-    """,
-)
-def q_edge_exclusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G6 FK-edge exclusion: drop edges named "C.ccol=P.pcol" (both
-    orientations accepted), return the surviving edge list."""
-    c = cat.tpch_catalog(sf_dir)
-    kept = cat.filter_edges(
-        c.edges,
-        ["customer.c_nationkey=nation.n_nationkey", "supplier.s_suppkey=lineitem.l_suppkey"],
-    )
-    return spark.createDataFrame(
-        [(e.parent_table, e.child_table, e.child_column) for e in kept],
-        "parent_table string, child_table string, child_column string",
-    )
-
-
-@query(
-    "edges_by_table",
-    f"""
-    WITH edges AS (SELECT * FROM {_EDGE_VALUES}),
-    touches AS (
-        SELECT parent_t AS t FROM edges UNION ALL SELECT child_t FROM edges
-    )
-    SELECT t AS table_name, CAST(count(*) AS BIGINT) AS n_edges
-    FROM touches GROUP BY t
-    """,
-)
-def q_edges_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7 edges grouped by touching table (MultiMap analog) as edge counts."""
-    c = cat.tpch_catalog(sf_dir)
-    grouped = cat.edges_by_table(c.edges)
-    counts = {t: len(es) for t, es in grouped.items()}
-    return spark.createDataFrame(
-        [(t, n) for t, n in counts.items()], "table_name string, n_edges long"
-    )
-
-
-@query(
-    "table_exclusion",
-    """
-    SELECT t AS table_name FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
-        ('part'),('orders'),('lineitem')) AS tabs(t)
-    WHERE t NOT IN ('part','supplier')
-    """,
-)
-def q_table_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9 table-set exclusion (excluded.dataTables semantics)."""
-    tables = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
-    kept = cat.exclude_tables(tables, {"part", "supplier"})
-    return spark.createDataFrame([(t,) for t in kept], "table_name string")
-
-
-# ---------------------------------------------------------------------------
-# DDL + operation log (SURVEY §2.1 S8-S10, §2.2 K2/K6, §2.4 E1)
-# ---------------------------------------------------------------------------
-
-_SCRATCH = "/root/repo/.scratch"
-
-
-@query("schema_ddl_catalog", None)
-def q_schema_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7/S8: generated CREATE TABLE DDL per table from parquet schemas
-    (rows-only: no SQL engine can independently derive Spark DDL text)."""
-    from oracle_schema_copy_spark.plans import ddl
-
-    tables = load_tables(spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem"))
-    return ddl.ddl_catalog_df(spark, tables)
-
-
-_TRIGGER_TAIL_SQL = r'ALTER TRIGGER\s+("?\w+"?\.)?"?\w+"?\s+ENABLE\s*;?\s*$'
-
-
-@query(
-    "ddl_rewrite",
-    f"""
-    WITH raw(ddl) AS (VALUES
-      ('CREATE INDEX "S"."I1" ON "S"."T1"(C1)'),
-      ('CREATE OR REPLACE TRIGGER trg BEFORE INSERT ON "S"."T1" BEGIN NULL; END;
-ALTER TRIGGER "S"."TRG" ENABLE;'),
-      ('CREATE TABLE "S"."T2" ("ID" NUMBER)'),
-      ('CREATE TRIGGER t2 ...; ALTER TRIGGER t2 ENABLE; ALTER TRIGGER "S"."T2" ENABLE')
-    )
-    SELECT rtrim(regexp_replace(rtrim(regexp_replace(rtrim(regexp_replace(
-             regexp_replace(ddl, '"S"\\.', '', 'g'),
-             '(?i){_TRIGGER_TAIL_SQL}', '')), '(?i){_TRIGGER_TAIL_SQL}', '')),
-             '(?i){_TRIGGER_TAIL_SQL}', '')) AS ddl
-    FROM raw
-    """,
-)
-def q_ddl_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G10 data-plane DDL rewrites: strip schema qualifiers, then
-    iteratively strip trailing ALTER TRIGGER ... ENABLE statements."""
-    from oracle_schema_copy_spark.plans import ddl
-
-    rows = [
-        ('CREATE INDEX "S"."I1" ON "S"."T1"(C1)',),
-        (
-            'CREATE OR REPLACE TRIGGER trg BEFORE INSERT ON "S"."T1" BEGIN NULL; END;\n'
-            'ALTER TRIGGER "S"."TRG" ENABLE;',
-        ),
-        ('CREATE TABLE "S"."T2" ("ID" NUMBER)',),
-        ('CREATE TRIGGER t2 ...; ALTER TRIGGER t2 ENABLE; ALTER TRIGGER "S"."T2" ENABLE',),
-    ]
-    df = spark.createDataFrame(rows, "ddl string")
-    from oracle_schema_copy_spark.plans.ddl import drop_schema_name_col, strip_trigger_tail_col
-
-    return df.select(
-        strip_trigger_tail_col(drop_schema_name_col(F.col("ddl"), "S")).alias("ddl")
-    )
-
-
-@query(
-    "oplog_roundtrip_orders",
-    """
-    WITH upserted AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
-             o_orderdate, o_orderpriority
-      FROM orders WHERE o_orderkey % 7 = 0
-      UNION ALL
-      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
-    )
-    SELECT * FROM upserted WHERE o_orderkey % 13 <> 0
-    """,
-)
-def q_oplog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2+S10 operation-log round trip: export insert+upsert+delete ops to a
-    manifest+parquet log, replay into a fresh warehouse, read the result."""
-    import shutil
-    import uuid
-
-    from oracle_schema_copy_spark.plans import oplog
-
-    base = f"{_SCRATCH}/oplog_roundtrip_{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
-    orders = load_table(spark, sf_dir, "orders")
-    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
-    )
-    dels = orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
-    with oplog.OperationLogWriter(f"{base}/log") as log:
-        log.insert("orders", orders)
-        log.upsert("orders", updates, "o_orderkey")
-        log.delete("orders", "o_orderkey", dels)
-    wh = oplog.Warehouse(spark, f"{base}/wh")
-    oplog.replay(spark, f"{base}/log", wh)
-    return wh.read("orders")
-
-
-@query("export_all_roundtrip_nation", "SELECT * FROM nation")
-def q_export_all_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 exportAll pipeline: DDL → data in topo order → constraints after
-    data; replayed into a fresh warehouse, returning the imported nation."""
-    import shutil
-    import uuid
-
-    from oracle_schema_copy_spark.plans import oplog
-
-    base = f"{_SCRATCH}/export_all_{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
-    tabs = load_tables(spark, sf_dir, ("region", "nation"))
-    oplog.export_all(
-        dict(tabs),
-        f"{base}/log",
-        topo_order=["region", "nation"],
-        constraint_sql=["ALTER TABLE nation ADD CONSTRAINT nation_fk FOREIGN KEY (n_regionkey) REFERENCES region"],
-    )
-    wh = oplog.Warehouse(spark, f"{base}/wh")
-    oplog.replay(spark, f"{base}/log", wh)
-    return wh.read("nation")
-
-
-# ---------------------------------------------------------------------------
-# public surface consumed by __spark_entry__.py
-# ---------------------------------------------------------------------------
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        name: spec.oracle.strip()
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
-    }
-
-
-def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}
+        mod = importlib.import_module(f"oracle_schema_copy_spark.queries.{mod_name}")
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise AttributeError(name)

@@ -18,6 +18,7 @@ def duck():
     con.close()
 
 
+suite.queries()  # force-load every query module into the registry
 ORACLED = sorted(n for n, s in suite.REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY = sorted(n for n, s in suite.REGISTRY.items() if s.oracle is None)
 

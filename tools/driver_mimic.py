@@ -1,0 +1,93 @@
+"""Standalone driver-mimic: runs entry() + every queries() entry vs its
+DuckDB oracle at a given SF (default sf0.01, the driver's t2 scale).
+
+Usage: python tools/driver_mimic.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    df = df.reindex(cols, axis=1)
+    return df.sort_values(by=cols, ignore_index=True)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from oracle_schema_copy_spark.session import get_spark
+    import __spark_entry__ as m
+
+    spark = get_spark("driver-mimic", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = m.entry(spark).count()
+    print(f"t1 entry rows: {n}")
+    assert n > 0
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, osql = m.queries(), m.oracle_sql()
+    fails: list[str] = []
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            s = fn(spark, sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        if name not in osql:
+            print(f"{name}: rows-only ({len(s)} rows)")
+            continue
+        d = con.sql(osql[name]).df()
+        s, d = normalize(s), normalize(d)
+        ok, why = True, ""
+        if len(s) != len(d):
+            ok, why = False, f"rows {len(s)} != {len(d)}"
+        elif list(s.columns) != list(d.columns):
+            ok, why = False, f"cols {list(s.columns)} != {list(d.columns)}"
+        else:
+            for c in s.columns:
+                a, b = s[c], d[c]
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    aa, bb = a.astype(float).to_numpy(), b.astype(float).to_numpy()
+                    for i, (x, y) in enumerate(zip(aa, bb)):
+                        if (math.isnan(x) != math.isnan(y)) or (
+                            not math.isnan(x) and x != y
+                        ):
+                            ok, why = False, f"col {c} row {i}: {x!r} != {y!r}"
+                            break
+                else:
+                    neq = a.astype(str) != b.astype(str)
+                    if neq.any():
+                        i = int(neq.idxmax())
+                        ok, why = False, f"col {c} row {i}: {a[i]!r} != {b[i]!r}"
+                if not ok:
+                    break
+        print(f"{name}: {'MATCH' if ok else 'MISMATCH ' + why} ({len(s)} rows)")
+        if not ok:
+            fails.append(name)
+    print("FAILURES:", fails or "none")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
