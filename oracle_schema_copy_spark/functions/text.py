@@ -1,0 +1,138 @@
+"""Text analysis column expressions (documents table surface).
+
+Everything is built from ``pyspark.sql.functions`` so the plan stays in
+whole-stage codegen; each expression has an exact DuckDB twin used by the
+SQL oracles (token hashing goes through md5, which both engines implement
+identically).
+
+At 100 TB: all of these are per-row projections or explode+agg shapes;
+the only shuffles are the aggregations after explode (token histograms),
+which combine map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a small multilingual stopword table for the language-ID heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est"),
+    "es": ("el", "la", "de", "y", "un", "una", "es"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu"),
+}
+
+MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents are pre-normalized word streams)."""
+    return F.split(text, " ")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """A BPE-ish regex tokenizer: words, numbers, or single non-space
+    symbols — the usual pre-tokenization split of BPE vocabularies."""
+    return F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0))
+
+
+def normalize(text: Column) -> Column:
+    """Dedup normalization: lowercase, non-alphanumerics to spaces,
+    collapse runs, trim."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, "[^a-z0-9]+", " ")
+    return F.trim(out)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token stream (the unit for
+    Jaccard/MinHash near-dup detection)."""
+    toks = tokens(text)
+    # shingle i = tokens[i] .. tokens[i+n-1], 1-based over size-n+1 positions
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + off) for off in range(n)]
+    )
+    # guard: sequence(1, k) with k < 1 would DESCEND; short docs -> empty set
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, parts))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_hash(tok: Column, hex_digits: int = 8) -> Column:
+    """Deterministic 32-bit-ish integer hash of a token via md5 — identical
+    in DuckDB: CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(tok), 1, hex_digits), 16, 10).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over token hashes (document fingerprint):
+    acc = (acc * 31 + h(tok)) mod 1e9+7. DuckDB twin:
+    list_reduce(list_prepend(0, hashes), (acc, x) -> (acc*31+x) % MOD)."""
+    hashes = F.transform(tokens(text), lambda t: token_hash(t))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MOD,
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]+", "")
+    return F.length(stripped) / F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """A composite document-quality heuristic in [0, 1]: favors texts with
+    reasonable length, low punctuation density and some stopword mass.
+    Fixed operation order so the SQL twin is bit-identical."""
+    len_score = F.least(char_count(text) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return (len_score * 0.4 + stop_score * 0.4) + (1.0 - punct_pen) * 0.2
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID. Scores each language by distinct-stopword
+    hits in the token stream; highest count wins, alphabetical tie-break,
+    'und' (undetermined) when nothing matches."""
+    toks = tokens(text)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best_lang, best_score = None, None
+    for lang in sorted(scores):  # alphabetical priority on ties
+        s = scores[lang]
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))

@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three strategies:
+- brute_force_topk      : exact top-k, one corpus scan per query batch
+                          (queries broadcast; baseline + oracle path)
+- label_partitioned_topk: IVF-style coarse quantization — search only the
+                          query's cell/bucket (here the ``label`` column
+                          stands in for a kmeans cell id); at 100 TB this
+                          is partition pruning on the coarse id
+- lsh_bucket            : random-hyperplane (sign) LSH — hyperplanes are
+                          fixed literals so the bucketing is deterministic
+                          and SQL-mirrorable; candidates share a bucket
+
+All dot products run JVM-side in sequential double precision (see
+functions/vectors.py) — bit-identical to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.functions.vectors import dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    The query set is broadcast; the corpus is scanned once; per-query
+    ranking is a window over (query, score) — the shuffle carries only
+    (query_id, candidate_id, score) triples, never the vectors.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("score"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def label_partitioned_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style search: candidates restricted to the query's coarse cell.
+
+    The equi-join on the cell id replaces the cross join — at scale, with
+    the corpus partitioned/bucketed by cell, this prunes both I/O and
+    compute to the probed cells (nprobe=1 here)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(cell_col).alias("__qcell"),
+    )
+    scored = corpus.join(
+        F.broadcast(q), (F.col(cell_col) == F.col("__qcell")) & (F.col(id_col) != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits (seeded, library-free,
+    reproducible verbatim in the SQL oracle as literal arrays)."""
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        bits: list[float] = []
+        counter = 0
+        while len(bits) < dim:
+            h = hashlib.md5(f"plane-{p}-{counter}".encode()).digest()
+            for byte in h:
+                for k in range(8):
+                    if len(bits) >= dim:
+                        break
+                    bits.append(1.0 if (byte >> k) & 1 else -1.0)
+            counter += 1
+        planes.append(bits)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Adds a ``bucket`` column: the sign pattern of the vector against
+    ``n_planes`` fixed hyperplanes, packed into an integer. Vectors in the
+    same bucket are ANN candidates; at scale, repartition/bucket the
+    corpus by this column so candidate generation is shuffle-free."""
+    planes = hyperplanes(n_planes, dim)
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        side = F.when(dot(F.col(vec_col), lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = side if bucket is None else bucket + side
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_bucket_candidates(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8
+) -> DataFrame:
+    """Candidate pairs sharing an LSH bucket (to be verified with exact
+    scores by the caller)."""
+    b = lsh_bucket(df, vec_col=vec_col, n_planes=n_planes).select(id_col, "bucket")
+    a, c = b.alias("a"), b.alias("b")
+    return a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -1,1 +1,444 @@
-"""placeholder"""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal columns (documents / embeddings fixtures).
+
+Several oracles are generated programmatically so the SQL uses the exact
+same constants (MinHash permutations, SimHash bit weights, LSH hyperplane
+literals) as the Spark operators — both sides derive hashes from md5, the
+one hash function the two engines implement identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.functions import text as tf
+from oracle_schema_copy_spark.operators import dedup, multimodal, similarity
+from oracle_schema_copy_spark.queries import query
+from oracle_schema_copy_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# distinct 3-word shingles of documents.text
+_SQL_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [] END AS ss
+        FROM toks)
+"""
+
+# 28-bit md5 hash of a string s (matches functions.text.token_hash(s, 7))
+def _sql_h(expr: str, digits: int = 7) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {digits})) AS BIGINT)"
+
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH {_SQL_SHINGLES},
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(ss) AS n_sh FROM sh WHERE len(ss) > 0),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+# sequential-double dot product of two 64-dim float lists (bit-identical
+# to functions.vectors.dot — verified empirically)
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving id per distinct text (digest-grouped —
+    the shuffle carries a fixed-width hash, never the document body)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_normalized",
+    """
+    SELECT min(doc_id) AS doc_id FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/punctuation-insensitive dedup over normalized text."""
+    return dedup.normalized_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("dedup_ngram_jaccard", _SQL_JACCARD_PAIRS, headline=True)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 3-word-shingle Jaccard >= 0.2 via explode +
+    shingle-key self-join (the verifier stage of the near-dup stack)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+def _minhash_sig_sql() -> str:
+    cols = []
+    for i, (a, b) in enumerate(dedup.MINHASH_PERMS):
+        h = _sql_h("s", dedup.MINHASH_HEX_DIGITS)
+        cols.append(
+            f"list_min(list_transform(ss, s -> ({a} * {h} + {b}) % {dedup.MINHASH_P})) AS mh{i}"
+        )
+    return ",\n               ".join(cols)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+        SELECT doc_id, {_minhash_sig_sql()}
+        FROM sh WHERE len(ss) > 0),
+    buckets AS (
+        SELECT doc_id, band,
+               CASE band {' '.join(f'WHEN {b} THEN [mh{2*b}, mh{2*b+1}]' for b in range(8))} END AS key
+        FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    exact AS ({_SQL_JACCARD_PAIRS})
+    SELECT c.id_a, c.id_b, e.jaccard
+    FROM cands c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: 16 md5-derived permutations, 8 bands
+    x 2 rows, candidate pairs verified by exact shingle Jaccard >= 0.2.
+    The scale path: signatures are one pass, the join touches only
+    band-bucket collisions."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, bands=8, threshold=0.2
+    )
+
+
+def _simhash_sql() -> str:
+    h = _sql_h("s", 15)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    hashed AS (
+        SELECT doc_id, list_transform(ss, s -> {h}) AS hs FROM sh WHERE len(ss) > 0),
+    sig AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed)
+    """
+
+
+@query(
+    "dedup_simhash_signatures",
+    _simhash_sql() + "SELECT doc_id, simhash FROM sig",
+)
+def q_dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit shingle SimHash per document (single-pass, no explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_simhash_pairs",
+    _simhash_sql()
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming <= 3 via 4 banded 15-bit keys —
+    exhaustive for distance <= 3 by pigeonhole (the oracle checks against
+    the brute-force pair set)."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_dot('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_dot('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (dot >= 0.45 on pre-normalized vectors);
+    brute-force baseline — LSH-bucketed pruning is the scale path."""
+    return dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'q.qv')} AS score
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT * FROM ranked WHERE rank <= 10
+    """,
+    headline=True,
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast query
+    set, one corpus scan, window ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "similarity_topk_ivf_label",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'q.qv')} AS score
+        FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse cell (label column as
+    the quantizer) — at scale this is partition pruning on the cell id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_partitioned_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+def _hyperplane_sql_literals(n_planes: int = 8, dim: int = 64) -> list[str]:
+    planes = similarity.hyperplanes(n_planes, dim)
+    return ["[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in planes]
+
+
+@query(
+    "similarity_lsh_bucket_histogram",
+    f"""
+    WITH b AS (
+        SELECT vec_id,
+               {' + '.join(f"(CASE WHEN {_sql_dot('embedding', _hyperplane_sql_literals()[p])} > 0 THEN {1 << p} ELSE 0 END)" for p in range(8))} AS bucket
+        FROM embeddings)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM b GROUP BY bucket
+    """,
+)
+def q_similarity_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (8 fixed md5-seeded planes): the
+    bucket histogram. Same-bucket vectors are the ANN candidate set; at
+    scale the corpus is written bucketed by this column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.lsh_bucket(emb, n_planes=8)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in tf.LANG_STOPWORDS["en"])
+
+
+@query(
+    "text_stats_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           len(list_filter(toks, x -> x IN ({_STOP_EN}))) / len(toks) AS stop_ratio,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) / length(text) AS punct_ratio,
+           (least(length(text) / 500.0, 1.0) * 0.4
+            + least(len(list_filter(toks, x -> x IN ({_STOP_EN}))) / len(toks) * 4, 1.0) * 0.4)
+            + (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) / length(text) * 5, 1.0)) * 0.2
+             AS quality
+    FROM t
+    """,
+)
+def q_text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics + composite quality score (length,
+    stopword mass, punctuation density) — all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tf.char_count(t).alias("n_chars"),
+        tf.token_count(t).alias("n_tokens"),
+        F.size(tf.bpe_ish_tokens(t)).cast("long").alias("n_bpe_tokens"),
+        tf.stopword_ratio(t).alias("stop_ratio"),
+        tf.punct_ratio(t).alias("punct_ratio"),
+        tf.quality_score(t).alias("quality"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang in sorted(tf.LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in tf.LANG_STOPWORDS[lang])
+        parts.append(f"len(list_intersect(toks, [{words}])) AS s_{lang}")
+    return ", ".join(parts)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    scores AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) > 0 THEN
+               CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                    WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                    WHEN s_en > s_de THEN 'en'
+                    ELSE 'de' END
+           ELSE 'und' END AS pred_lang
+    FROM scores
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (distinct-stopword hits per language,
+    alphabetical tie-break, 'und' when nothing matches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tf.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_token_histogram",
+    """
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def q_text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram (explode -> partial-agg -> top-20)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tf.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '), s -> {_sql_h('s', 8)})),
+               (acc, x) -> (acc * 31 + x) % {tf.MOD}) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over token hashes — an order-sensitive
+    document fingerprint (reordered tokens change it; dedup hashes don't)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tf.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           lower(sha256(text)) AS sha256,
+           upper(hex(encode(substr(text, 1, 4)))) AS magic
+    FROM documents
+    """,
+)
+def q_multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata (byte length, digest, magic
+    prefix) — the BLOB-analog columns flowing through the engine."""
+    docs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.lower(F.col("meta.sha256")).alias("sha256"),
+        F.col("meta.magic").alias("magic"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (SELECT doc_id, CAST(floor(octet_length(encode(text)) / 10) AS INT) AS nf
+               FROM documents)
+    SELECT doc_id, CAST(u AS BIGINT) AS frame_idx, CAST(u * 10 AS BIGINT) AS byte_offset
+    FROM (SELECT doc_id, unnest(generate_series(0, nf - 1, 5)) AS u FROM f WHERE nf > 0)
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: every 5th 10-byte frame as (idx, byte
+    offset) rows — row explosion without byte duplication."""
+    docs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_offsets(docs, bytes_per_frame=10, stride=5)
+
+
+@query("multimodal_feature_extract", None)
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (mapInPandas) feature extraction over binary payloads
+    — deterministic stub decoder (codec libs absent); rows-only check, the
+    schema/batching contract is pytest-verified."""
+    docs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(docs)
