@@ -1,1 +1,137 @@
-"""placeholder"""
+"""Streaming queries over ``events``: event-time windowed aggregations and
+a custom stateful operator.
+
+Each windowed aggregation is one shared transformation
+(``streaming/ops.py``) applied to BOTH the batch table (what the DuckDB
+oracle checks below) and a genuine file-source stream (pytest asserts the
+drained stream matches the batch result — see tests/test_streaming.py).
+Two entries here (`*_live`) run the real Structured Streaming path inside
+``queries()`` itself, drained with availableNow, so the driver's gate also
+executes streaming code.
+
+Window-start oracles use epoch arithmetic (``floor(epoch(ts)/N)*N``) rather
+than DuckDB ``time_bucket`` so the alignment rule is explicitly the same
+as Spark's (windows align to the Unix epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oracle_schema_copy_spark.queries import query
+from oracle_schema_copy_spark.streaming import ops
+
+# epoch-aligned bucket start as a naive UTC timestamp
+def _bucket(sec: int) -> str:
+    return f"CAST(to_timestamp(floor(epoch(ts) / {sec}) * {sec}) AS TIMESTAMP)"
+
+
+@query(
+    "stream_tumbling_window",
+    f"""
+    SELECT {_bucket(86400)} AS w_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type (batch mode of the
+    shared transformation; the stream run is pytest-verified identical)."""
+    return ops.tumbling_agg(ops.load_events(spark, sf_dir))
+
+
+@query(
+    "stream_sliding_window",
+    f"""
+    WITH b AS (SELECT {_bucket(43200)} AS b0, value FROM events),
+    w AS (SELECT unnest([b0, b0 - INTERVAL 12 HOUR]) AS w_start, value FROM b)
+    SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM w GROUP BY w_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day long, 12 h slide — every event lands in two
+    windows); oracle materializes both window memberships via unnest."""
+    return ops.sliding_agg(ops.load_events(spark, sf_dir))
+
+
+@query(
+    "stream_session_window",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 4 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT *, sum(new_s) OVER (
+              PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 4 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 4-hour merge gap. Spark ``session_window``
+    semantics (session end = last event + gap; merge iff next event is
+    strictly inside the previous window) reproduced in SQL via gap-flag +
+    running-sum sessionization."""
+    return ops.session_agg(ops.load_events(spark, sf_dir))
+
+
+@query(
+    "stream_watermark_late_drop",
+    """
+    WITH c AS (SELECT max(ts) - INTERVAL 1 HOUR AS cutoff FROM events)
+    SELECT e.* FROM events e, c WHERE e.ts >= c.cutoff
+    """,
+)
+def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data policy as a batch contract: rows with event time
+    older than max(event time) - 1 h are dropped (what ``withWatermark``
+    enforces continuously on the stream)."""
+    return ops.with_late_rows_dropped(ops.load_events(spark, sf_dir))
+
+
+@query(
+    "stream_tumbling_window_live",
+    f"""
+    SELECT {_bucket(86400)} AS w_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run: file-source stream -> watermark ->
+    tumbling windows -> memory sink (availableNow), complete output mode
+    (emits every window, so the drained result equals the batch oracle)."""
+    return ops.run_stream_to_df(
+        ops.tumbling_agg(ops.events_stream(spark, sf_dir)), output_mode="complete"
+    )
+
+
+@query(
+    "stream_stateful_user_totals_live",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful streaming: ``applyInPandasWithState`` running per-user
+    totals (Arrow-batched per key group), drained with availableNow. A
+    single-batch drain emits exactly the final totals, which the SQL
+    oracle checks; incremental multi-batch behavior is pytest-covered."""
+    return ops.run_stream_to_df(
+        ops.stateful_user_totals_stream(ops.events_stream(spark, sf_dir)),
+        output_mode="update",
+    )

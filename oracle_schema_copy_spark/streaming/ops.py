@@ -1,0 +1,196 @@
+"""Streaming operators over the ``events`` fixture.
+
+Design: each windowed aggregation is a pure ``DataFrame -> DataFrame``
+function, so the SAME code path serves (a) the batch table — checked
+against a DuckDB oracle by the driver — and (b) a real file-source stream
+drained with ``trigger(availableNow=True)`` into a memory sink — checked by
+pytest to match the batch result row-for-row.
+
+Scale notes: event-time windowed aggregation shuffles on (window, keys);
+state size is bounded by the watermark (windows older than
+max-event-time - delay are finalized and evicted). Session windows merge
+in the state store per key — the shuffle key is the grouping key, not the
+session, so skewed users are the thing to watch (mitigate with a pre-agg
+on (user, coarse-time) when a single key dominates). The stateful
+``applyInPandasWithState`` operator receives Arrow record batches per key
+group — vectorized, not row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from oracle_schema_copy_spark.sources.tables import load_table
+
+WATERMARK_DELAY = "1 hour"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    The streaming file source lists a *directory*; the fixture is a single
+    ``events.parquet`` file, so we stage a symlink dir under /tmp. Schema
+    comes from the batch reader (streams cannot infer), and the
+    TIMESTAMP(NANOS) column gets the same long→micros normalization as
+    ``load_table``.
+    """
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = os.path.join(tempfile.gettempdir(), f"oscs-stream-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(stage, "events.parquet")
+    )
+    sdf = spark.readStream.schema(raw.schema).parquet(stage)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        # integer division: double math loses sub-µs precision at 1e18
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_stream_to_df(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame with availableNow into a memory sink and
+    return the result as a batch DataFrame (used by tests and the rows-only
+    driver checks; the driver never sees an unterminated stream)."""
+    name = f"oscs_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations (batch/stream polymorphic)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_agg(df: DataFrame, duration: str = "1 day") -> DataFrame:
+    """Tumbling event-time windows per event_type: count + value sum."""
+    w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
+    return (
+        w.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_agg(df: DataFrame, duration: str = "1 day", slide: str = "12 hours") -> DataFrame:
+    """Sliding windows (each event lands in duration/slide windows)."""
+    w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
+    return (
+        w.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
+    )
+
+
+def session_agg(df: DataFrame, gap: str = "4 hours") -> DataFrame:
+    """Per-user session windows with a merge gap: adjacent events closer
+    than ``gap`` coalesce into one session (start = first event, end =
+    last event + gap — Spark ``session_window`` semantics)."""
+    w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
+    return (
+        w.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def with_late_rows_dropped(df: DataFrame, delay: str = WATERMARK_DELAY) -> DataFrame:
+    """Batch twin of the watermark late-data policy: drop rows with event
+    time older than max(event time) - delay. In streaming this is what
+    ``withWatermark`` does continuously; expressing it in batch gives the
+    oracle-checkable contract for the same cutoff rule."""
+    cutoff = df.select(
+        (F.max("ts") - F.expr(f"INTERVAL {delay}")).alias("cutoff")
+    )
+    return df.join(F.broadcast(cutoff)).where(F.col("ts") >= F.col("cutoff")).drop("cutoff")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator
+# ---------------------------------------------------------------------------
+
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def _totals_fn(key, pdf_iter, state: GroupState):
+    """Accumulate (count, sum) per user across micro-batches; emit the
+    running totals after each batch's worth of rows for the key."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(s, 6)]}
+    )
+
+
+def stateful_user_totals_stream(stream_df: DataFrame) -> DataFrame:
+    """Running per-user totals via ``applyInPandasWithState`` — the custom
+    stateful-operator escape hatch (Arrow-batched per key group). With an
+    availableNow drain of a single-file source this emits exactly one row
+    per user equal to the batch groupBy — which is what the driver's
+    oracle checks; multi-batch incremental behavior is pytest-covered."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_user_totals(df: DataFrame) -> DataFrame:
+    """Batch twin of the stateful operator (plain groupBy aggregate)."""
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")

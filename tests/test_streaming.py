@@ -1,0 +1,106 @@
+"""Streaming: the drained file-source stream must match the batch run of
+the same transformation; stateful operator accumulates across batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.streaming import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf.reindex(sorted(pdf.columns), axis=1).sort_values(
+        by=sorted(pdf.columns), ignore_index=True
+    )
+
+
+def test_stream_tumbling_matches_batch(spark):
+    batch = ops.tumbling_agg(ops.load_events(spark, SF))
+    live = ops.run_stream_to_df(
+        ops.tumbling_agg(ops.events_stream(spark, SF)), output_mode="complete"
+    )
+    pd.testing.assert_frame_equal(_sorted_pdf(live), _sorted_pdf(batch))
+
+
+def test_stream_session_append_emits_finalized_sessions(spark):
+    """Append mode emits exactly the sessions the watermark has closed:
+    session_end <= max(ts) - delay (the no-data final micro-batch advances
+    the watermark past the last event)."""
+    events = ops.load_events(spark, SF)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = ops.session_agg(events).toPandas()
+    # filter AFTER materializing: a DataFrame .where on session_end would be
+    # pushed below the session merge by Catalyst (session_window is a
+    # grouping column) and drop tail events before they can merge
+    watermark = pd.Timestamp(max_ts) - pd.Timedelta(hours=1)
+    expected = batch[batch["session_end"] <= watermark]
+    expected = expected.reindex(sorted(expected.columns), axis=1).sort_values(
+        by=sorted(expected.columns), ignore_index=True
+    )
+    live = ops.run_stream_to_df(
+        ops.session_agg(ops.events_stream(spark, SF)), output_mode="append"
+    )
+    pd.testing.assert_frame_equal(_sorted_pdf(live), expected)
+
+
+def test_stateful_totals_accumulate_across_batches(spark):
+    """Split events into two files, force one file per micro-batch: the
+    applyInPandasWithState totals must end at the full-data counts (state
+    carried between batches), and intermediate emissions must be <= final."""
+    events = ops.load_events(spark, SF)
+    stage = os.path.join(tempfile.gettempdir(), f"oscs-split-{uuid.uuid4().hex[:8]}")
+    try:
+        (
+            events.where(F.col("event_id") % 2 == 0)
+            .coalesce(1)
+            .write.parquet(os.path.join(stage, "a"))
+        )
+        (
+            events.where(F.col("event_id") % 2 == 1)
+            .coalesce(1)
+            .write.parquet(os.path.join(stage, "b"))
+        )
+        flat = os.path.join(stage, "flat")
+        os.makedirs(flat)
+        n = 0
+        for sub in ("a", "b"):
+            for f in os.listdir(os.path.join(stage, sub)):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(stage, sub, f), os.path.join(flat, f"{n}.parquet")
+                    )
+                    n += 1
+        assert n == 2
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        sink = ops.run_stream_to_df(
+            ops.stateful_user_totals_stream(sdf), output_mode="update"
+        )
+        # update-mode memory sink accumulates one emission per (user, batch);
+        # the running maximum per user is the final state
+        got = (
+            sink.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+        )
+        expected = ops.batch_user_totals(events)
+        pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected))
+        # state really carried across batches: 2 emissions per user
+        per_user = sink.groupBy("user_id").count()
+        assert per_user.where(F.col("count") != 2).count() == 0
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
