@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions.text import normalize, shingles, token_hash
+from oracle_schema_copy_spark.operators import spread
 
 # MinHash permutation parameters h_i(x) = (a_i * x + b_i) mod P, fixed so
 # Spark and the SQL oracle agree. P = 2^31-1 and 28-bit base hashes keep
@@ -60,9 +61,14 @@ def normalized_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set")
-    ).filter(F.size("shingle_set") > 0)
+    # filter on token count, not size(shingle_set): predicate pushdown
+    # re-evaluates the filter expression below the projection, and the
+    # token-count test is ~n× cheaper than re-deriving the shingle array
+    return (
+        spread(df)
+        .filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -70,18 +76,35 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram shingle Jaccard >= threshold.
 
-    explode -> self-join on shingle -> count common -> |A∪B| arithmetic.
-    The join key is a single shingle string; the common-count aggregation
-    is the only wide shuffle. Quadratic only in documents *sharing a
-    shingle* — use minhash_lsh_pairs to pre-filter at scale.
+    explode -> groupBy(shingle) collecting doc ids -> emit ordered id
+    pairs locally per shingle -> count common -> |A∪B| arithmetic.
+    One shuffle on the shingle + one on the id pair; a self-join on the
+    exploded table would shuffle-and-sort the postings twice for the same
+    pair stream. Shingles seen in a single document (the long tail) are
+    dropped before any pair exists. Quadratic only in documents *sharing
+    a shingle* — use minhash_lsh_pairs to pre-filter at scale.
     """
     sets = shingle_sets(df, id_col, text_col, n)
     sizes = sets.select(F.col(id_col), F.size("shingle_set").alias("n_sh"))
     ex = sets.select(F.col(id_col), F.explode("shingle_set").alias("sh"))
-    a, b = ex.alias("a"), ex.alias("b")
+    postings = (
+        ex.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    # ordered pairs (ids[i], ids[j]) for i < j, generated inside each posting
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        postings.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -143,19 +166,25 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
     )
-    # cap pathological buckets before the self-join
-    sized = buckets.join(
-        buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn")),
-        "bucket",
-    ).filter(F.col("bn") <= max_bucket)
-    a, b = sized.alias("a"), sized.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # posting list per band-bucket; the size guard drops pathological
+    # buckets (boilerplate) before any pair is generated
+    postings = (
+        buckets.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    cands = (
+        postings.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
@@ -171,7 +200,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     Computed as 60 conditional sums in one aggregation — a single pass,
     no explode shuffle (the shingle set stays an array column).
     """
-    hashes = F.transform(shingles(F.col(text_col), n), lambda t: token_hash(t, 15))  # 60 bits
+    hashes = F.transform(F.col("shingle_set"), lambda t: token_hash(t, 15))  # 60 bits
 
     # N.B. the bit index must be bound via a closure factory, not a lambda
     # default arg — pyspark passes one lambda-variable per parameter, so a
@@ -188,7 +217,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     for b, v in enumerate(votes):
         term = F.when(v > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return shingle_sets(df, id_col, text_col, n).select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -206,21 +235,37 @@ def simhash_pairs(
         for i in range(4)
     ]
     buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b"))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # posting list per band bucket, each entry carrying its signature;
+    # ordered pairs are emitted locally (struct sort orders by id first)
+    postings = (
+        buckets.groupBy("b")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            ).alias("items")
+        )
+        .where(F.size("items") > 1)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("long")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
-        )
-        .distinct()
+        postings.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), F.col("p.hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -235,7 +280,7 @@ def embedding_cosine_pairs(
     """
     from oracle_schema_copy_spark.functions.vectors import dot
 
-    a, b = emb.alias("a"), emb.alias("b")
+    a, b = spread(emb).alias("a"), emb.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions.vectors import dot
+from oracle_schema_copy_spark.operators import spread
 
 
 def brute_force_topk(
@@ -42,7 +43,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).filter(
+    scored = spread(corpus).crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col("query_id")
     ).select(
         "query_id",
@@ -76,7 +77,7 @@ def label_partitioned_topk(
         F.col(vec_col).alias("__qvec"),
         F.col(cell_col).alias("__qcell"),
     )
-    scored = corpus.join(
+    scored = spread(corpus).join(
         F.broadcast(q), (F.col(cell_col) == F.col("__qcell")) & (F.col(id_col) != F.col("query_id"))
     ).select(
         "query_id",
@@ -122,6 +123,7 @@ def lsh_bucket(
     same bucket are ANN candidates; at scale, repartition/bucket the
     corpus by this column so candidate generation is shuffle-free."""
     planes = hyperplanes(n_planes, dim)
+    df = spread(df)
     bucket = None
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(v) for v in plane])
@@ -134,11 +136,23 @@ def lsh_bucket_candidates(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8
 ) -> DataFrame:
     """Candidate pairs sharing an LSH bucket (to be verified with exact
-    scores by the caller)."""
+    scores by the caller): posting list per bucket, ordered pairs emitted
+    locally — one shuffle on the bucket id, no self-join."""
     b = lsh_bucket(df, vec_col=vec_col, n_planes=n_planes).select(id_col, "bucket")
-    a, c = b.alias("a"), b.alias("b")
-    return a.join(
-        c,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    postings = (
+        b.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return postings.select(F.explode(pair_arrays).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )

@@ -75,6 +75,9 @@ def find_linked_rows(
             F.broadcast(parent_keys), child_df[child_column] == parent_keys[kcol], "left_semi"
         )
         .select(F.col(child_pk))
+        # frontiers are key SETS: child_pk may repeat across matched rows
+        # (e.g. l_orderkey over lineitem's composite PK), and the frontier
+        # is broadcast on the next hop — dedup here keeps it minimal
         .distinct()
     )
 
@@ -120,8 +123,9 @@ def walk_linked(
         child_pk = _walk_pk(catalog, child)
         found = find_linked_rows(tables[child], edge.child_column, child_pk, parent_ids)
         if child in ids_by_table:
-            # union semantics (reference overwrites here — documented delta)
-            ids_by_table[child] = ids_by_table[child].union(found).distinct().cache()
+            # union semantics (reference overwrites here — documented delta);
+            # duplicates across edges are tolerated (see find_linked_rows)
+            ids_by_table[child] = ids_by_table[child].union(found).cache()
         else:
             ids_by_table[child] = found.cache()
             order.append(child)
@@ -155,7 +159,9 @@ def copy_selections(
                 .agg(F.count_distinct(F.col(sel.key_column)).alias("n_found"))
                 .select(F.lit(sel.table).alias("table_name"), "n_found")
             )
-            want = sel.keys.agg(F.count(F.lit(1)).alias("n_keys"))
+            want = sel.keys.agg(
+                F.count_distinct(F.col(sel.keys.columns[0])).alias("n_keys")
+            )
             row = found.crossJoin(want)
             checks = row if checks is None else checks.unionByName(row)
         bad = [r for r in checks.collect() if r.n_found != r.n_keys]

@@ -30,6 +30,10 @@ def tuning_confs(cpus: int) -> dict[str, str]:
         # dim tables (region/nation/customer at test SFs) stay broadcast-able
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
         "spark.sql.files.maxPartitionBytes": "128MB",
+        # NOTE: do NOT set spark.sql.files.minPartitionNum here — the test
+        # fixtures are single-row-group files, so forced splits only add
+        # empty-split overhead to every scan. CPU-heavy operators
+        # repartition explicitly instead (operators.spread).
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
 

@@ -60,20 +60,37 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
-def run_stream_to_df(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_df(
+    stream_df: DataFrame, output_mode: str = "complete", max_state_partitions: int = 16
+) -> DataFrame:
     """Drain a streaming DataFrame with availableNow into a memory sink and
-    return the result as a batch DataFrame (used by tests and the rows-only
-    driver checks; the driver never sees an unterminated stream)."""
-    name = f"oscs_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return the result as a batch DataFrame (used by tests and the
+    driver-gate queries; the driver never sees an unterminated stream).
+
+    Stateful queries create one state store per shuffle partition; for a
+    bounded drain we cap that (a session at e.g. the 200 default would pay
+    200 store commits per micro-batch for grams of state). The conf is
+    restored after the stream starts — it is captured at query start.
+    """
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    capped = old.isdigit() and int(old) > max_state_partitions
+    if capped:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max_state_partitions))
+    try:
+        name = f"oscs_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if capped:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 # ---------------------------------------------------------------------------

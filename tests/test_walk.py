@@ -53,7 +53,8 @@ def test_walk_unions_when_child_reached_twice(spark, ctx, sf_dir):
     ]
     sels = walk.walk_linked(spark, tables, c, paths, [1, 2])
     dedup = walk.walk_linked(spark, tables, c, PATHS, [1, 2])
-    assert sels[1].keys.count() == dedup[1].keys.count()
+    # frontiers tolerate duplicates (no per-edge dedup shuffle); compare SETS
+    assert sels[1].keys.distinct().count() == dedup[1].keys.distinct().count()
 
 
 def test_copy_selections_counts_match(spark, ctx):
