@@ -85,33 +85,47 @@ def ngram_jaccard_pairs(
     a shingle* — use minhash_lsh_pairs to pre-filter at scale.
     """
     sets = shingle_sets(df, id_col, text_col, n)
-    sizes = sets.select(F.col(id_col), F.size("shingle_set").alias("n_sh"))
-    ex = sets.select(F.col(id_col), F.explode("shingle_set").alias("sh"))
+    # carry each doc's shingle count THROUGH the explode: set sizes then ride
+    # the posting structs into the pair aggregation, so no size-lookup joins
+    # (and no second evaluation of the shingle expression) are ever needed.
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # size()>0 pushdown filter containing the whole shingle expression and
+    # push it below the spread() exchange — serializing the expensive
+    # computation onto the unsplit input partitions. The pre-filter in
+    # shingle_sets already guarantees non-empty sets, so outer is identical.
+    ex = sets.select(
+        F.col(id_col).alias("id"),
+        F.size("shingle_set").alias("n_sh"),
+        F.explode_outer("shingle_set").alias("sh"),
+    )
     postings = (
         ex.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
+        .where(F.size("items") > 1)
     )
-    # ordered pairs (ids[i], ids[j]) for i < j, generated inside each posting
+    # ordered pairs (items[i], items[j]) for i < j, generated inside each posting
     pair_arrays = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col("items"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
             ),
         )
     )
-    common = (
-        postings.select(F.explode(pair_arrays).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        postings.select(F.explode_outer(pair_arrays).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("p.n_a").alias("n_a"),
+            F.first("p.n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -121,19 +135,35 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_sig_cols(shingle_set: Column) -> list[Column]:
-    """16 MinHash values: min over the shingle set of (a*h(s)+b) mod P."""
-    hashes = F.transform(shingle_set, lambda s: token_hash(s, MINHASH_HEX_DIGITS))
-    out = []
-    for i, (a, b) in enumerate(MINHASH_PERMS):
-        perm = F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-        out.append(F.array_min(perm).alias(f"mh{i}"))
-    return out
+def _exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, hex_digits: int
+) -> DataFrame:
+    """(id, hash) stream: one md5-derived hash per distinct shingle.
+
+    Signature computations aggregate this stream with plain min/sum instead
+    of per-row array HOFs: higher-order functions (transform/aggregate) are
+    CodegenFallback — interpreted, and re-evaluated per derived column — so
+    16-60 of them per row is orders slower than exploding once and keeping
+    every expression in whole-stage codegen. The follow-up groupBy(id) is
+    fully combined map-side (a doc's shingles sit in one input row), so the
+    shuffle carries exactly one row per document.
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    return sets.select(
+        F.col(id_col), F.explode_outer("shingle_set").alias("__sh")
+    ).select(F.col(id_col), token_hash(F.col("__sh"), hex_digits).alias("__h"))
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    sets = shingle_sets(df, id_col, text_col, n)
-    return sets.select(F.col(id_col), *_minhash_sig_cols(F.col("shingle_set")))
+    """16 MinHash values per doc: min over the shingle set of (a*h(s)+b) mod P."""
+    ex = _exploded_shingle_hashes(df, id_col, text_col, n, MINHASH_HEX_DIGITS)
+    h = F.col("__h")
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -164,7 +194,7 @@ def minhash_lsh_pairs(
         for bi in range(bands)
     ]
     buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+        F.col(id_col), F.explode_outer(F.array(*band_cols)).alias("bucket")
     )
     # posting list per band-bucket; the size guard drops pathological
     # buckets (boilerplate) before any pair is generated
@@ -183,7 +213,7 @@ def minhash_lsh_pairs(
         )
     )
     cands = (
-        postings.select(F.explode(pair_arrays).alias("p"))
+        postings.select(F.explode_outer(pair_arrays).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
@@ -197,27 +227,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     bit b of the signature = majority vote of bit b across shingle hashes.
     Shingles (not tokens) are the unit: with a small shared vocabulary,
     token sets converge across documents and token-SimHash degenerates.
-    Computed as 60 conditional sums in one aggregation — a single pass,
-    no explode shuffle (the shingle set stays an array column).
+    Computed as 60 codegen'd conditional SUMs over the exploded hash
+    stream (see _exploded_shingle_hashes), map-side combined to one
+    shuffled row per document.
     """
-    hashes = F.transform(F.col("shingle_set"), lambda t: token_hash(t, 15))  # 60 bits
-
-    # N.B. the bit index must be bound via a closure factory, not a lambda
-    # default arg — pyspark passes one lambda-variable per parameter, so a
-    # 3-arg lambda would receive a Column as ``bit``
-    def vote(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), vote(b)) for b in range(SIMHASH_BITS)
-    ]
+    ex = _exploded_shingle_hashes(df, id_col, text_col, n, 15)  # 60 bits
+    h = F.col("__h")
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
     sig = None
-    for b, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(SIMHASH_BITS):
+        term = (
+            F.when(F.col(f"__v{b}") > 0, F.lit(2**b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         sig = term if sig is None else sig + term
-    return shingle_sets(df, id_col, text_col, n).select(F.col(id_col), sig.alias("simhash"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -234,7 +265,7 @@ def simhash_pairs(
         )
         for i in range(4)
     ]
-    buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b"))
+    buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode_outer(F.array(*bands)).alias("b"))
     # posting list per band bucket, each entry carrying its signature;
     # ordered pairs are emitted locally (struct sort orders by id first)
     postings = (
@@ -262,7 +293,7 @@ def simhash_pairs(
         )
     )
     return (
-        postings.select(F.explode(pair_arrays).alias("p"))
+        postings.select(F.explode_outer(pair_arrays).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), F.col("p.hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -153,6 +153,6 @@ def lsh_bucket_candidates(
             ),
         )
     )
-    return postings.select(F.explode(pair_arrays).alias("p")).select(
+    return postings.select(F.explode_outer(pair_arrays).alias("p")).select(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
