@@ -24,6 +24,18 @@ def main() -> None:
     spark = get_spark("oscs-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Steady-state warmup (not the timed queries): JVM/codegen, shuffle
+    # machinery, broadcast path, and the Arrow python-worker pool all have
+    # multi-second first-use costs that would otherwise land on whichever
+    # query happens to run first.
+    from pyspark.sql import functions as F
+
+    r = spark.range(100_000)
+    r.groupBy((F.col("id") % 7).alias("k")).count().join(
+        F.broadcast(spark.range(7).toDF("k")), "k"
+    ).count()
+    spark.range(1000).toPandas()
+
     timings: dict[str, float] = {}
     for name, fn in suite.headline_queries().items():
         # warm the JVM/page cache distinction is irrelevant at this scale;

@@ -34,7 +34,11 @@ def tuning_confs(cpus: int) -> dict[str, str]:
         # fixtures are single-row-group files, so forced splits only add
         # empty-split overhead to every scan. CPU-heavy operators
         # repartition explicitly instead (operators.spread).
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # local[N] runs all N executor threads inside the driver JVM — an
+        # undersized heap turns shuffle/agg working sets into GC storms
+        # (observed: same query 5.6s vs 63s run-to-run at 8g). On a real
+        # cluster this maps to executor memory, not driver.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     }
 
 
