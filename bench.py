@@ -36,15 +36,24 @@ def main() -> None:
     ).count()
     spark.range(1000).toPandas()
 
+    # Median of 3 runs per query: local-mode JVMs have real run-to-run
+    # variance (JIT warmup, GC cycles) that a single sample can't separate
+    # from plan quality. Spread (max-min) is recorded per query so a noisy
+    # sample is visible instead of silently shifting the headline number.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in suite.headline_queries().items():
-        # warm the JVM/page cache distinction is irrelevant at this scale;
-        # measure plan+execute end-to-end with a count-style action
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+            assert n >= 0
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -55,6 +64,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

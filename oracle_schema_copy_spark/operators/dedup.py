@@ -72,7 +72,13 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 10_000,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram shingle Jaccard >= threshold.
 
@@ -83,6 +89,13 @@ def ngram_jaccard_pairs(
     pair stream. Shingles seen in a single document (the long tail) are
     dropped before any pair exists. Quadratic only in documents *sharing
     a shingle* — use minhash_lsh_pairs to pre-filter at scale.
+
+    ``max_df`` drops shingles shared by more than that many documents
+    (boilerplate): one shingle common to 100k docs would alone emit 5x10^9
+    pairs from a single posting row. Dropping it slightly *lowers*
+    n_common for pairs that shared it — a document-frequency cutoff, the
+    standard IR move (cf. the ``max_bucket`` guard on the LSH path). Test
+    SFs stay far below the default cap, so oracle parity is exact there.
     """
     sets = shingle_sets(df, id_col, text_col, n)
     # carry each doc's shingle count THROUGH the explode: set sizes then ride
@@ -101,7 +114,7 @@ def ngram_jaccard_pairs(
     postings = (
         ex.groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
-        .where(F.size("items") > 1)
+        .where((F.size("items") > 1) & (F.size("items") <= max_df))
     )
     # ordered pairs (items[i], items[j]) for i < j, generated inside each posting
     pair_arrays = F.flatten(
@@ -217,8 +230,30 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Exact-Jaccard verify on the CANDIDATE PAIRS ONLY: join each pair's two
+    # shingle sets and intersect inline. Work is O(|candidates|), never the
+    # corpus-quadratic pair space — that's the whole point of the LSH
+    # pre-filter. Two shuffle joins on doc id (AQE broadcasts the candidate
+    # side when it's small); sets are distinct arrays, so intersect/union
+    # arithmetic matches ngram_jaccard_pairs exactly.
+    sets = shingle_sets(df, id_col, text_col, n)
+    set_a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa")
+    )
+    set_b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sb")
+    )
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cands.join(set_a, "id_a")
+        .join(set_b, "id_b")
+        .withColumn(
+            "jaccard",
+            n_common / (F.size("__sa") + F.size("__sb") - n_common),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

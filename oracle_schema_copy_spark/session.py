@@ -39,6 +39,17 @@ def tuning_confs(cpus: int) -> dict[str, str]:
         # (observed: same query 5.6s vs 63s run-to-run at 8g). On a real
         # cluster this maps to executor memory, not driver.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        # ParallelGC, not the Java-17 default G1: with a large heap and 32
+        # executor threads, G1's first-touch behavior produced a 30-60×
+        # cold-run cliff (measured: the same 1.2s query taking 66-194s on
+        # its first execution under G1, stable 1.1-2.0s under ParallelGC).
+        # Batch/throughput executors don't need G1's pause targets.
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        # collect_list/collect_set aggs use ObjectHashAggregate, which falls
+        # back to sort-based aggregation after 128 distinct groups per
+        # partition by default — posting-list builds (dedup) have 10⁴-10⁶
+        # groups per partition and never want the sort.
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "4194304",
     }
 
 
