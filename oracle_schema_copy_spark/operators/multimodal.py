@@ -82,7 +82,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     width = 16 + digest[0] % 16
     height = 16 + digest[1] % 16
     channels = 3
-    feats = [round(b / 255.0, 6) for b in digest[2 : 2 + FEATURE_DIM]]
+    # b/256 is a dyadic rational: exactly representable in float32, and
+    # reproducible bit-for-bit by any engine computing byte/256 (the SQL
+    # oracle derives the same bytes from the sha256 hex digest).
+    feats = [b / 256.0 for b in digest[2 : 2 + FEATURE_DIM]]
     return width, height, channels, feats
 
 
