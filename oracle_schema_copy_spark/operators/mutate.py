@@ -64,6 +64,14 @@ def merge_upsert(
     updates = updates.select(*target.columns)  # align column order
     if check_unique:
         assert_unique_keys(updates, keys)
+        # target side too, restricted to keys the upsert touches — the
+        # reference's ">1 row updated" guard fires only for matched keys,
+        # so the semi-join keeps this a bounded probe, not a full-table agg
+        assert_unique_keys(
+            target.join(updates.select(*keys).distinct(), on=keys, how="left_semi"),
+            keys,
+            side="target",
+        )
     untouched = target.join(updates.select(*keys), on=keys, how="left_anti")
     return untouched.unionByName(updates)
 
@@ -79,8 +87,11 @@ def delete_by_keys(
         assert spark is not None, "spark session required for driver-side key lists"
         keys = spark.createDataFrame([(k,) for k in keys], [key_column])
     kcol = keys.columns[0]
+    # no broadcast hint: a forced hint overrides the size threshold and
+    # collects arbitrarily large key sets to the driver; the planner / AQE
+    # broadcasts small key frames on its own (see walk.py module docstring)
     return target.join(
-        F.broadcast(keys.distinct()), target[key_column] == keys[kcol], "left_anti"
+        keys.distinct(), target[key_column] == keys[kcol], "left_anti"
     )
 
 

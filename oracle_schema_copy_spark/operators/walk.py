@@ -28,9 +28,13 @@ Semantic deltas from the reference, on purpose (SURVEY.md §4 quirks):
 
 Scale: frontiers are cached and typically tiny relative to the fact
 tables (the use case is subgraph extraction), so every probe compiles to
-a broadcast semi-join against a full scan of the child — one pass per
-declared edge, no shuffle of the big side. If a frontier grows large,
-Catalyst falls back to a shuffled semi-join automatically.
+a broadcast semi-join against a full scan of the child. The broadcast
+decision is deliberately LEFT TO THE PLANNER (no explicit hint): an
+explicit ``F.broadcast`` is honored regardless of size, so a frontier of
+10^8 keys would be collected to the driver and OOM it — whereas the
+size-threshold planner plus AQE (which re-plans a shuffled join into a
+broadcast join from the runtime map-stage statistics, reading the big
+side with local shuffle readers) broadcasts exactly when it's safe.
 """
 
 from __future__ import annotations
@@ -56,13 +60,12 @@ class TableSelection:
 def keyed_scan(table_df: DataFrame, key_column: str, keys: DataFrame) -> DataFrame:
     """Rows of ``table_df`` whose ``key_column`` appears in ``keys`` (S2).
 
-    ``keys`` must be a single-column DataFrame; it is the (small) build side
-    of a left-semi join, so Catalyst broadcasts it under the threshold.
+    ``keys`` must be a single-column DataFrame; it is the build side of a
+    left-semi join — broadcast by the planner/AQE when under the size
+    threshold, shuffled when not (no forced hint; see module docstring).
     """
     kcol = keys.columns[0]
-    return table_df.join(
-        F.broadcast(keys), table_df[key_column] == keys[kcol], "left_semi"
-    )
+    return table_df.join(keys, table_df[key_column] == keys[kcol], "left_semi")
 
 
 def find_linked_rows(
@@ -72,7 +75,7 @@ def find_linked_rows(
     kcol = parent_keys.columns[0]
     return (
         child_df.join(
-            F.broadcast(parent_keys), child_df[child_column] == parent_keys[kcol], "left_semi"
+            parent_keys, child_df[child_column] == parent_keys[kcol], "left_semi"
         )
         .select(F.col(child_pk))
         # frontiers are key SETS: child_pk may repeat across matched rows
@@ -186,7 +189,7 @@ def delete_selections(
     for sel in selections:
         kcol = sel.keys.columns[0]
         out[sel.table] = tables[sel.table].join(
-            F.broadcast(sel.keys),
+            sel.keys,
             tables[sel.table][sel.key_column] == sel.keys[kcol],
             "left_anti",
         )

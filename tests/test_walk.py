@@ -92,3 +92,31 @@ def test_delete_tree_removes_exactly_subtree(spark, ctx):
     gone = tables["orders"].filter(F.col("o_custkey").isin([1, 2, 3])).count()
     assert surviving["orders"].count() == total - gone
     assert surviving["customer"].filter(F.col("c_custkey").isin([1, 2, 3])).count() == 0
+
+
+def test_large_frontier_uses_shuffled_semi_join(spark, ctx):
+    """Without a forced broadcast hint, a frontier above the broadcast
+    threshold must plan as a shuffled semi-join (driver-OOM safety at
+    scale); a small frontier still broadcasts under normal thresholds."""
+    c, tables = ctx
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    try:
+        # model "frontier too big to broadcast" by disabling broadcast joins
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        frontier = spark.range(0, 200_000).select(F.col("id").alias("o_orderkey"))
+        scanned = walk.keyed_scan(tables["orders"], "o_orderkey", frontier)
+        plan = scanned._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        expected = tables["orders"].filter(F.col("o_orderkey") < 200_000).count()
+        assert scanned.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
