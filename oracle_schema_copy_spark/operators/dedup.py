@@ -356,3 +356,44 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.45,
+    bands: int = 8,
+    planes_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH + exact re-score
+    — the pruned scale path for embedding_cosine_pairs.
+
+    Candidates come from similarity.lsh_banded_candidates (one shuffle on
+    bucket keys, no vector shuffle); the exact dot product then runs ONLY
+    on candidate pairs via two id-joins back to the vectors. Work is
+    O(candidates), not O(n^2); recall is the banded-LSH collision
+    probability (tune bands/planes_per_band per corpus scale).
+    """
+    from oracle_schema_copy_spark.functions.vectors import dot
+    from oracle_schema_copy_spark.operators.similarity import lsh_banded_candidates
+
+    cands = lsh_banded_candidates(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        bands=bands,
+        planes_per_band=planes_per_band,
+        max_bucket=max_bucket,
+    )
+    vec_a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vec_b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cands.join(vec_a, "id_a")
+        .join(vec_b, "id_b")
+        .withColumn("cosine", dot(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -132,23 +132,14 @@ def lsh_bucket(
     return df.withColumn("bucket", bucket.cast("long"))
 
 
-def lsh_bucket_candidates(
-    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 8
-) -> DataFrame:
-    """Candidate pairs sharing an LSH bucket (to be verified with exact
-    scores by the caller): posting list per bucket, ordered pairs emitted
-    locally — one shuffle on the bucket id, no self-join."""
-    b = lsh_bucket(df, vec_col=vec_col, n_planes=n_planes).select(id_col, "bucket")
-    postings = (
-        b.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+def _posting_pairs(postings: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Ordered (id_a < id_b) pairs generated locally inside each posting
+    row — no self-join, one pass over the posting lists."""
     pair_arrays = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col(ids_col),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                F.slice(F.col(ids_col), i + 2, F.size(F.col(ids_col))),
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
@@ -156,3 +147,74 @@ def lsh_bucket_candidates(
     return postings.select(F.explode_outer(pair_arrays).alias("p")).select(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Candidate pairs sharing an LSH bucket (to be verified with exact
+    scores by the caller): posting list per bucket, ordered pairs emitted
+    locally — one shuffle on the bucket id, no self-join. ``max_bucket``
+    drops degenerate buckets (a near-constant region of the embedding
+    space) before any pair is generated."""
+    b = lsh_bucket(df, vec_col=vec_col, n_planes=n_planes).select(id_col, "bucket")
+    postings = (
+        b.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    return _posting_pairs(postings)
+
+
+def lsh_banded_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 2,
+    dim: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidates — the ANN scale path.
+
+    A pair collides if it agrees on ALL planes of ANY band: collision
+    probability 1-(1-p^r)^B for per-plane agreement p = 1-θ/π. A single
+    signature (lsh_bucket_candidates) needs agreement on every plane at
+    once, which for moderate-angle near-dups has near-zero recall; banding
+    trades a controlled candidate-set growth for recall, exactly like the
+    MinHash band trick. Tune r (planes_per_band) up as the corpus grows to
+    keep buckets small; ``max_bucket`` hard-caps degenerate buckets.
+
+    Shuffle shape: one pass computes all B*r plane signs per vector
+    (per-row projections), explode to (band, key) buckets, one shuffle on
+    the bucket key, pairs emitted locally inside postings. The vectors
+    themselves are never shuffled.
+    """
+    planes = hyperplanes(bands * planes_per_band, dim)
+    df = spread(df)
+    band_structs = []
+    for b in range(bands):
+        key = None
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            lit_plane = F.array(*[F.lit(v) for v in plane])
+            bit = F.when(dot(F.col(vec_col), lit_plane) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            key = bit if key is None else key + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.cast("long").alias("key"))
+        )
+    buckets = df.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+    postings = (
+        buckets.groupBy("bk")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    return _posting_pairs(postings).distinct()

@@ -200,6 +200,59 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_lsh_sql(bands: int = 8, planes_per_band: int = 2) -> str:
+    """DuckDB twin of similarity.lsh_banded_candidates: same md5-seeded
+    hyperplane literals, same band/key packing."""
+    planes = similarity.hyperplanes(bands * planes_per_band, 64)
+    lits = ["[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in planes]
+    keys = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN {_sql_dot('embedding', lits[b * planes_per_band + j])} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+        keys.append(f"({terms}) AS k{b}")
+    case = " ".join(f"WHEN {b} THEN k{b}" for b in range(bands))
+    return f"""
+    sig AS (SELECT vec_id, {', '.join(keys)} FROM embeddings),
+    buckets AS (
+        SELECT vec_id, band, CASE band {case} END AS key
+        FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+    """
+
+
+@query(
+    "dedup_embedding_lsh",
+    f"""
+    WITH {_banded_lsh_sql()}
+    SELECT c.id_a, c.id_b, {_sql_dot('ea.embedding', 'eb.embedding')} AS cosine
+    FROM cands c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {_sql_dot('ea.embedding', 'eb.embedding')} >= 0.45
+    """,
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH embedding dedup (8 bands x 2 planes) with
+    exact dot-product re-score on candidates only — the pruned scale path
+    for dedup_embedding_cosine. The oracle mirrors the exact same plane
+    literals and band packing, so the candidate sets (and therefore the
+    verified pairs) agree bit-for-bit."""
+    return dedup.embedding_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.45,
+        bands=8,
+        planes_per_band=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
