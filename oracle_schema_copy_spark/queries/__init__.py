@@ -50,17 +50,62 @@ def _load_all() -> None:
     )
 
 
+# Checking order for external verifiers that iterate queries() under a
+# query-count or time budget: queries never yet hard-gate-checked and
+# newly added/reshaped ones go FIRST; the TAIL holds queries whose
+# operator family is already covered by an earlier green entry, so a
+# budget cutoff costs the least coverage. Names absent from both lists
+# keep registry (insertion) order in the middle.
+_CHECK_FIRST: list[str] = [
+    # streaming: registered in r1 but never reached by the driver's gate
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_watermark_late_drop",
+    "stream_tumbling_window_live",
+    "stream_stateful_user_totals_live",
+    # scalar tail of relational: same story
+    "scalar_math_functions",
+    "scalar_array_functions",
+    "scalar_json_events",
+    # new or reshaped this round
+    "schema_ddl_catalog",
+    "multimodal_feature_extract",
+    "dedup_embedding_lsh",
+]
+_CHECK_LAST: list[str] = [
+    # each has an earlier same-family representative in the check order
+    "dedup_normalized",
+    "dedup_simhash_signatures",
+    "join_left_outer_order_counts",
+    "join_full_outer_customers_orders",
+    "agg_count_distinct",
+    "agg_cube_priority_status",
+    "window_lag_lead_order_dates",
+    "sort_limit_top_orders",
+    "text_fingerprint",
+    "scalar_date_functions",
+]
+
+
+def _check_order(names: list[str]) -> list[str]:
+    first = [n for n in _CHECK_FIRST if n in names]
+    last = [n for n in _CHECK_LAST if n in names]
+    mid = [n for n in names if n not in set(first) | set(last)]
+    return first + mid + last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _check_order(list(REGISTRY))}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle.strip()
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle.strip()
+        for name in _check_order(list(REGISTRY))
+        if REGISTRY[name].oracle is not None
     }
 
 
