@@ -18,6 +18,7 @@ from oracle_schema_copy_spark.catalog import Catalog
 from oracle_schema_copy_spark.operators import mutate, walk
 from oracle_schema_copy_spark.plans import oplog
 from oracle_schema_copy_spark.sources import jdbc as jdbc_mod
+from oracle_schema_copy_spark.sources import jdbc_mutations
 from oracle_schema_copy_spark.sources.tables import load_table
 
 
@@ -72,26 +73,56 @@ class WarehouseTarget:
 
 @dataclass
 class JdbcTarget:
-    """Applies operations to a live database via spark JDBC (ExecuteTarget)."""
+    """Applies operations to a live database via spark JDBC (ExecuteTarget).
+
+    Inserts are parallel batched JDBC writes; upsert stages the update set
+    and runs one MERGE; deletes batch keys into IN-lists (or stage + one
+    EXISTS delete for huge key sets); SQL lists execute in order on one
+    connection (see sources/jdbc_mutations.py). ``executor`` is injectable
+    for tests; by default statements run through the Spark JVM's
+    java.sql.DriverManager.
+    """
 
     conn: jdbc_mod.JdbcConnection
     allow_production: bool = False
+    dialect: str = "ansi"
+    executor: jdbc_mutations.StatementExecutor | None = None
+
+    def _executor(self) -> jdbc_mutations.StatementExecutor:
+        if self.executor is None:
+            spark = SparkSession.getActiveSession()
+            assert spark is not None, "an active SparkSession is required"
+            self.executor = jdbc_mutations.jvm_statement_executor(spark, self.conn)
+        return self.executor
 
     def insert(self, table: str, df: DataFrame) -> None:
         jdbc_mod.write_table(
             df, self.conn, table, allow_production=self.allow_production
         )
 
-    def upsert(self, table: str, df: DataFrame, key) -> None:  # pragma: no cover
-        raise NotImplementedError(
-            "JDBC upsert requires a staging table + MERGE on the target database"
+    def upsert(self, table: str, df: DataFrame, key) -> None:
+        jdbc_mutations.jdbc_upsert(
+            df,
+            self.conn,
+            table,
+            key,
+            executor=self._executor(),
+            dialect=self.dialect,
+            allow_production=self.allow_production,
         )
 
-    def delete(self, table: str, key_column: str, keys: DataFrame) -> None:  # pragma: no cover
-        raise NotImplementedError("JDBC delete requires executing DELETE statements")
+    def delete(self, table: str, key_column: str, keys: DataFrame) -> None:
+        jdbc_mutations.jdbc_delete(
+            keys,
+            self.conn,
+            table,
+            key_column,
+            executor=self._executor(),
+            allow_production=self.allow_production,
+        )
 
-    def execute_sql(self, statements: list[str]) -> None:  # pragma: no cover
-        raise NotImplementedError("driver-side JDBC statement execution")
+    def execute_sql(self, statements: list[str]) -> None:
+        self._executor()(statements)
 
     def close(self) -> None:
         pass

@@ -138,8 +138,10 @@ def write_table(
     """Batched JDBC write (K1/K3). Caps write parallelism so a wide cluster
     doesn't open thousands of connections against the database."""
     prod_check(conn.url, allow_production=allow_production)
-    if df.rdd.getNumPartitions() > max_connections:
-        df = df.coalesce(max_connections)
+    # coalesce never increases partition count, so this caps concurrent
+    # connections without the plan->RDD conversion a getNumPartitions()
+    # probe would force, and without a shuffle
+    df = df.coalesce(max_connections)
     (
         df.write.format("jdbc")
         .options(**conn.spark_options())

@@ -1,0 +1,147 @@
+"""JDBC mutation path: SQL generation + target plumbing, executor mocked
+(no database in this environment — the generated statements ARE the
+contract; cf. ExecuteTableUpdate.java:10-27, DeleteByPk.java:15-43,
+ExecuteSqlList.java:11-40)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from oracle_schema_copy_spark.engine import JdbcTarget
+from oracle_schema_copy_spark.sources import jdbc_mutations as jm
+from oracle_schema_copy_spark.sources.jdbc import JdbcConnection
+
+
+def test_merge_sql_ansi():
+    sql = jm.merge_sql("orders", "orders_stg", ["o_orderkey", "o_status", "o_total"], ["o_orderkey"])
+    assert sql == (
+        "MERGE INTO orders t USING orders_stg s ON (t.o_orderkey = s.o_orderkey) "
+        "WHEN MATCHED THEN UPDATE SET t.o_status = s.o_status, t.o_total = s.o_total "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_status, o_total) "
+        "VALUES (s.o_orderkey, s.o_status, s.o_total)"
+    )
+
+
+def test_merge_sql_composite_key_and_all_key_columns():
+    sql = jm.merge_sql("t", "t_stg", ["a", "b"], ["a", "b"])
+    # all columns are keys: no UPDATE clause at all
+    assert "WHEN MATCHED" not in sql
+    assert "ON (t.a = s.a AND t.b = s.b)" in sql
+
+
+def test_merge_sql_postgres_upsert():
+    sql = jm.merge_sql("t", "t_stg", ["k", "v"], ["k"], dialect="postgres_upsert")
+    assert sql.startswith("INSERT INTO t (k, v) SELECT k, v FROM t_stg")
+    assert "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v" in sql
+    with pytest.raises(ValueError):
+        jm.merge_sql("t", "s", ["k"], ["k"], dialect="mystery")
+
+
+def test_sql_literals():
+    assert jm.sql_literal(42) == "42"
+    assert jm.sql_literal(None) == "NULL"
+    assert jm.sql_literal("O'Brien") == "'O''Brien'"
+    assert jm.sql_literal(dt.date(2024, 3, 1)) == "DATE '2024-03-01'"
+    assert jm.sql_literal(dt.datetime(2024, 3, 1, 12, 30)) == "TIMESTAMP '2024-03-01 12:30:00'"
+
+
+def test_delete_in_sql_batches_at_reference_size():
+    stmts = jm.delete_in_sql("lineitem", "l_orderkey", range(1201))
+    assert len(stmts) == 3  # 500 + 500 + 201
+    assert stmts[0].startswith("DELETE FROM lineitem WHERE l_orderkey IN (0, 1,")
+    assert stmts[0].count(",") == 499
+    assert stmts[2].count(",") == 200
+
+
+def test_delete_using_staging_sql():
+    sql = jm.delete_using_staging_sql("orders", "orders_oscs_delete_stg", ["o_orderkey"])
+    assert sql == (
+        "DELETE FROM orders t WHERE EXISTS "
+        "(SELECT 1 FROM orders_oscs_delete_stg s WHERE s.o_orderkey = t.o_orderkey)"
+    )
+
+
+def test_jdbc_delete_driver_side_batches(spark):
+    recorded: list[str] = []
+    keys = spark.createDataFrame([(i,) for i in range(7)] + [(3,)], ["k"])
+    stmts = jm.jdbc_delete(
+        keys,
+        JdbcConnection(url="jdbc:h2:mem:test"),
+        "orders",
+        "o_orderkey",
+        executor=recorded.extend,
+    )
+    assert recorded == stmts and len(stmts) == 1
+    # keys dedup'd and inlined
+    assert stmts[0].count(",") == 6
+
+
+def test_jdbc_delete_iterable_keys():
+    recorded: list[str] = []
+    stmts = jm.jdbc_delete(
+        ["a", "b", "a"],
+        JdbcConnection(url="jdbc:h2:mem:test"),
+        "t",
+        "name",
+        executor=recorded.extend,
+    )
+    assert stmts == ["DELETE FROM t WHERE name IN ('a', 'b')"]
+
+
+def test_jdbc_target_execute_sql_and_prod_guard(spark):
+    recorded: list[str] = []
+    t = JdbcTarget(
+        JdbcConnection(url="jdbc:h2:mem:test"), executor=recorded.extend
+    )
+    t.execute_sql(["CREATE TABLE x (a INT)", "ALTER TABLE x ADD b INT"])
+    assert recorded == ["CREATE TABLE x (a INT)", "ALTER TABLE x ADD b INT"]
+
+    from oracle_schema_copy_spark.sources.jdbc import ProductionGuardError
+
+    with pytest.raises(ProductionGuardError):
+        jm.jdbc_delete(
+            [1],
+            JdbcConnection(url="jdbc:oracle:thin:@prod:1521/X"),
+            "t",
+            "k",
+            executor=recorded.extend,
+        )
+
+
+def test_jdbc_target_delete_no_notimplemented(spark):
+    """The round-1 NotImplementedError stubs are gone: delete flows through
+    SQL generation with an injected executor."""
+    recorded: list[str] = []
+    t = JdbcTarget(JdbcConnection(url="jdbc:h2:mem:test"), executor=recorded.extend)
+    keys = spark.createDataFrame([(1,), (2,)], ["o_orderkey"])
+    t.delete("orders", "o_orderkey", keys)
+    assert len(recorded) == 1 and recorded[0].startswith("DELETE FROM orders")
+
+
+def test_staging_name_deterministic():
+    assert jm.staging_name("orders", "upsert") == "orders_oscs_upsert_stg"
+
+
+def test_jdbc_upsert_stages_then_merges(spark, monkeypatch):
+    """Upsert = staged bulk write + one MERGE + drop staging, in order."""
+    staged: list[tuple[str, str]] = []
+    recorded: list[str] = []
+
+    def fake_write(df, conn, table, **kw):
+        staged.append((table, kw.get("mode", "append")))
+
+    monkeypatch.setattr(jm, "write_table", fake_write)
+    df = spark.createDataFrame([(1, "A"), (2, "B")], ["k", "v"])
+    stmts = jm.jdbc_upsert(
+        df,
+        JdbcConnection(url="jdbc:h2:mem:test"),
+        "orders",
+        "k",
+        executor=recorded.extend,
+    )
+    assert staged == [("orders_oscs_upsert_stg", "overwrite")]
+    assert recorded == stmts
+    assert stmts[0].startswith("MERGE INTO orders t USING orders_oscs_upsert_stg s")
+    assert stmts[1] == "DROP TABLE orders_oscs_upsert_stg"
