@@ -208,6 +208,14 @@ def replay(
     from oracle_schema_copy_spark.operators import mutate
 
     applied: list[OpRecord] = []
+    # Idempotence: the FIRST insert op for a table in THIS replay run
+    # overwrites whatever exists (a prior partial replay's leftovers);
+    # only subsequent insert ops for the same table within the same log
+    # append (multi-chunk exports). Re-running a failed replay from seq 0
+    # therefore reproduces the same final state instead of duplicating
+    # rows — the file-storage substitute for the reference's
+    # single-JDBC-transaction import.
+    inserted_this_run: set[str] = set()
     for rec in read_manifest(log_path):
         if rec.kind == "ddl":
             if execute_sql is not None:
@@ -218,10 +226,11 @@ def replay(
                 raise ValueError(f"opaque SQL operation {rec.seq} on a non-JDBC target")
         elif rec.kind == "insert":
             df = spark.read.parquet(os.path.join(log_path, rec.payload))
-            if warehouse.exists(rec.table):
+            if rec.table in inserted_this_run:
                 warehouse.append(rec.table, df)
             else:
                 warehouse.write(rec.table, df)
+                inserted_this_run.add(rec.table)
         elif rec.kind == "upsert":
             updates = spark.read.parquet(os.path.join(log_path, rec.payload))
             merged = mutate.merge_upsert(

@@ -18,8 +18,6 @@ group — vectorized, not row-at-a-time.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 import pandas as pd
@@ -42,18 +40,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet.
 
     The streaming file source lists a *directory*; the fixture is a single
-    ``events.parquet`` file, so we stage a symlink dir under /tmp. Schema
-    comes from the batch reader (streams cannot infer), and the
-    TIMESTAMP(NANOS) column gets the same long→micros normalization as
-    ``load_table``.
+    ``events.parquet`` file, so the stream reads the fixture directory with
+    a ``pathGlobFilter`` pinned to that one file — no staging dirs or
+    symlinks to leak. Schema comes from the batch reader (streams cannot
+    infer), and the TIMESTAMP(NANOS) column gets the same long→micros
+    normalization as ``load_table``.
     """
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = os.path.join(tempfile.gettempdir(), f"oscs-stream-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stage)
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(stage, "events.parquet")
+    sdf = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
-    sdf = spark.readStream.schema(raw.schema).parquet(stage)
     if dict(sdf.dtypes).get("ts") == "bigint":
         # integer division: double math loses sub-µs precision at 1e18
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

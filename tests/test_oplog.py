@@ -112,3 +112,20 @@ def test_manifest_json_schema(spark, sf_dir, scratch):
     d = json.loads(line)
     assert set(d) == {"seq", "kind", "table", "params", "payload"}
     assert d["params"]["key_columns"] == ["o_orderkey"]
+
+
+def test_replay_is_idempotent_after_partial_failure(spark, sf_dir, tmp_path):
+    """Re-running a replay from seq 0 (e.g. after a partial failure left
+    some tables written) must reproduce the same final state, not append
+    duplicates — the file-storage substitute for the reference's
+    single-transaction import."""
+    from oracle_schema_copy_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    log = str(tmp_path / "log")
+    oplog.export_all({"nation": nation}, log)
+    wh = oplog.Warehouse(spark, str(tmp_path / "wh"))
+    oplog.replay(spark, log, wh)
+    n1 = wh.read("nation").count()
+    oplog.replay(spark, log, wh)  # simulate retry-from-scratch
+    assert wh.read("nation").count() == n1 == 25
