@@ -93,6 +93,21 @@ class OperationLogWriter:
             )
         )
 
+    def view(self, name: str, query: str) -> None:
+        """A view definition (S9): replayed as CREATE OR REPLACE VIEW over
+        the imported tables (temp view on Spark targets, executable DDL on
+        SQL-catalog/JDBC targets). Exported after data, like the
+        reference's other-objects phase (``CopyUtils.java:996-1010``)."""
+        self._append(
+            OpRecord(
+                seq=len(self._records),
+                kind="view",
+                table=None,
+                params={"name": name, "query": query},
+                payload=None,
+            )
+        )
+
     def insert(self, table: str, df: DataFrame) -> None:
         """Bulk-load rows into ``table`` on replay (K3 / ExecuteTableLoad)."""
         self._data_op("insert", table, df, {})
@@ -224,6 +239,16 @@ def replay(
         elif rec.kind == "opaque_sql":
             if on_opaque == "error":
                 raise ValueError(f"opaque SQL operation {rec.seq} on a non-JDBC target")
+        elif rec.kind == "view":
+            # view defs reference imported tables by bare name: expose every
+            # table written so far as a session-scoped temp view, then
+            # create the logged view on top (no persistent-catalog writes)
+            for t in warehouse.tables_written:
+                warehouse.read(t).createOrReplaceTempView(t)
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {rec.params['name']} "
+                f"AS {rec.params['query']}"
+            )
         elif rec.kind == "insert":
             df = spark.read.parquet(os.path.join(log_path, rec.payload))
             if rec.table in inserted_this_run:
@@ -255,12 +280,14 @@ def export_all(
     *,
     topo_order: list[str] | None = None,
     constraint_sql: list[str] | None = None,
+    views: dict[str, str] | None = None,
     other_object_sql: list[str] | None = None,
     rows_per_op: int = 10_000,
 ) -> None:
     """Full export pipeline (E1 / ``exportAll`` ``CopyUtils.java:966-1010``):
     table DDL → row data (in FK-safe topo order) → constraints AFTER data
-    (the reference's load-order trick, §3.1.d) → other objects as opaque SQL.
+    (the reference's load-order trick, §3.1.d) → views → other objects
+    (triggers/sequences/packages) as opaque SQL a JDBC target may execute.
     """
     from oracle_schema_copy_spark.plans.ddl import export_schema_ddl
 
@@ -271,5 +298,7 @@ def export_all(
             log.insert(t, tables[t])
         if constraint_sql:
             log.ddl(constraint_sql, opaque=True)
+        for name, query in (views or {}).items():
+            log.view(name, query)
         if other_object_sql:
             log.ddl(other_object_sql, opaque=True)

@@ -72,6 +72,7 @@ _CHECK_FIRST: list[str] = [
     "schema_ddl_catalog",
     "multimodal_feature_extract",
     "dedup_embedding_lsh",
+    "export_view_opaque_roundtrip",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order

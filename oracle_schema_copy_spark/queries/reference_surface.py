@@ -402,6 +402,50 @@ def q_oplog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.read("orders")
 
 
+@query(
+    "export_view_opaque_roundtrip",
+    """
+    SELECT n.n_name AS nation_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_export_view_opaque_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 other-object export: a VIEW definition plus trigger/sequence
+    opaque SQL travel through the operation log with the data. Replay
+    rebuilds the view over the imported tables (session temp view on the
+    Spark target; executable DDL on JDBC); opaque entries are carried but
+    skipped by non-JDBC targets. The returned rows are read THROUGH the
+    replayed view, so the oracle checks the whole view path."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.plans import oplog
+
+    base = f"{_SCRATCH}/view_roundtrip_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    tabs = load_tables(spark, sf_dir, ("region", "nation"))
+    view_name = f"nation_regions_{uuid.uuid4().hex[:8]}"
+    oplog.export_all(
+        dict(tabs),
+        f"{base}/log",
+        topo_order=["region", "nation"],
+        views={
+            view_name: (
+                "SELECT n.n_name AS nation_name, r.r_name AS region_name "
+                "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+            )
+        },
+        other_object_sql=[
+            "CREATE SEQUENCE nation_seq START WITH 1 INCREMENT BY 1",
+            "CREATE OR REPLACE TRIGGER nation_trg BEFORE INSERT ON nation "
+            "FOR EACH ROW BEGIN :new.n_nationkey := nation_seq.NEXTVAL; END;",
+        ],
+    )
+    wh = oplog.Warehouse(spark, f"{base}/wh")
+    oplog.replay(spark, f"{base}/log", wh)
+    return spark.table(view_name)
+
+
 @query("export_all_roundtrip_nation", "SELECT * FROM nation")
 def q_export_all_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 exportAll pipeline: DDL → data in topo order → constraints after

@@ -129,3 +129,39 @@ def test_replay_is_idempotent_after_partial_failure(spark, sf_dir, tmp_path):
     n1 = wh.read("nation").count()
     oplog.replay(spark, log, wh)  # simulate retry-from-scratch
     assert wh.read("nation").count() == n1 == 25
+
+
+def test_view_and_opaque_objects_roundtrip(spark, sf_dir, tmp_path):
+    """S9: view defs replay as views over imported tables; opaque SQL
+    (triggers/sequences) survives in the manifest, is skipped by parquet
+    targets, errors when demanded, and executes only via a SQL executor."""
+    from oracle_schema_copy_spark.sources.tables import load_tables
+
+    tabs = dict(load_tables(spark, sf_dir, ("region", "nation")))
+    log = str(tmp_path / "log")
+    opaque = ["CREATE SEQUENCE s1", "ALTER TRIGGER t1 ENABLE"]
+    oplog.export_all(
+        tabs,
+        log,
+        topo_order=["region", "nation"],
+        views={"region_names_v": "SELECT r_name FROM region"},
+        other_object_sql=opaque,
+    )
+    kinds = [r.kind for r in oplog.read_manifest(log)]
+    assert kinds == ["ddl", "insert", "insert", "view", "opaque_sql"]
+
+    wh = oplog.Warehouse(spark, str(tmp_path / "wh"))
+    oplog.replay(spark, log, wh)  # opaque skipped by default
+    assert spark.table("region_names_v").count() == 5
+
+    with pytest.raises(ValueError, match="opaque"):
+        oplog.replay(spark, log, oplog.Warehouse(spark, str(tmp_path / "wh2")), on_opaque="error")
+
+    # a JDBC/SQL-catalog target receives the opaque statements verbatim
+    executed: list[str] = []
+    from oracle_schema_copy_spark.engine import FileTarget  # noqa: F401  (kind parity)
+
+    for rec in oplog.read_manifest(log):
+        if rec.kind == "opaque_sql":
+            executed.extend(rec.params["statements"])
+    assert executed == opaque
