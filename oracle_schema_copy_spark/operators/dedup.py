@@ -358,6 +358,51 @@ def embedding_cosine_pairs(
     )
 
 
+def near_dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (id, component) where
+    component = min doc id reachable through the pair graph. This is the
+    clustering step of a dedup pipeline — keep component == id as the
+    canonical representative, drop the rest.
+
+    Iterative min-label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; converges in <= graph
+    diameter rounds (near-dup clusters are shallow — boilerplate stars and
+    short chains). Each round is one join + one aggregation, all
+    DataFrame-native; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replan rounds 0..N-1 (the standard iterative-Spark
+    hazard). The driver-side loop reads ONE scalar per round (convergence
+    count) — bounded control flow, never data. At larger diameters swap
+    the propagation body for large-star/small-star (same loop shape,
+    O(log n) rounds).
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.union(rev).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     id_col: str,

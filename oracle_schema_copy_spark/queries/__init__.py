@@ -73,6 +73,7 @@ _CHECK_FIRST: list[str] = [
     "multimodal_feature_extract",
     "dedup_embedding_lsh",
     "export_view_opaque_roundtrip",
+    "dedup_components",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order

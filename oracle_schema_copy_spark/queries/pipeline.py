@@ -200,6 +200,39 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_SQL_JACCARD_PAIRS}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst AS r
+        FROM reach JOIN edges e ON reach.r = e.src)
+    SELECT id AS doc_id, min(r) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the 3-gram Jaccard
+    pair graph (component = min reachable doc id — the canonical survivor
+    of each duplicate group). Spark side is iterative min-label
+    propagation with lineage checkpoints; the oracle is a recursive-CTE
+    transitive closure — two very different algorithms that must agree
+    exactly."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    )
+    return dedup.near_dup_components(pairs)
+
+
 def _banded_lsh_sql(bands: int = 8, planes_per_band: int = 2) -> str:
     """DuckDB twin of similarity.lsh_banded_candidates: same md5-seeded
     hyperplane literals, same band/key packing."""

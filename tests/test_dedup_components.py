@@ -1,0 +1,29 @@
+"""near_dup_components: connected-components clustering over dup pairs."""
+
+from __future__ import annotations
+
+from oracle_schema_copy_spark.operators.dedup import near_dup_components
+
+
+def _components(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    return {
+        r.doc_id: r.component for r in near_dup_components(df).collect()
+    }
+
+
+def test_chain_converges_to_min(spark):
+    # 1-2-3-4-5 chain: all collapse to 1 (needs multiple propagation rounds)
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_star_and_disjoint_clusters(spark):
+    got = _components(spark, [(10, 11), (10, 12), (10, 13), (20, 21), (30, 31)])
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_merge_through_shared_node(spark):
+    # two stars joined by one bridge edge become one component
+    got = _components(spark, [(1, 5), (1, 6), (2, 7), (2, 8), (6, 7)])
+    assert set(got.values()) == {1}
