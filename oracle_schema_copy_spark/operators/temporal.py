@@ -1,0 +1,126 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no built-in ASOF JOIN (pandas-on-Spark ``merge_asof`` exists but
+routes through pandas semantics); a naive ``a.ts >= b.ts`` inequality join
+plans as a broadcast-nested-loop — quadratic per key. Both operators here
+are expressed in shuffle-safe DataFrame shapes:
+
+- ``asof_join``: union the two sides with a tag, one window sort per key
+  (``last(value, ignorenulls=True)`` over rows ordered by (ts, tag)), then
+  keep probe rows. ONE shuffle+sort on (key, ts) of rows proportional to
+  both inputs — the canonical distributed as-of.
+- ``range_join_binned``: equi-join on (key, time-bin) with each right row
+  replicated into the neighbor bins its window can reach, then an exact
+  range filter. Turns the inequality join into an equi-join Catalyst can
+  hash-partition; replication factor = window/bin_width + 1 (bounded,
+  chosen by the caller).
+
+At 100 TB both are single-shuffle plans keyed on (entity, time) — no
+nested-loop anywhere, AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    quote_cols: list[str],
+    prefix: str = "q_",
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each probe row, the most recent quote row with ``quote.ts <=
+    probe.ts`` (``<`` when ``inclusive=False``) for the same key — inner
+    semantics: probes with no prior quote are dropped (matches SQL
+    ``ASOF JOIN``).
+
+    Implementation: tag quotes 0 / probes 1, union, window ordered by
+    (ts, tag) per key, carry the last non-null quote attributes forward.
+    With ``inclusive=False`` quotes sort AFTER probes at equal ts (tag
+    order flips), so same-instant quotes don't match.
+    """
+    q_tag, p_tag = (0, 1) if inclusive else (1, 0)
+    carried = [F.col(c).alias(f"{prefix}{c}") for c in quote_cols]
+    q = quotes.select(
+        F.col(key), F.col(ts), F.lit(q_tag).alias("__tag"), *carried,
+        *[
+            F.lit(None).cast(probes.schema[c].dataType).alias(c)
+            for c in probes.columns
+            if c not in (key, ts)
+        ],
+    )
+    p = probes.select(
+        F.col(key), F.col(ts), F.lit(p_tag).alias("__tag"),
+        *[F.lit(None).cast(quotes.schema[c].dataType).alias(f"{prefix}{c}") for c in quote_cols],
+        *[F.col(c) for c in probes.columns if c not in (key, ts)],
+    )
+    u = q.unionByName(p)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        key,
+        ts,
+        "__tag",
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in quote_cols],
+        *[c for c in probes.columns if c not in (key, ts)],
+    )
+    out_cols = [key, ts] + [c for c in probes.columns if c not in (key, ts)] + [
+        f"{prefix}{c}" for c in quote_cols
+    ]
+    return (
+        filled.filter(F.col("__tag") == p_tag)
+        .filter(F.col(f"{prefix}{quote_cols[0]}").isNotNull())
+        .select(*out_cols)
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int,
+    bin_seconds: int | None = None,
+    right_cols: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) rows with the same key and ``|left.ts - right.ts|
+    <= window_seconds`` — as an equi-join on (key, time-bin).
+
+    Each right row is replicated into every bin a matching left row could
+    occupy (window/bin + 1 bins); the exact range predicate then filters.
+    ``bin_seconds`` defaults to ``window_seconds`` (replication factor 3:
+    bin-1, bin, bin+1).
+    """
+    bin_s = bin_seconds or window_seconds
+    reach = -(-window_seconds // bin_s)  # ceil: bins a window edge can cross
+    lbin = F.floor(F.unix_timestamp(F.col(left_ts)) / bin_s).cast("long")
+    rbin = F.floor(F.unix_timestamp(F.col(right_ts)) / bin_s).cast("long")
+    l2 = left.withColumn("__bin", lbin)
+    r2 = right.select(
+        F.col(key).alias("__rkey"),
+        F.col(right_ts).alias("__rts"),
+        F.explode(F.sequence(rbin - reach, rbin + reach)).alias("__bin"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    # timestamp->double = epoch seconds incl. fractional microseconds
+    in_range = (
+        F.abs(F.col(left_ts).cast("double") - F.col("__rts").cast("double"))
+        <= F.lit(float(window_seconds))
+    )
+    return (
+        l2.join(r2, (l2[key] == r2["__rkey"]) & (l2["__bin"] == r2["__bin"]))
+        .filter(in_range)
+        .drop("__bin", "__rkey", "__rts")
+    )

@@ -47,6 +47,7 @@ def _load_all() -> None:
         reference_surface,
         relational,
         streaming,
+        temporal,
     )
 
 
@@ -74,6 +75,8 @@ _CHECK_FIRST: list[str] = [
     "dedup_embedding_lsh",
     "export_view_opaque_roundtrip",
     "dedup_components",
+    "asof_join_last_click",
+    "range_join_error_views",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order

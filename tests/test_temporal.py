@@ -1,0 +1,68 @@
+"""asof_join / range_join_binned semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.operators import temporal
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    probes = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(30), 101), (2, _ts(5), 102)],
+        ["user_id", "ts", "event_id"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 900, 1.0), (1, _ts(10), 901, 2.0), (1, _ts(20), 902, 3.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    out = temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts", quote_cols=["event_id", "value"]
+    )
+    got = {r.event_id: (r.q_event_id, r.q_value) for r in out.collect()}
+    # probe@10 matches quote@10 (inclusive); probe@30 matches quote@20;
+    # user 2 has no quotes -> dropped (inner semantics)
+    assert got == {100: (901, 2.0), 101: (902, 3.0)}
+
+
+def test_asof_join_exclusive(spark):
+    probes = spark.createDataFrame([(1, _ts(10), 100)], ["user_id", "ts", "event_id"])
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 900, 1.0), (1, _ts(10), 901, 2.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    out = temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts",
+        quote_cols=["event_id", "value"], inclusive=False,
+    )
+    got = {r.event_id: r.q_event_id for r in out.collect()}
+    assert got == {100: 900}  # same-instant quote excluded
+
+
+def test_range_join_binned_equals_naive_inequality_join(spark, sf_dir):
+    """The binned equi-join must reproduce the naive range join exactly,
+    including matches that straddle bin boundaries."""
+    from oracle_schema_copy_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    window = 1800
+    binned = temporal.range_join_binned(
+        errors, views.select(F.col("vu").alias("user_id"), F.col("vts").alias("ts")),
+        key="user_id", window_seconds=window, right_cols=["ts"],
+    )
+    naive = errors.join(
+        views,
+        (F.col("user_id") == F.col("vu"))
+        & (F.abs(F.col("ts").cast("double") - F.col("vts").cast("double")) <= window),
+    )
+    assert binned.count() == naive.count() > 0
