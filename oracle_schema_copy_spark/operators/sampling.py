@@ -1,0 +1,75 @@
+"""Deterministic sampling operators for corpus curation.
+
+``df.sample()``/``sampleBy()`` draw from a per-partition RNG: results
+change with partitioning, retries, and engine — useless for reproducible
+training-data pipelines and impossible to oracle-check. These operators
+sample on a *hash of the row id* instead: the same row lands on the same
+side of every cut on every engine, adding/removing other rows never
+changes a row's fate, and the SQL twin is exact (md5 is the shared hash).
+
+All are stateless per-row projections/filters — no shuffle, no driver
+data, safe at any scale. Rates are expressed in basis points of the
+10,000-bucket hash ring to keep the cut integral and exact on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.functions.text import token_hash
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from md5(salt || id) — the sampling key.
+    DuckDB twin: CAST(('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 7))
+    AS BIGINT) % 10000."""
+    return token_hash(F.concat(F.lit(salt), id_col.cast("string")), 7) % BUCKETS
+
+
+def hash_sample(df: DataFrame, id_col: str, rate_bp: int, *, salt: str = "") -> DataFrame:
+    """Keep ~rate_bp/10000 of rows, chosen deterministically by id hash."""
+    return df.filter(hash_bucket(F.col(id_col), salt) < rate_bp)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    *,
+    default_bp: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare
+    languages, 10% of the dominant one) — the reproducible analog of
+    ``sampleBy``."""
+    rate = F.lit(default_bp)
+    for stratum, bp in sorted(rates_bp.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(bp)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(id_col), salt) < rate)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    val_bp: int = 500,
+    test_bp: int = 500,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/'test') by disjoint hash
+    ranges: [0, val) -> val, [val, val+test) -> test, rest -> train.
+    Membership is a pure function of the id — stable under reprocessing,
+    engine-independent, and leakage-free (a duplicated id always lands in
+    the same split)."""
+    b = hash_bucket(F.col(id_col), salt)
+    split = (
+        F.when(b < val_bp, F.lit("val"))
+        .when(b < val_bp + test_bp, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

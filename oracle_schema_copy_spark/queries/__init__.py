@@ -77,6 +77,8 @@ _CHECK_FIRST: list[str] = [
     "dedup_components",
     "asof_join_last_click",
     "range_join_error_views",
+    "sample_stratified_by_lang",
+    "train_val_test_split",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order

@@ -479,6 +479,58 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5({salt} || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000"
+)
+
+
+@query(
+    "sample_stratified_by_lang",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SQL_BUCKET.format(salt="''")} <
+          CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 10000
+                    WHEN 'es' THEN 10000 WHEN 'de' THEN 10000 ELSE 0 END
+    """,
+)
+def q_sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: downsample the dominant language
+    (en -> 20%), keep the rest whole — membership is a pure function of
+    md5(doc_id), identical on any engine/partitioning (unlike sampleBy's
+    per-partition RNG)."""
+    from oracle_schema_copy_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 2000, "fr": 10000, "es": 10000, "de": 10000}
+    return sampling.stratified_hash_sample(docs, "doc_id", "lang", rates).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_SQL_BUCKET.format(salt="'split'")} < 500 THEN 'val'
+                WHEN {_SQL_BUCKET.format(salt="'split'")} < 1000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment by disjoint hash ranges of
+    the doc id (5%/5%/90%) — stable under reprocessing and dedup."""
+    from oracle_schema_copy_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(docs, "doc_id").select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
 
