@@ -196,8 +196,31 @@ def lsh_banded_candidates(
     the bucket key, pairs emitted locally inside postings. The vectors
     themselves are never shuffled.
     """
+    buckets = banded_bucket_keys(
+        spread(df), id_col=id_col, vec_col=vec_col, bands=bands,
+        planes_per_band=planes_per_band, dim=dim,
+    )
+    postings = (
+        buckets.groupBy("bk")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    return _posting_pairs(postings).distinct()
+
+
+def banded_bucket_keys(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bk=(band, key)) rows: one banded-LSH bucket key per band per
+    vector — the shared candidate-generation primitive for pair dedup and
+    ANN search. Per-row projections then one explode; no shuffle."""
     planes = hyperplanes(bands * planes_per_band, dim)
-    df = spread(df)
     band_structs = []
     for b in range(bands):
         key = None
@@ -211,10 +234,49 @@ def lsh_banded_candidates(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), key.cast("long").alias("key"))
         )
-    buckets = df.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
-    postings = (
-        buckets.groupBy("bk")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    return df.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+
+
+def lsh_banded_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bands: int = 8,
+    planes_per_band: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates share >= 1 banded-LSH bucket with the query,
+    scored exactly, ranked per query — the pruned counterpart of
+    brute_force_topk. At scale the corpus bucket table is precomputed and
+    written bucketed by (band, key), so a query batch touches only its
+    buckets; here both sides derive buckets inline and equi-join on the
+    key (broadcast of the small query side chosen by the planner)."""
+    cb = banded_bucket_keys(
+        spread(corpus), id_col=id_col, vec_col=vec_col, bands=bands,
+        planes_per_band=planes_per_band, dim=dim,
     )
-    return _posting_pairs(postings).distinct()
+    qb = banded_bucket_keys(
+        queries, id_col=id_col, vec_col=vec_col, bands=bands,
+        planes_per_band=planes_per_band, dim=dim,
+    ).select(F.col(id_col).alias("query_id"), F.col("bk").alias("qbk"))
+    cand = (
+        cb.join(qb, (cb["bk"] == qb["qbk"]) & (cb[id_col] != qb["query_id"]))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", dot(F.col("__nv"), F.col("__qv")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+    )

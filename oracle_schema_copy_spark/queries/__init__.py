@@ -79,6 +79,7 @@ _CHECK_FIRST: list[str] = [
     "range_join_error_views",
     "sample_stratified_by_lang",
     "train_val_test_split",
+    "similarity_topk_lsh_banded",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order

@@ -338,6 +338,40 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_partitioned_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+@query(
+    "similarity_topk_lsh_banded",
+    f"""
+    WITH {_banded_lsh_sql()},
+    qb AS (SELECT vec_id AS query_id, band, key FROM buckets WHERE vec_id < 20),
+    cand AS (
+        SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+        FROM buckets b JOIN qb ON b.band = qb.band AND b.key = qb.key
+         AND b.vec_id <> qb.query_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {_sql_dot('n.embedding', 'q.embedding')} AS score
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for 20 query vectors through banded-LSH buckets + exact
+    re-score — the pruned scale path for similarity_topk_bruteforce. The
+    oracle mirrors the same plane literals, band packing and candidate
+    join, so ranks agree exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_banded_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2
+    )
+
+
 def _hyperplane_sql_literals(n_planes: int = 8, dim: int = 64) -> list[str]:
     planes = similarity.hyperplanes(n_planes, dim)
     return ["[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in planes]
