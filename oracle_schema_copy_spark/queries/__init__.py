@@ -80,6 +80,7 @@ _CHECK_FIRST: list[str] = [
     "sample_stratified_by_lang",
     "train_val_test_split",
     "similarity_topk_lsh_banded",
+    "curation_pipeline",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order

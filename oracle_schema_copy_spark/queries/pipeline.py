@@ -564,6 +564,52 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.train_val_test_split(docs, "doc_id").select("doc_id", "split")
 
 
+@query(
+    "curation_pipeline",
+    f"""
+    WITH survivors AS (
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (least(length(text) / 500.0, 1.0) * 0.4
+                + least(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_EN}))) / len(string_split(text, ' ')) * 4, 1.0) * 0.4)
+                + (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) / length(text) * 5, 1.0)) * 0.2 AS quality
+        FROM documents)
+    SELECT s.doc_id, s.lang, s.n_tokens, s.quality,
+           CASE WHEN {_SQL_BUCKET.format(salt="'split'").replace('doc_id', 's.doc_id')} < 500 THEN 'val'
+                WHEN {_SQL_BUCKET.format(salt="'split'").replace('doc_id', 's.doc_id')} < 1000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM scored s JOIN survivors sv ON sv.doc_id = s.doc_id
+    WHERE s.quality >= 0.5
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: normalized-dedup survivors, quality
+    gate, token accounting, leakage-free split assignment — the composed
+    training-data pipeline (dedup -> filter -> split) as one declarative
+    plan: Catalyst fuses the per-row scoring into the scan, the only
+    shuffle is the dedup groupBy, and the survivor semi-join stays
+    broadcast-able."""
+    from oracle_schema_copy_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup.normalized_dedup(docs, "doc_id", "text")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        tf.token_count(t).alias("n_tokens"),
+        tf.quality_score(t).alias("quality"),
+    )
+    kept = (
+        scored.join(survivors, "doc_id", "left_semi")
+        .filter(F.col("quality") >= 0.5)
+    )
+    return sampling.train_val_test_split(kept, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
