@@ -180,8 +180,21 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._dir(table))
 
-    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self._dir(table))
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """``partition_by`` lays the table out hive-style (one directory
+        per value): queries filtering on those columns prune whole
+        directories at planning time — the 100 TB analog of the
+        reference's per-table copy granularity."""
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._dir(table))
         self.tables_written.add(table)
 
     def append(self, table: str, df: DataFrame) -> None:

@@ -81,6 +81,8 @@ _CHECK_FIRST: list[str] = [
     "train_val_test_split",
     "similarity_topk_lsh_banded",
     "curation_pipeline",
+    "agg_percentiles",
+    "agg_salted_skew_safe",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order

@@ -591,3 +591,67 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k % 10).alias("k_bucket"),
     )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (continuous interpolation at rank
+    p*(n-1) — identical definition in Spark ``percentile`` and DuckDB
+    ``quantile_cont``). Exact percentiles sort within each group; at 100 TB
+    prefer ``percentile_approx`` (t-digest sketch, mergeable map-side) and
+    keep this as the verifier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_salted_skew_safe",
+    """
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): the hot-key-safe
+    plan — partial agg on (key, salt) spreads any single key over 32
+    reducers, final agg recombines. The oracle is the PLAIN group-by: the
+    salting must be invisible in the result."""
+    from oracle_schema_copy_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "total_price_raw": ("sum", F.col("l_extendedprice").cast("decimal(12,2)")),
+            "n_rows": ("count", F.lit(1)),
+            "first_ship": ("min", F.col("l_shipdate")),
+            "last_ship": ("max", F.col("l_shipdate")),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("total_price_raw"), 2).cast("double").alias("total_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "first_ship",
+        "last_ship",
+    )

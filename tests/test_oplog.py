@@ -165,3 +165,20 @@ def test_view_and_opaque_objects_roundtrip(spark, sf_dir, tmp_path):
         if rec.kind == "opaque_sql":
             executed.extend(rec.params["statements"])
     assert executed == opaque
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A warehouse table partitioned by a column must plan scans with
+    PartitionFilters (directory pruning) when filtered on it."""
+    from oracle_schema_copy_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    wh = oplog.Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("orders_p", orders, partition_by=["o_orderstatus"])
+
+    q = wh.read("orders_p").filter(F.col("o_orderstatus") == "F")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must be IN the partition filters, not a data filter
+    assert "o_orderstatus" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert q.count() == orders.filter(F.col("o_orderstatus") == "F").count()
