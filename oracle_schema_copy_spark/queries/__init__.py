@@ -85,17 +85,28 @@ _CHECK_FIRST: list[str] = [
     "agg_salted_skew_safe",
 ]
 _CHECK_LAST: list[str] = [
-    # each has an earlier same-family representative in the check order
+    # each has an earlier same-family representative in the check order,
+    # so a 50-entry verifier cutoff still covers every operator family
     "dedup_normalized",
     "dedup_simhash_signatures",
+    "dedup_embedding_cosine",
+    "similarity_lsh_bucket_histogram",
     "join_left_outer_order_counts",
     "join_full_outer_customers_orders",
     "agg_count_distinct",
     "agg_cube_priority_status",
+    "agg_filtered_revenue",
     "window_lag_lead_order_dates",
     "sort_limit_top_orders",
     "text_fingerprint",
+    "text_token_histogram",
     "scalar_date_functions",
+    "scalar_string_functions",
+    "copy_tree_summary",
+    "edge_exclusion_filter",
+    "table_exclusion",
+    "bulk_copy_projection",
+    "export_all_roundtrip_nation",
 ]
 
 
