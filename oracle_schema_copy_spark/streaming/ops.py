@@ -91,6 +91,26 @@ def run_stream_to_df(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, *, max_files_per_trigger: int | None = None
+) -> None:
+    """Drain a stream into a parquet directory with exactly-once file-sink
+    semantics (checkpointed offsets + the sink's transaction log). This is
+    the durable counterpart of the memory sink used by tests: at scale the
+    same call runs continuously (drop availableNow) and downstream batch
+    jobs read the directory incrementally."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if max_files_per_trigger is not None:
+        writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    writer.start().awaitTermination()
+
+
 # ---------------------------------------------------------------------------
 # Windowed aggregations (batch/stream polymorphic)
 # ---------------------------------------------------------------------------

@@ -104,3 +104,19 @@ def test_stateful_totals_accumulate_across_batches(spark):
         assert per_user.where(F.col("count") != 2).count() == 0
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_to_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """File-source -> parquet file-sink with checkpointing: the drained
+    stream must contain exactly the batch rows (exactly-once sink)."""
+    from pyspark.sql import functions as F
+
+    from oracle_schema_copy_spark.streaming import ops
+
+    sdf = ops.events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    out = str(tmp_path / "sink")
+    ops.stream_to_parquet(sdf, out, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(out)
+    batch = ops.load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    assert got.count() == batch.count()
+    assert got.join(batch, ["event_id", "user_id", "value"]).count() == batch.count()
