@@ -46,6 +46,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_file_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str | None = None,
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Generic file-table reader: parquet / orc / csv / json, format
+    inferred from the extension when not given. CSV/JSON require an
+    explicit schema in production (inference scans the data twice and
+    types drift between runs); pass ``schema`` or accept header-based
+    strings for ad-hoc use. All formats keep column pruning; parquet/orc
+    add predicate pushdown and row-group/stripe pruning."""
+    if fmt is None:
+        ext = path.rsplit(".", 1)[-1].lower()
+        fmt = {"pq": "parquet"}.get(ext, ext)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    defaults = {"csv": {"header": "true"}, "json": {}}.get(fmt, {})
+    for k, v in {**defaults, **(options or {})}.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_file_table(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Generic file-table writer (parquet/orc/csv/json), the inverse of
+    read_file_table; csv gets headers by default."""
+    writer = df.write.format(fmt).mode(mode)
+    defaults = {"csv": {"header": "true"}}.get(fmt, {})
+    for k, v in {**defaults, **(options or {})}.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
