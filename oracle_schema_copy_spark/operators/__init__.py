@@ -13,6 +13,11 @@ def spread(df: DataFrame) -> DataFrame:
     already exceed the target and this is a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    # df.rdd.getNumPartitions() is driver-side plan analysis only (no job,
+    # no data movement) — the one public way to see the scan's split count.
+    # The alternative, an unconditional repartition, would impose a full
+    # shuffle on inputs that are already well-partitioned; at production
+    # scale this branch is simply never taken.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

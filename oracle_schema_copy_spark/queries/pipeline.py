@@ -128,6 +128,7 @@ def _minhash_sig_sql() -> str:
     SELECT c.id_a, c.id_b, e.jaccard
     FROM cands c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
     """,
+    headline=True,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline: 16 md5-derived permutations, 8 bands
@@ -360,6 +361,7 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored)
     SELECT * FROM ranked WHERE rank <= 5
     """,
+    headline=True,
 )
 def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 for 20 query vectors through banded-LSH buckets + exact
@@ -584,6 +586,7 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored s JOIN survivors sv ON sv.doc_id = s.doc_id
     WHERE s.quality >= 0.5
     """,
+    headline=True,
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: normalized-dedup survivors, quality

@@ -27,6 +27,7 @@ from oracle_schema_copy_spark.sources.tables import load_table
                WHERE event_type = 'click') c
       ON e.user_id = c.user_id AND e.ts >= c.ts
     """,
+    headline=True,
 )
 def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every error event, the user's most recent click at-or-before it
