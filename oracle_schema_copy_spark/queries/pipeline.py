@@ -54,6 +54,30 @@ _SQL_JACCARD_PAIRS = f"""
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 """
 
+# Twin of ngram_jaccard_pairs INCLUDING its max_df posting cap (default
+# 10000): shingles above the document-frequency cutoff contribute no
+# pair counts. The uncapped fragment above mirrors the set-intersection
+# verify used by minhash_lsh_pairs, which has no df cap. The cap never
+# fires at test SFs (max df ~25) — mirroring it keeps the oracle exact at
+# ANY scale, not just the gated ones.
+_SQL_JACCARD_PAIRS_CAPPED = f"""
+    WITH {_SQL_SHINGLES},
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(ss) AS n_sh FROM sh WHERE len(ss) > 0),
+    keepsh AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 10000),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN keepsh k ON k.s = a.s
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
 # sequential-double dot product of two 64-dim float lists (bit-identical
 # to functions.vectors.dot — verified empirically)
 def _sql_dot(a: str, b: str, dim: int = 64) -> str:
@@ -90,7 +114,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.normalized_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("dedup_ngram_jaccard", _SQL_JACCARD_PAIRS, headline=True)
+@query("dedup_ngram_jaccard", _SQL_JACCARD_PAIRS_CAPPED, headline=True)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard >= 0.2 via explode +
     shingle-key self-join (the verifier stage of the near-dup stack)."""
@@ -120,10 +144,12 @@ def _minhash_sig_sql() -> str:
         SELECT doc_id, band,
                CASE band {' '.join(f'WHEN {b} THEN [mh{2*b}, mh{2*b+1}]' for b in range(8))} END AS key
         FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)),
+    bsz AS (SELECT band, key, count(*) AS c FROM buckets GROUP BY 1, 2),
     cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        JOIN bsz ON bsz.band = a.band AND bsz.key = a.key AND bsz.c <= 1000),
     exact AS ({_SQL_JACCARD_PAIRS})
     SELECT c.id_a, c.id_b, e.jaccard
     FROM cands c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
@@ -205,7 +231,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     f"""
     WITH RECURSIVE
-    pairs AS ({_SQL_JACCARD_PAIRS}),
+    pairs AS ({_SQL_JACCARD_PAIRS_CAPPED}),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -253,10 +279,12 @@ def _banded_lsh_sql(bands: int = 8, planes_per_band: int = 2) -> str:
     buckets AS (
         SELECT vec_id, band, CASE band {case} END AS key
         FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
+    vbsz AS (SELECT band, key, count(*) AS c FROM buckets GROUP BY 1, 2),
     cands AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b
-          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        JOIN vbsz ON vbsz.band = a.band AND vbsz.key = a.key AND vbsz.c <= 1000)
     """
 
 
