@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis).
+
+Pure SQL-generation functions get wide random coverage (no Spark cost);
+Spark expression semantics are checked against pure-Python references by
+generating a BATCH of random inputs per example and comparing in one job
+(a Spark job per hypothesis example would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oracle_schema_copy_spark.sources import jdbc_mutations as jm
+
+# ---------------------------------------------------------------------------
+# pure functions: wide coverage
+# ---------------------------------------------------------------------------
+
+
+@given(st.text())
+def test_sql_literal_escapes_strings(s):
+    lit = jm.sql_literal(s)
+    assert lit.startswith("'") and lit.endswith("'")
+    # every quote in the body is doubled: stripping doubled quotes leaves none
+    assert "'" not in lit[1:-1].replace("''", "")
+
+
+@given(st.lists(st.integers(), min_size=0, max_size=2500))
+def test_delete_in_sql_partitions_all_keys(keys):
+    stmts = jm.delete_in_sql("t", "k", keys)
+    assert len(stmts) == (len(keys) + jm.DELETE_BATCH - 1) // jm.DELETE_BATCH
+    found = []
+    for s in stmts:
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        found.extend(int(x) for x in inner.split(", "))
+    assert found == list(keys)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=8, unique=True
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_merge_sql_mentions_every_column_once(cols, n_keys):
+    keys = cols[: min(n_keys, len(cols))]
+    sql = jm.merge_sql("t", "t_stg", cols, keys)
+    for c in cols:
+        assert f"s.{c}" in sql
+    for k in keys:
+        assert f"t.{k} = s.{k}" in sql
+    non_keys = [c for c in cols if c not in keys]
+    if non_keys:
+        assert all(f"t.{c} = s.{c}" in sql for c in non_keys)
+    else:
+        assert "WHEN MATCHED" not in sql
+
+
+# ---------------------------------------------------------------------------
+# Spark expression semantics vs pure-Python reference: batch per example
+# ---------------------------------------------------------------------------
+
+_WORDS = st.text(alphabet="abc XY9.,!", min_size=0, max_size=60)
+
+
+def _py_normalize(s: str) -> str:
+    return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+
+def _py_shingles(s: str, n: int = 3) -> list[str]:
+    toks = s.split(" ")
+    if len(toks) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        sh = " ".join(toks[i : i + n])
+        if sh not in seen:
+            seen.add(sh)
+            out.append(sh)
+    return out
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_WORDS, min_size=1, max_size=40))
+def test_normalize_and_shingles_match_python_reference(spark, texts):
+    from pyspark.sql import functions as F
+
+    from oracle_schema_copy_spark.functions.text import normalize, shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    rows = (
+        df.select("i", normalize(F.col("t")).alias("norm"), shingles(F.col("t")).alias("sh"))
+        .orderBy("i")
+        .collect()
+    )
+    for r in rows:
+        assert r.norm == _py_normalize(texts[r.i])
+        assert list(r.sh) == _py_shingles(texts[r.i])
