@@ -83,6 +83,8 @@ _CHECK_FIRST: list[str] = [
     "curation_pipeline",
     "agg_percentiles",
     "agg_salted_skew_safe",
+    "agg_pivot_status_by_priority",
+    "unpivot_order_metrics",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,

@@ -655,3 +655,62 @@ def q_agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ship",
         "last_ship",
     )
+
+
+@query(
+    "agg_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                      FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS total_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority spread across status columns
+    (Spark ``groupBy().pivot(values)`` with explicit pivot values — no
+    extra distinct-scan job; the oracle is the equivalent FILTERed
+    aggregation). Pivoted counts get 0 for empty cells like the SQL."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.col("F_total").alias("total_f"),
+    )
+
+
+@query(
+    "unpivot_order_metrics",
+    """
+    SELECT o_orderkey, metric, value FROM (
+        SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+        FROM orders WHERE o_orderkey <= 1000
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+        FROM orders WHERE o_orderkey <= 1000)
+    """,
+)
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns to (key, metric, value) rows via
+    ``unpivot`` — the inverse reshape, one narrow scan, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
