@@ -99,7 +99,9 @@ _CHECK_LAST: list[str] = [
     "agg_cube_priority_status",
     "agg_filtered_revenue",
     "window_lag_lead_order_dates",
+    "window_running_quantity",
     "sort_limit_top_orders",
+    "multimodal_frame_sample",
     "text_fingerprint",
     "text_token_histogram",
     "scalar_date_functions",
