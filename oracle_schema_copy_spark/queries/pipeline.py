@@ -370,7 +370,7 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_topk_lsh_banded",
     f"""
-    WITH {_banded_lsh_sql()},
+    WITH {_banded_lsh_sql(bands=8, planes_per_band=4)},
     qb AS (SELECT vec_id AS query_id, band, key FROM buckets WHERE vec_id < 20),
     cand AS (
         SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
@@ -398,7 +398,7 @@ def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so ranks agree exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=4
     )
 
 
