@@ -38,3 +38,46 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; for pre-normalized embeddings this equals dot()
     — prefer dot() there (cheaper, and avoids sqrt dialect differences)."""
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def dot_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched numpy dot product — the PRODUCTION fast path.
+
+    ``dot()`` above runs interpreted (higher-order functions are
+    CodegenFallback): ~µs per 64-dim row. This pandas_udf receives whole
+    Arrow batches and does one numpy matmul-shaped reduction: 10-100×
+    faster on wide vectors / large corpora. Trade-off: numpy's pairwise
+    summation order differs from strict sequential addition in the last
+    ulp, so results are NOT bit-identical to the SQL oracles — use
+    ``dot()`` for oracle-paired queries, this for production scoring
+    (tests assert 1e-9 agreement).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot_np(xs, ys):
+        ax = np.asarray(list(xs), dtype="float64")
+        ay = np.asarray(list(ys), dtype="float64")
+        return pd.Series(np.einsum("ij,ij->i", ax, ay))
+
+    # real annotation objects: the module's postponed annotations (PEP 563
+    # strings) are invisible to pandas_udf's signature inference
+    _dot_np.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot_np, "double")(a, b)
+
+
+def grouped_geo_mean(value: Column) -> Column:
+    """Grouped-aggregate pandas UDF: geometric mean of a positive metric
+    per group (Arrow-batched, one numpy reduction per group) — the
+    custom-UDAF escape hatch when no builtin aggregate fits."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geo(v):
+        arr = np.asarray(v, dtype="float64")
+        return float(np.exp(np.mean(np.log(arr))))
+
+    _geo.__annotations__ = {"v": pd.Series, "return": float}
+    return pandas_udf(_geo, "double")(value)
