@@ -2,7 +2,31 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ordered_pair_array(
+    items: Column, make: Callable[[Column, Column], Column] | None = None
+) -> Column:
+    """All ordered pairs (items[i], items[j]) for i < j, generated locally
+    inside the row — the posting-list pair primitive shared by every
+    LSH/shingle candidate generator (no self-join, one pass per posting).
+    ``make(x, y)`` builds the emitted pair struct; default ``(id_a, id_b)``.
+    """
+    if make is None:
+        make = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
+    return F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: make(x, y),
+            ),
+        )
+    )
 
 
 def spread(df: DataFrame) -> DataFrame:

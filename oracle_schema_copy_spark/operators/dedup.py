@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions.text import normalize, shingles, token_hash
-from oracle_schema_copy_spark.operators import spread
+from oracle_schema_copy_spark.operators import ordered_pair_array, spread
 
 # MinHash permutation parameters h_i(x) = (a_i * x + b_i) mod P, fixed so
 # Spark and the SQL oracle agree. P = 2^31-1 and 28-bit base hashes keep
@@ -116,20 +116,14 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
         .where((F.size("items") > 1) & (F.size("items") <= max_df))
     )
-    # ordered pairs (items[i], items[j]) for i < j, generated inside each posting
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["n_sh"].alias("n_a"),
-                    y["n_sh"].alias("n_b"),
-                ),
-            ),
-        )
+    pair_arrays = ordered_pair_array(
+        F.col("items"),
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            x["n_sh"].alias("n_a"),
+            y["n_sh"].alias("n_b"),
+        ),
     )
     return (
         postings.select(F.explode_outer(pair_arrays).alias("p"))
@@ -216,15 +210,7 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pair_arrays = ordered_pair_array(F.col("ids"))
     cands = (
         postings.select(F.explode_outer(pair_arrays).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
@@ -312,20 +298,15 @@ def simhash_pairs(
         )
         .where(F.size("items") > 1)
     )
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("long")
-                    .alias("hamming"),
-                ),
-            ),
-        )
+    pair_arrays = ordered_pair_array(
+        F.col("items"),
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+            .cast("long")
+            .alias("hamming"),
+        ),
     )
     return (
         postings.select(F.explode_outer(pair_arrays).alias("p"))
@@ -381,6 +362,7 @@ def near_dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -398,8 +380,17 @@ def near_dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = updated.select("id", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Returning unconverged labels would silently split one duplicate
+        # cluster into several "canonical" survivors — fail loudly instead.
+        raise RuntimeError(
+            f"near_dup_components did not converge within {max_iter} rounds "
+            "(pair-graph diameter exceeds max_iter); raise max_iter or switch "
+            "the loop body to large-star/small-star for O(log n) rounds"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 

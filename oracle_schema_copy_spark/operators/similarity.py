@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions.vectors import dot
-from oracle_schema_copy_spark.operators import spread
+from oracle_schema_copy_spark.operators import ordered_pair_array, spread
 
 
 def brute_force_topk(
@@ -135,15 +135,7 @@ def lsh_bucket(
 def _posting_pairs(postings: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Ordered (id_a < id_b) pairs generated locally inside each posting
     row — no self-join, one pass over the posting lists."""
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col(ids_col),
-            lambda x, i: F.transform(
-                F.slice(F.col(ids_col), i + 2, F.size(F.col(ids_col))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pair_arrays = ordered_pair_array(F.col(ids_col))
     return postings.select(F.explode_outer(pair_arrays).alias("p")).select(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
@@ -247,24 +239,35 @@ def lsh_banded_topk(
     bands: int = 8,
     planes_per_band: int = 2,
     dim: int = 64,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """ANN top-k: candidates share >= 1 banded-LSH bucket with the query,
     scored exactly, ranked per query — the pruned counterpart of
     brute_force_topk. At scale the corpus bucket table is precomputed and
     written bucketed by (band, key), so a query batch touches only its
     buckets; here both sides derive buckets inline and equi-join on the
-    key (broadcast of the small query side chosen by the planner)."""
+    key (broadcast of the small query side chosen by the planner).
+    ``max_bucket`` drops degenerate corpus buckets (a near-constant region
+    of embedding space) before the candidate join — the same guard every
+    sibling candidate generator applies; without it one hot bucket emits
+    |bucket| rows per query per band."""
     cb = banded_bucket_keys(
         spread(corpus), id_col=id_col, vec_col=vec_col, bands=bands,
         planes_per_band=planes_per_band, dim=dim,
+    )
+    postings = (
+        cb.groupBy("bk")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") <= max_bucket)
     )
     qb = banded_bucket_keys(
         queries, id_col=id_col, vec_col=vec_col, bands=bands,
         planes_per_band=planes_per_band, dim=dim,
     ).select(F.col(id_col).alias("query_id"), F.col("bk").alias("qbk"))
     cand = (
-        cb.join(qb, (cb["bk"] == qb["qbk"]) & (cb[id_col] != qb["query_id"]))
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        postings.join(qb, postings["bk"] == qb["qbk"])
+        .select("query_id", F.explode("ids").alias("neighbor_id"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .distinct()
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))

@@ -6,8 +6,11 @@ plans as a broadcast-nested-loop — quadratic per key. Both operators here
 are expressed in shuffle-safe DataFrame shapes:
 
 - ``asof_join``: union the two sides with a tag, one window sort per key
-  (``last(value, ignorenulls=True)`` over rows ordered by (ts, tag)), then
-  keep probe rows. ONE shuffle+sort on (key, ts) of rows proportional to
+  (``last(quote_struct, ignorenulls=True)`` over rows ordered by (ts,
+  tag)), then keep probe rows. The quote attributes travel as ONE struct
+  so the carried match is row-atomic — a NULL attribute inside the
+  matching quote row stays NULL instead of being back-filled from an
+  older quote. ONE shuffle+sort on (key, ts) of rows proportional to
   both inputs — the canonical distributed as-of.
 - ``range_join_binned``: equi-join on (key, time-bin) with each right row
   replicated into the neighbor bins its window can reach, then an exact
@@ -23,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -41,14 +45,18 @@ def asof_join(
     ``ASOF JOIN``).
 
     Implementation: tag quotes 0 / probes 1, union, window ordered by
-    (ts, tag) per key, carry the last non-null quote attributes forward.
-    With ``inclusive=False`` quotes sort AFTER probes at equal ts (tag
-    order flips), so same-instant quotes don't match.
+    (ts, tag) per key, carry the last non-null quote ROW (one struct —
+    never a per-column fill that could mix attributes of different quote
+    rows) forward. With ``inclusive=False`` quotes sort AFTER probes at
+    equal ts (tag order flips), so same-instant quotes don't match.
     """
     q_tag, p_tag = (0, 1) if inclusive else (1, 0)
-    carried = [F.col(c).alias(f"{prefix}{c}") for c in quote_cols]
+    q_struct_type = StructType(
+        [StructField(c, quotes.schema[c].dataType) for c in quote_cols]
+    )
     q = quotes.select(
-        F.col(key), F.col(ts), F.lit(q_tag).alias("__tag"), *carried,
+        F.col(key), F.col(ts), F.lit(q_tag).alias("__tag"),
+        F.struct(*[F.col(c) for c in quote_cols]).alias("__q"),
         *[
             F.lit(None).cast(probes.schema[c].dataType).alias(c)
             for c in probes.columns
@@ -57,7 +65,7 @@ def asof_join(
     )
     p = probes.select(
         F.col(key), F.col(ts), F.lit(p_tag).alias("__tag"),
-        *[F.lit(None).cast(quotes.schema[c].dataType).alias(f"{prefix}{c}") for c in quote_cols],
+        F.lit(None).cast(q_struct_type).alias("__q"),
         *[F.col(c) for c in probes.columns if c not in (key, ts)],
     )
     u = q.unionByName(p)
@@ -70,7 +78,7 @@ def asof_join(
         key,
         ts,
         "__tag",
-        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in quote_cols],
+        F.last("__q", ignorenulls=True).over(w).alias("__q"),
         *[c for c in probes.columns if c not in (key, ts)],
     )
     out_cols = [key, ts] + [c for c in probes.columns if c not in (key, ts)] + [
@@ -78,7 +86,13 @@ def asof_join(
     ]
     return (
         filled.filter(F.col("__tag") == p_tag)
-        .filter(F.col(f"{prefix}{quote_cols[0]}").isNotNull())
+        .filter(F.col("__q").isNotNull())
+        .select(
+            key,
+            ts,
+            *[c for c in probes.columns if c not in (key, ts)],
+            *[F.col(f"__q.{c}").alias(f"{prefix}{c}") for c in quote_cols],
+        )
         .select(*out_cols)
     )
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -95,10 +95,3 @@ def strip_trigger_tail_col(ddl: Column, passes: int = 3) -> Column:
     for _ in range(passes):
         out = F.rtrim(F.regexp_replace(out, pat, ""))
     return out
-
-
-def ddl_catalog_df(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
-    """The generated DDL as a DataFrame (object_type/object_name/ddl) —
-    the Spark analog of iterating dictionary views per object type."""
-    rows = [("TABLE", name, ddl) for name, ddl in export_schema_ddl(tables)]
-    return spark.createDataFrame(rows, "object_type string, object_name string, ddl string")

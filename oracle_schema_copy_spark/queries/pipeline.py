@@ -372,9 +372,11 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_banded_lsh_sql()},
     qb AS (SELECT vec_id AS query_id, band, key FROM buckets WHERE vec_id < 20),
+    ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 1000),
     cand AS (
         SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
-        FROM buckets b JOIN qb ON b.band = qb.band AND b.key = qb.key
+        FROM buckets b JOIN ok USING (band, key)
+        JOIN qb ON b.band = qb.band AND b.key = qb.key
          AND b.vec_id <> qb.query_id),
     scored AS (
         SELECT c.query_id, c.neighbor_id,
@@ -394,14 +396,16 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 for 20 query vectors through banded-LSH buckets + exact
     re-score — the pruned scale path for similarity_topk_bruteforce. The
-    oracle mirrors the same plane literals, band packing and candidate
-    join, so ranks agree exactly. planes_per_band trades signature cost
+    oracle mirrors the same plane literals, band packing, candidate join
+    and max_bucket cap, so ranks agree exactly. planes_per_band trades
+    signature cost
     against candidate pruning: at the test corpus size r=2 measured
     faster end-to-end (signature hashing dominates); at millions of
     vectors raise r so buckets stay small — pruning then dominates."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2,
+        max_bucket=1000,
     )
 
 

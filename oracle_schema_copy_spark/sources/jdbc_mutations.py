@@ -63,10 +63,11 @@ def merge_sql(
     non_keys = [c for c in columns if c not in keys]
     if dialect == "postgres_upsert":
         sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+        action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
         return (
             f"INSERT INTO {table} ({', '.join(columns)}) "
             f"SELECT {', '.join(columns)} FROM {staging_table} "
-            f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {sets}"
+            f"ON CONFLICT ({', '.join(keys)}) {action}"
         )
     if dialect != "ansi":
         raise ValueError(f"unknown merge dialect {dialect!r}")
@@ -92,7 +93,10 @@ def sql_literal(v) -> str:
     if isinstance(v, (int, float)):
         return str(v)
     if isinstance(v, _dt.datetime):
-        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+        # isoformat keeps microseconds when present; a whole-second value
+        # renders without them — both are valid TIMESTAMP literals, and
+        # sub-second keys must not be silently truncated to a wrong match.
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
     s = str(v).replace("'", "''")

@@ -36,7 +36,9 @@ from oracle_schema_copy_spark.sources.tables import load_table
 WATERMARK_DELAY = "1 hour"
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet.
 
     The streaming file source lists a *directory*; the fixture is a single
@@ -44,14 +46,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ``pathGlobFilter`` pinned to that one file — no staging dirs or
     symlinks to leak. Schema comes from the batch reader (streams cannot
     infer), and the TIMESTAMP(NANOS) column gets the same long→micros
-    normalization as ``load_table``.
+    normalization as ``load_table``. ``max_files_per_trigger`` throttles
+    micro-batch size — a SOURCE option, which is why it lives here and not
+    on any sink.
     """
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    sdf = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(raw.schema).option(
+        "pathGlobFilter", "events.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sdf = reader.parquet(sf_dir)
     if dict(sdf.dtypes).get("ts") == "bigint":
         # integer division: double math loses sub-µs precision at 1e18
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -91,24 +96,22 @@ def run_stream_to_df(
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def stream_to_parquet(
-    stream_df: DataFrame, path: str, checkpoint: str, *, max_files_per_trigger: int | None = None
-) -> None:
+def stream_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
     """Drain a stream into a parquet directory with exactly-once file-sink
     semantics (checkpointed offsets + the sink's transaction log). This is
     the durable counterpart of the memory sink used by tests: at scale the
     same call runs continuously (drop availableNow) and downstream batch
-    jobs read the directory incrementally."""
-    writer = (
+    jobs read the directory incrementally. Rate limiting is a source
+    concern — pass ``max_files_per_trigger`` to ``events_stream``."""
+    (
         stream_df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )
-    if max_files_per_trigger is not None:
-        writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    writer.start().awaitTermination()
 
 
 # ---------------------------------------------------------------------------

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from oracle_schema_copy_spark.operators.dedup import near_dup_components
 
 
@@ -27,3 +29,16 @@ def test_merge_through_shared_node(spark):
     # two stars joined by one bridge edge become one component
     got = _components(spark, [(1, 5), (1, 6), (2, 7), (2, 8), (6, 7)])
     assert set(got.values()) == {1}
+
+
+def test_unconverged_raises_instead_of_silent_split(spark):
+    """A chain longer than max_iter rounds must fail loudly — returning
+    partial labels would split one dup cluster into several survivors."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(chain, max_iter=2)
+    # the same chain converges with enough rounds
+    ok = {r.doc_id: r.component for r in near_dup_components(chain).collect()}
+    assert set(ok.values()) == {1}

@@ -35,6 +35,9 @@ def test_merge_sql_postgres_upsert():
     sql = jm.merge_sql("t", "t_stg", ["k", "v"], ["k"], dialect="postgres_upsert")
     assert sql.startswith("INSERT INTO t (k, v) SELECT k, v FROM t_stg")
     assert "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v" in sql
+    # all columns are keys: DO NOTHING, never an empty SET list
+    all_keys = jm.merge_sql("t", "t_stg", ["a", "b"], ["a", "b"], dialect="postgres_upsert")
+    assert all_keys.endswith("ON CONFLICT (a, b) DO NOTHING")
     with pytest.raises(ValueError):
         jm.merge_sql("t", "s", ["k"], ["k"], dialect="mystery")
 
@@ -45,6 +48,12 @@ def test_sql_literals():
     assert jm.sql_literal("O'Brien") == "'O''Brien'"
     assert jm.sql_literal(dt.date(2024, 3, 1)) == "DATE '2024-03-01'"
     assert jm.sql_literal(dt.datetime(2024, 3, 1, 12, 30)) == "TIMESTAMP '2024-03-01 12:30:00'"
+    # sub-second precision must survive (a truncated literal silently
+    # matches the wrong rows on a timestamp key)
+    assert (
+        jm.sql_literal(dt.datetime(2024, 3, 1, 12, 30, 0, 123456))
+        == "TIMESTAMP '2024-03-01 12:30:00.123456'"
+    )
 
 
 def test_delete_in_sql_batches_at_reference_size():

@@ -45,6 +45,31 @@ def test_asof_join_exclusive(spark):
     assert got == {100: 900}  # same-instant quote excluded
 
 
+def test_asof_join_null_quote_attribute_stays_null(spark):
+    """The matched quote row is carried atomically: a NULL attribute in it
+    must NOT be back-filled from an older quote (no franken-rows), and the
+    probe must not be dropped just because one quote column is NULL."""
+    probes = spark.createDataFrame([(1, _ts(20), 100)], ["user_id", "ts", "event_id"])
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 800, 5.0), (1, _ts(10), 900, None)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts", quote_cols=["event_id", "value"]
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].q_event_id, rows[0].q_value) == (900, None)
+
+    # NULL in the FIRST quote column must not drop the probe either
+    out2 = temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts", quote_cols=["value", "event_id"]
+    )
+    rows2 = out2.collect()
+    assert len(rows2) == 1
+    assert (rows2[0].q_value, rows2[0].q_event_id) == (None, 900)
+
+
 def test_range_join_binned_equals_naive_inequality_join(spark, sf_dir):
     """The binned equi-join must reproduce the naive range join exactly,
     including matches that straddle bin boundaries."""
