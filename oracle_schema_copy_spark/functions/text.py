@@ -45,9 +45,9 @@ def normalize(text: Column) -> Column:
     return F.trim(out)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a token stream (the unit for
-    Jaccard/MinHash near-dup detection)."""
+def shingle_stream(text: Column, n: int = 3) -> Column:
+    """ALL n-word shingles in document order (duplicates kept — the raw
+    stream repetition analysis needs)."""
     toks = tokens(text)
     # shingle i = tokens[i] .. tokens[i+n-1], 1-based over size-n+1 positions
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -55,9 +55,27 @@ def shingles(text: Column, n: int = 3) -> Column:
         " ", *[F.element_at(toks, i + off) for off in range(n)]
     )
     # guard: sequence(1, k) with k < 1 would DESCEND; short docs -> empty set
+    return F.when(F.size(toks) >= n, F.transform(idx, parts)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token stream (the unit for
+    Jaccard/MinHash near-dup detection)."""
+    return F.array_distinct(shingle_stream(text, n))
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Within-document repetition: 1 - distinct/total n-gram shingles.
+    0.0 for fresh text, approaching 1.0 for boilerplate loops — the
+    standard 'duplicate n-gram fraction' quality signal. Per-row array
+    math only (no explode, no shuffle)."""
+    stream = shingle_stream(text, n)
+    total = F.size(stream)
     return F.when(
-        F.size(toks) >= n, F.array_distinct(F.transform(idx, parts))
-    ).otherwise(F.array().cast("array<string>"))
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(stream)) / total
+    ).otherwise(F.lit(0.0))
 
 
 def token_hash(tok: Column, hex_digits: int = 8) -> Column:
@@ -115,6 +133,37 @@ def quality_score(text: Column) -> Column:
     stop_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
     punct_pen = F.least(punct_ratio(text) * 5, F.lit(1.0))
     return (len_score * 0.4 + stop_score * 0.4) + (1.0 - punct_pen) * 0.2
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# implement identically: no backreferences, no lookaround, [0-9] over \d.
+# Replacement order matters: emails first (their local part may contain
+# digits), then phones, then bare long digit runs (which would otherwise
+# match inside an un-redacted phone).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}", "[PHONE]"),
+    ("id_number", r"[0-9]{9,}", "[ID]"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (counted on the ORIGINAL text, before
+    any replacement interferes)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its category placeholder, applying the
+    patterns in PII_PATTERNS order. Pure per-row projection — at 100 TB
+    this runs inside the scan's codegen stage, no shuffle."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
 
 
 def lang_id(text: Column) -> Column:

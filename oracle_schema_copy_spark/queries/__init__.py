@@ -85,10 +85,18 @@ _CHECK_FIRST: list[str] = [
     "agg_salted_skew_safe",
     "agg_pivot_status_by_priority",
     "unpivot_order_metrics",
+    "text_repetition_ratio",
+    "text_pii_redaction",
+    "text_contamination",
+    "pack_sequences_by_lang",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
     # so a 50-entry verifier cutoff still covers every operator family
+    "linked_rows_probe",
+    "join_multiway_revenue_by_nation",
+    "topk_per_group_lineitems",
+    "agg_rollup_flag_status",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

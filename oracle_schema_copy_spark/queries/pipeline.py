@@ -549,6 +549,153 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tf.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@query(
+    "text_repetition_ratio",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    raw AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [] END AS allsh
+        FROM toks)
+    SELECT doc_id,
+           CAST(len(allsh) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(allsh)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(allsh) > 0
+                THEN 1.0 - CAST(len(list_distinct(allsh)) AS DOUBLE) / len(allsh)
+                ELSE 0.0 END AS repetition
+    FROM raw
+    """,
+)
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per document (boilerplate/loop detector) —
+    pure per-row array math, no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stream = tf.shingle_stream(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(stream).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(stream)).cast("long").alias("n_distinct"),
+        tf.repetition_ratio(F.col("text")).alias("repetition"),
+    )
+
+
+# synthetic PII appended identically on both engines (the fixture corpus is
+# a clean word stream, so redaction needs planted positives to prove itself)
+_SQL_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' acct 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+)
+
+
+@query(
+    "text_pii_redaction",
+    f"""
+    WITH aug AS (SELECT doc_id, {_SQL_PII_AUG} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\\+?[0-9]{{3}}[- .][0-9]{{3}}[- .][0-9]{{4}}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '[0-9]{{9,}}')) AS BIGINT) AS n_id_number,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\+?[0-9]{{3}}[- .][0-9]{{3}}[- .][0-9]{{4}}', '[PHONE]', 'g'),
+               '[0-9]{{9,}}', '[ID]', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with planted emails/phones/account numbers:
+    per-category match counts plus a digest of the redacted text (the full
+    redacted body stays distributed; only the md5 comes back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" acct 9"),
+        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+    )
+    counts = tf.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["id_number"].alias("n_id_number"),
+        F.md5(tf.redact_pii(aug)).alias("redacted_md5"),
+    )
+
+
+@query(
+    "text_contamination",
+    f"""
+    WITH {_SQL_SHINGLES},
+    bench AS (SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id < 50),
+    corp AS (SELECT doc_id, ss FROM sh WHERE doc_id >= 50 AND len(ss) > 0),
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM corp),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM ex JOIN bench USING (s) GROUP BY doc_id)
+    SELECT c.doc_id, CAST(len(c.ss) AS BIGINT) AS n_shingles, h.n_common,
+           CAST(h.n_common AS DOUBLE) / len(c.ss) AS contamination
+    FROM corp c JOIN hits h USING (doc_id)
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: docs >= 50 checked for 3-gram overlap against
+    the 'benchmark' docs < 50 (broadcast benchmark shingle set, corpus
+    never shuffles text)."""
+    from oracle_schema_copy_spark.operators import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination.contamination_scores(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+    )
+
+
+@query(
+    "pack_sequences_by_lang",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT *,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(cum_before / 512) AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN cum_before % 512 + n_tokens > 512 THEN 1 ELSE 0 END
+                AS BIGINT) AS straddles
+    FROM c
+    """,
+)
+def q_pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing into 512-token packs per language
+    shard — one cumulative-sum window per shard, no iteration."""
+    from oracle_schema_copy_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", tf.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(
+        t, id_col="doc_id", tokens_col="n_tokens", budget=512, part_col="lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits
 # ---------------------------------------------------------------------------

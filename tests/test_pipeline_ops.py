@@ -1,0 +1,89 @@
+"""Semantics of the training-pipeline operators added in round 2:
+sequence packing, contamination scan, PII redaction, repetition ratio."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.functions import text as tf
+from oracle_schema_copy_spark.operators.contamination import contamination_scores
+from oracle_schema_copy_spark.operators.packing import pack_sequences
+
+
+def test_pack_sequences_chop_semantics(spark):
+    # budget 10; docs of 4,4,4 tokens: third doc starts at offset 8 and
+    # straddles the pack boundary
+    df = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 10), (5, 3)], ["doc_id", "n_tokens"]
+    )
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset, r.straddles)
+        for r in pack_sequences(df, budget=10, tokens_col="n_tokens").collect()
+    }
+    assert got == {
+        1: (0, 0, 0),
+        2: (0, 4, 0),
+        3: (0, 8, 1),  # crosses into pack 1
+        4: (1, 2, 1),  # 10 tokens starting at offset 2
+        5: (2, 2, 0),
+    }
+
+
+def test_pack_sequences_partitions_independently(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 6), (2, "a", 6), (3, "b", 6)], ["doc_id", "lang", "n_tokens"]
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(
+            df, budget=10, tokens_col="n_tokens", part_col="lang"
+        ).collect()
+    }
+    # doc 3 is the first of its own shard: pack 0 again
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_contamination_scores(spark):
+    corpus = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "x y z w v")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(1, "a b c d q r s")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in contamination_scores(corpus, bench).collect()}
+    # doc 10 shares shingles "a b c" and "b c d" (2 of its 3); doc 11 none
+    assert set(rows) == {10}
+    assert rows[10].n_shingles == 3
+    assert rows[10].n_common == 2
+    assert abs(rows[10].contamination - 2 / 3) < 1e-12
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 555-123-4567 acct 1234567890")],
+        ["doc_id", "text"],
+    )
+    counts = tf.pii_counts(F.col("text"))
+    out = df.select(
+        tf.redact_pii(F.col("text")).alias("red"),
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["id_number"].alias("i"),
+    ).collect()[0]
+    assert out.red == "mail [EMAIL] or [PHONE] acct [ID]"
+    assert (out.e, out.p, out.i) == (1, 1, 1)
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b c d e"), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.rep
+        for r in df.select(
+            "doc_id", tf.repetition_ratio(F.col("text")).alias("rep")
+        ).collect()
+    }
+    # doc 1: 7 shingles, 3 distinct -> 4/7 repeated; doc 2 fresh; doc 3 short
+    assert abs(got[1] - 4 / 7) < 1e-12
+    assert got[2] == 0.0
+    assert got[3] == 0.0
