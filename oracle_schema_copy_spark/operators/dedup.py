@@ -161,9 +161,13 @@ def _exploded_shingle_hashes(
     ).select(F.col(id_col), token_hash(F.col("__sh"), hex_digits).alias("__h"))
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """16 MinHash values per doc: min over the shingle set of (a*h(s)+b) mod P."""
-    ex = _exploded_shingle_hashes(df, id_col, text_col, n, MINHASH_HEX_DIGITS)
+def _signatures_from_sets(sets: DataFrame, id_col: str) -> DataFrame:
+    """MinHash signatures from a precomputed (id, shingle_set) frame —
+    explode to the hash stream (kept in codegen; see
+    _exploded_shingle_hashes) and min-aggregate per permutation."""
+    ex = sets.select(
+        F.col(id_col), F.explode_outer("shingle_set").alias("__sh")
+    ).select(F.col(id_col), token_hash(F.col("__sh"), MINHASH_HEX_DIGITS).alias("__h"))
     h = F.col("__h")
     return ex.groupBy(id_col).agg(
         *[
@@ -171,6 +175,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
             for i, (a, b) in enumerate(MINHASH_PERMS)
         ]
     )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """16 MinHash values per doc: min over the shingle set of (a*h(s)+b) mod P."""
+    return _signatures_from_sets(shingle_sets(df, id_col, text_col, n), id_col)
 
 
 def minhash_lsh_pairs(
@@ -192,7 +201,14 @@ def minhash_lsh_pairs(
     bucket (e.g. boilerplate) exploding the pair join.
     """
     rows_per_band = len(MINHASH_PERMS) // bands
-    sig = minhash_signatures(df, id_col, text_col, n)
+    # the shingle sets feed THREE consumers (signatures + both verify
+    # sides); localCheckpoint materializes the text->shingle parse once
+    # instead of re-running it per plan branch — the same lineage-cut
+    # pattern walk.py uses for frontiers. At scale this is an explicit
+    # storage-for-compute trade: the materialized sets are ~text-sized ×
+    # n and spill to executor disk, vs re-parsing the corpus three times.
+    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
+    sig = _signatures_from_sets(sets, id_col)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -222,7 +238,6 @@ def minhash_lsh_pairs(
     # pre-filter. Two shuffle joins on doc id (AQE broadcasts the candidate
     # side when it's small); sets are distinct arrays, so intersect/union
     # arithmetic matches ngram_jaccard_pairs exactly.
-    sets = shingle_sets(df, id_col, text_col, n)
     set_a = sets.select(
         F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa")
     )
