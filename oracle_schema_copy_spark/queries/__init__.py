@@ -89,6 +89,8 @@ _CHECK_FIRST: list[str] = [
     "text_pii_redaction",
     "text_contamination",
     "pack_sequences_by_lang",
+    "stream_stream_join_live",
+    "stream_dedup_keys_live",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -97,6 +99,8 @@ _CHECK_LAST: list[str] = [
     "join_multiway_revenue_by_nation",
     "topk_per_group_lineitems",
     "agg_rollup_flag_status",
+    "edges_by_table",
+    "similarity_topk_ivf_label",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

@@ -119,6 +119,47 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_live",
+    """
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events v
+    JOIN events c
+      ON v.event_type = 'view' AND c.event_type = 'click'
+     AND c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join: views x clicks per user within a
+    1-hour horizon, watermarks on both sides bounding the buffered state,
+    drained with availableNow. The oracle is the equivalent batch range
+    join."""
+    return ops.run_stream_to_df(
+        ops.view_click_join(ops.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@query(
+    "stream_dedup_keys_live",
+    """
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS w_day
+    FROM events
+    """,
+)
+def q_stream_dedup_keys_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming deduplication: first (user, event_type, day) wins via
+    ``dropDuplicates`` on the stream; output projected to the key set so
+    stream, batch and the DISTINCT oracle agree exactly."""
+    return ops.run_stream_to_df(
+        ops.daily_key_dedup(ops.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@query(
     "stream_stateful_user_totals_live",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -177,6 +177,62 @@ def with_late_rows_dropped(df: DataFrame, delay: str = WATERMARK_DELAY) -> DataF
     return df.join(F.broadcast(cutoff)).where(F.col("ts") >= F.col("cutoff")).drop("cutoff")
 
 
+def view_click_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each 'view' matched to that user's 'click'
+    events within ``horizon`` after it.
+
+    Both sides carry watermarks and the join has an event-time range
+    constraint, so Spark bounds the buffered state to the horizon + delay
+    on each side — the canonical stream-stream join shape. The same
+    transformation runs in batch (watermarks are no-ops there), which is
+    what the SQL oracle checks.
+    """
+    streaming = df.isStreaming
+    v = df.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if streaming:
+        v = v.withWatermark("view_ts", WATERMARK_DELAY)
+        c = c.withWatermark("click_ts", WATERMARK_DELAY)
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+
+
+def daily_key_dedup(df: DataFrame) -> DataFrame:
+    """Streaming deduplication: first occurrence of each
+    (user_id, event_type, day) key wins; output is the distinct key set
+    (survivor-attribute-free, so batch and stream agree exactly).
+
+    Uses ``dropDuplicates``, whose guarantee is deterministic (every later
+    duplicate dropped) at the cost of state that only shrinks when keys
+    include the watermark column. For an endless production stream swap in
+    ``dropDuplicatesWithinWatermark`` — state then evicts at the watermark,
+    in exchange for may-rededup semantics beyond the delay horizon.
+    """
+    w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
+    keyed = w.select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("w_day"),
+    )
+    return keyed.dropDuplicates(["user_id", "event_type", "w_day"]).select(
+        "user_id", "event_type", "w_day"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator
 # ---------------------------------------------------------------------------

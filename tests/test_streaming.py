@@ -120,3 +120,19 @@ def test_stream_to_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     batch = ops.load_events(spark, sf_dir).select("event_id", "user_id", "value")
     assert got.count() == batch.count()
     assert got.join(batch, ["event_id", "user_id", "value"]).count() == batch.count()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    batch = ops.view_click_join(ops.load_events(spark, SF))
+    live = ops.run_stream_to_df(
+        ops.view_click_join(ops.events_stream(spark, SF)), output_mode="append"
+    )
+    pd.testing.assert_frame_equal(_sorted_pdf(live), _sorted_pdf(batch))
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    batch = ops.daily_key_dedup(ops.load_events(spark, SF))
+    live = ops.run_stream_to_df(
+        ops.daily_key_dedup(ops.events_stream(spark, SF)), output_mode="append"
+    )
+    pd.testing.assert_frame_equal(_sorted_pdf(live), _sorted_pdf(batch))
