@@ -56,3 +56,39 @@ def salted_agg(
             for name, (kind, col) in metrics.items()
         ]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread a hot LEFT join key over ``salt_buckets``
+    reducers by salting the (large, skewed) left side and replicating the
+    (smaller) right side once per salt value, then joining on
+    (key..., salt).
+
+    The result is row-identical to the plain join — salting is pure
+    mechanics, so any salted query's SQL oracle is the unsalted join. Only
+    ``inner`` and ``left`` are legal: an unmatched RIGHT row exists once
+    per replica, so right/full-outer would emit it ``salt_buckets`` times.
+
+    At 100 TB: reach for AQE's skew-join splitting first (it needs no
+    replication); explicit salting is for the key so hot that even a split
+    shuffle partition exceeds one executor, or for joins AQE won't split
+    (e.g. under a required distribution). Replication multiplies the right
+    side's shuffle volume by ``salt_buckets`` — keep it small or pre-filter
+    the right side to the hot keys and union with a plain join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l = left.withColumn(
+        "__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")

@@ -91,6 +91,7 @@ _CHECK_FIRST: list[str] = [
     "pack_sequences_by_lang",
     "stream_stream_join_live",
     "stream_dedup_keys_live",
+    "join_salted_skew",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -101,6 +102,7 @@ _CHECK_LAST: list[str] = [
     "agg_rollup_flag_status",
     "edges_by_table",
     "similarity_topk_ivf_label",
+    "text_lang_id",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

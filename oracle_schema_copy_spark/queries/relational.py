@@ -658,6 +658,41 @@ def q_agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    """
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the hot-left-key-safe join
+    plan — left rows salted over 8 sub-keys, right replicated per salt.
+    The oracle is the PLAIN join: salting must be invisible in the
+    result."""
+    from oracle_schema_copy_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return (
+        salted_join(li, orders, ["l_orderkey"], salt_buckets=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
     "agg_pivot_status_by_priority",
     """
     SELECT o_orderpriority,
