@@ -138,3 +138,63 @@ def range_join_binned(
         .filter(in_range)
         .drop("__bin", "__rkey", "__rts")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    gap_seconds: int = 14_400,
+) -> DataFrame:
+    """Assign each event its per-key session ordinal: a new session starts
+    when the gap to the previous event reaches ``gap_seconds``.
+
+    The per-EVENT counterpart of the session-window aggregate
+    (``streaming/ops.session_agg``): lag + running sum of new-session
+    flags, one shuffle+sort on (key, ts) — the canonical distributed
+    sessionization. Gap rule matches Spark ``session_window`` merge
+    semantics (an event exactly ``gap`` after the previous one opens a
+    NEW session).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(ts).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) >= gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+
+
+def trailing_features(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    trailing_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-window features per event: count and mean of ``value``
+    over the last ``trailing_seconds`` (inclusive of the current event) for
+    the same key — the standard leakage-free rolling feature for training
+    data (only PAST rows enter each feature).
+
+    A RANGE window frame over the microsecond epoch: one shuffle+sort per
+    key, no self-join, no replication — Spark evaluates the sliding frame
+    incrementally within each sorted partition.
+    """
+    us = F.unix_micros(F.col(ts))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us)
+        .rangeBetween(-trailing_seconds * 1_000_000, 0)
+    )
+    return df.withColumn(
+        "trailing_n", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn("trailing_avg", F.round(F.avg(value).over(w), 6))

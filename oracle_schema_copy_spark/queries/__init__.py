@@ -92,6 +92,8 @@ _CHECK_FIRST: list[str] = [
     "stream_stream_join_live",
     "stream_dedup_keys_live",
     "join_salted_skew",
+    "sessionize_events",
+    "trailing_window_features",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -103,6 +105,8 @@ _CHECK_LAST: list[str] = [
     "edges_by_table",
     "similarity_topk_ivf_label",
     "text_lang_id",
+    "delete_by_keys_lineitem",
+    "ddl_rewrite",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

@@ -70,3 +70,51 @@ def q_range_join_error_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=[],
     )
     return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_nearby_views"))
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH o AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts)) >= 14400000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM o
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ordinals (4-hour gap) — the row-level counterpart
+    of the session-window aggregate; lag + running sum, one shuffle+sort
+    per user."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return temporal.sessionize(ev, key="user_id", ts="ts", gap_seconds=14_400)
+
+
+@query(
+    "trailing_window_features",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+           round(avg(value) OVER w, 6) AS trailing_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free trailing 1-hour count/mean of value per user, per
+    event — a RANGE frame over the microsecond epoch (no self-join, no
+    replication)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return temporal.trailing_features(
+        ev, key="user_id", ts="ts", value="value", trailing_seconds=3600
+    ).drop("value")

@@ -91,3 +91,29 @@ def test_range_join_binned_equals_naive_inequality_join(spark, sf_dir):
         & (F.abs(F.col("ts").cast("double") - F.col("vts").cast("double")) <= window),
     )
     assert binned.count() == naive.count() > 0
+
+
+def test_sessionize_gap_rule(spark):
+    # events at minute 0, 10, 300 (gap 290min >= 240min -> new session)
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, dt.datetime(2024, 1, 1, 0, 10)),
+         (3, 1, dt.datetime(2024, 1, 1, 5, 0)), (4, 2, _ts(0))],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {
+        r.event_id: r.session_seq
+        for r in temporal.sessionize(ev, key="user_id", gap_seconds=14_400).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_trailing_features_range_frame(spark):
+    # user 1: values 1.0@0min, 3.0@30min, 5.0@90min (1h frame drops the first)
+    ev = spark.createDataFrame(
+        [(1, 1, _ts(0), 1.0), (2, 1, _ts(30), 3.0),
+         (3, 1, dt.datetime(2024, 1, 1, 1, 30), 5.0)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    out = temporal.trailing_features(ev, key="user_id", trailing_seconds=3600)
+    got = {r.event_id: (r.trailing_n, r.trailing_avg) for r in out.collect()}
+    assert got == {1: (1, 1.0), 2: (2, 2.0), 3: (2, 4.0)}
