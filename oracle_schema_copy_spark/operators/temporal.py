@@ -38,18 +38,32 @@ def asof_join(
     quote_cols: list[str],
     prefix: str = "q_",
     inclusive: bool = True,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For each probe row, the most recent quote row with ``quote.ts <=
-    probe.ts`` (``<`` when ``inclusive=False``) for the same key — inner
-    semantics: probes with no prior quote are dropped (matches SQL
-    ``ASOF JOIN``).
+    """For each probe row, the nearest quote row for the same key:
+    ``direction="backward"`` (default) picks the most recent quote with
+    ``quote.ts <= probe.ts``; ``"forward"`` the earliest with ``quote.ts
+    >= probe.ts`` (``<`` / ``>`` when ``inclusive=False``). Inner
+    semantics: probes with no matching quote are dropped (matches SQL
+    ``ASOF JOIN``). ``tolerance_seconds`` additionally drops matches
+    farther than that from the probe (pandas ``merge_asof`` tolerance) —
+    it requires ``ts`` in ``quote_cols`` so the matched quote's own
+    timestamp is available to compare.
 
     Implementation: tag quotes 0 / probes 1, union, window ordered by
-    (ts, tag) per key, carry the last non-null quote ROW (one struct —
-    never a per-column fill that could mix attributes of different quote
-    rows) forward. With ``inclusive=False`` quotes sort AFTER probes at
-    equal ts (tag order flips), so same-instant quotes don't match.
+    (ts, tag) per key — ts DESCENDS for the forward direction, which
+    turns "earliest at-or-after" into the same carry-last-seen traversal —
+    and carry the last non-null quote ROW (one struct — never a
+    per-column fill that could mix attributes of different quote rows).
+    With ``inclusive=False`` quotes sort AFTER probes at equal ts (tag
+    order flips), so same-instant quotes don't match. Still ONE
+    shuffle+sort on (key, ts) regardless of direction or tolerance.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if tolerance_seconds is not None and ts not in quote_cols:
+        raise ValueError("tolerance_seconds requires ts in quote_cols")
     q_tag, p_tag = (0, 1) if inclusive else (1, 0)
     q_struct_type = StructType(
         [StructField(c, quotes.schema[c].dataType) for c in quote_cols]
@@ -69,9 +83,10 @@ def asof_join(
         *[F.col(c) for c in probes.columns if c not in (key, ts)],
     )
     u = q.unionByName(p)
+    ts_order = F.col(ts) if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "__tag")
+        .orderBy(ts_order, "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
@@ -84,10 +99,14 @@ def asof_join(
     out_cols = [key, ts] + [c for c in probes.columns if c not in (key, ts)] + [
         f"{prefix}{c}" for c in quote_cols
     ]
+    out = filled.filter(F.col("__tag") == p_tag).filter(F.col("__q").isNotNull())
+    if tolerance_seconds is not None:
+        gap_us = F.abs(
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"__q.{ts}"))
+        )
+        out = out.filter(gap_us <= tolerance_seconds * 1_000_000)
     return (
-        filled.filter(F.col("__tag") == p_tag)
-        .filter(F.col("__q").isNotNull())
-        .select(
+        out.select(
             key,
             ts,
             *[c for c in probes.columns if c not in (key, ts)],

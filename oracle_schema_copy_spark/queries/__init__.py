@@ -94,6 +94,7 @@ _CHECK_FIRST: list[str] = [
     "join_salted_skew",
     "sessionize_events",
     "trailing_window_features",
+    "asof_forward_next_error",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -107,6 +108,7 @@ _CHECK_LAST: list[str] = [
     "text_lang_id",
     "delete_by_keys_lineitem",
     "ddl_rewrite",
+    "oplog_roundtrip_orders",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

@@ -118,3 +118,31 @@ def q_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.trailing_features(
         ev, key="user_id", ts="ts", value="value", trailing_seconds=3600
     ).drop("value")
+
+
+@query(
+    "asof_forward_next_error",
+    """
+    SELECT e.user_id, e.ts, e.event_id, n.event_id AS q_event_id, n.ts AS q_ts
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') e
+    ASOF JOIN (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'error') n
+      ON e.user_id = n.user_id AND e.ts <= n.ts
+    WHERE n.ts - e.ts <= INTERVAL 2 HOUR
+    """,
+)
+def q_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's NEXT error within 2 hours — the forward
+    as-of direction with a tolerance bound (same single shuffle+sort; the
+    oracle is DuckDB's forward ASOF JOIN plus the tolerance predicate)."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    quotes = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    return temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts", quote_cols=["event_id", "ts"],
+        direction="forward", tolerance_seconds=7200,
+    )

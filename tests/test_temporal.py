@@ -117,3 +117,36 @@ def test_trailing_features_range_frame(spark):
     out = temporal.trailing_features(ev, key="user_id", trailing_seconds=3600)
     got = {r.event_id: (r.trailing_n, r.trailing_avg) for r in out.collect()}
     assert got == {1: (1, 1.0), 2: (2, 2.0), 3: (2, 4.0)}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    probes = spark.createDataFrame([(1, _ts(10), 100)], ["user_id", "ts", "event_id"])
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 900, 1.0), (1, _ts(20), 901, 2.0), (1, _ts(50), 902, 3.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    fwd = temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts",
+        quote_cols=["event_id", "ts"], direction="forward",
+    ).collect()
+    assert len(fwd) == 1 and fwd[0].q_event_id == 901  # earliest at-or-after
+
+    # tolerance: only quotes within 5 minutes of the probe qualify -> none
+    tol = temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts",
+        quote_cols=["event_id", "ts"], direction="forward", tolerance_seconds=300,
+    ).collect()
+    assert tol == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temporal.asof_join(
+            probes, quotes, key="user_id", ts="ts",
+            quote_cols=["event_id"], tolerance_seconds=60,
+        )
+    with _pytest.raises(ValueError):
+        temporal.asof_join(
+            probes, quotes, key="user_id", ts="ts",
+            quote_cols=["event_id"], direction="sideways",
+        )
