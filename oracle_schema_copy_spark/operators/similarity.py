@@ -132,6 +132,38 @@ def lsh_bucket(
     return df.withColumn("bucket", bucket.cast("long"))
 
 
+def group_centroids(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per group — the centroid step of k-means /
+    IVF coarse-quantizer training, and the cluster summary every
+    embedding-curation pipeline reports.
+
+    Shape: posexplode to (group, pos, component) and mean per (group,
+    pos) — the explode is map-local, the aggregation map-side combines to
+    one row per (group, dimension), so the shuffle carries |groups| × dim
+    doubles regardless of corpus size. Output rows (group, pos, centroid)
+    keep the result driver/oracle-hashable; re-assemble with
+    ``array_agg ... order by pos`` when an array form is needed.
+    """
+    ex = spread(df).select(
+        F.col(group_col), F.posexplode(vec_col).alias("pos", "__c")
+    )
+    return (
+        ex.groupBy(group_col, "pos")
+        .agg(
+            F.round(F.avg(F.col("__c").cast("double")), round_digits).alias(
+                "centroid"
+            )
+        )
+        .select(group_col, F.col("pos").cast("long").alias("pos"), "centroid")
+    )
+
+
 def _posting_pairs(postings: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Ordered (id_a < id_b) pairs generated locally inside each posting
     row — no self-join, one pass over the posting lists."""

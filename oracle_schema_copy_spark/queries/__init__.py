@@ -95,6 +95,7 @@ _CHECK_FIRST: list[str] = [
     "sessionize_events",
     "trailing_window_features",
     "asof_forward_next_error",
+    "embedding_centroids_by_label",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -109,6 +110,7 @@ _CHECK_LAST: list[str] = [
     "delete_by_keys_lineitem",
     "ddl_rewrite",
     "oplog_roundtrip_orders",
+    "multimodal_binary_metadata",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

@@ -869,3 +869,20 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         F.posexplode("features").alias("feat_pos", "feat_value"),
     )
+
+
+@query(
+    "embedding_centroids_by_label",
+    """
+    SELECT label, CAST(k - 1 AS BIGINT) AS pos,
+           round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
+    GROUP BY label, k
+    """,
+)
+def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the k-means/IVF coarse-quantizer step):
+    posexplode + mean per (label, dimension) — the shuffle carries
+    |labels| x 64 doubles regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, group_col="label", vec_col="embedding")

@@ -87,3 +87,17 @@ def test_repetition_ratio(spark):
     assert abs(got[1] - 4 / 7) < 1e-12
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_group_centroids(spark):
+    from oracle_schema_copy_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 3.0]), (2, "a", [3.0, 5.0]), (3, "b", [10.0, 0.0])],
+        ["vec_id", "label", "embedding"],
+    )
+    got = {
+        (r.label, r.pos): r.centroid
+        for r in group_centroids(df, group_col="label").collect()
+    }
+    assert got == {("a", 0): 2.0, ("a", 1): 4.0, ("b", 0): 10.0, ("b", 1): 0.0}
