@@ -164,6 +164,46 @@ def group_centroids(
     )
 
 
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Assign each vector to its highest-dot-product centroid — the
+    quantizer-assignment step that pairs with ``group_centroids`` (one
+    Lloyd iteration = centroids + this; IVF cell routing = this alone).
+
+    ``centroids`` is the (group, pos, centroid) shape ``group_centroids``
+    emits; it is re-assembled into per-group arrays (tiny: groups × dim)
+    and BROADCAST against a single corpus scan. Each vector scores k dot
+    products locally and keeps the argmax via one rank window keyed on the
+    vector id — ties broken by smallest group id, so the result is
+    deterministic. The dot is the sequential-double ``dot()``, bit-equal
+    to the SQL twin.
+    """
+    cvecs = centroids.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("__cvec")
+    ).select(F.col(group_col).alias("__grp"), "__cvec")
+    # restrict to (id, vec) first: the corpus may itself carry group_col
+    scored = spread(df.select(id_col, vec_col)).join(F.broadcast(cvecs)).select(
+        F.col(id_col),
+        F.col("__grp").alias("assigned"),
+        dot(F.col(vec_col), F.col("__cvec")).alias("__dot"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__dot").desc(), F.col("assigned"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "assigned", F.round("__dot", 6).alias("dot"))
+    )
+
+
 def _posting_pairs(postings: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Ordered (id_a < id_b) pairs generated locally inside each posting
     row — no self-join, one pass over the posting lists."""

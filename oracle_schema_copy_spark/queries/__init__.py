@@ -96,6 +96,7 @@ _CHECK_FIRST: list[str] = [
     "trailing_window_features",
     "asof_forward_next_error",
     "embedding_centroids_by_label",
+    "assign_nearest_centroid",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -111,6 +112,7 @@ _CHECK_LAST: list[str] = [
     "ddl_rewrite",
     "oplog_roundtrip_orders",
     "multimodal_binary_metadata",
+    "text_stats_quality",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

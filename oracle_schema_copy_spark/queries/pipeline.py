@@ -886,3 +886,38 @@ def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     |labels| x 64 doubles regardless of corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+
+
+@query(
+    "assign_nearest_centroid",
+    f"""
+    WITH cents AS (
+        SELECT label, k - 1 AS pos,
+               round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY label, k),
+    cvec AS (
+        SELECT label, array_agg(centroid ORDER BY pos) AS cv
+        FROM cents GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, c.label AS assigned,
+               {_sql_dot('e.embedding', 'c.cv')} AS d
+        FROM embeddings e CROSS JOIN cvec c),
+    ranked AS (
+        SELECT vec_id, assigned, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, assigned) AS rk
+        FROM scored)
+    SELECT vec_id, assigned, round(d, 6) AS dot FROM ranked WHERE rk = 1
+    """,
+)
+def q_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer assignment: every vector routed to its max-dot label
+    centroid (centroids from group_centroids, broadcast; one corpus
+    scan + a per-vector rank window). With group_centroids this is one
+    Lloyd/k-means iteration expressed declaratively."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    return similarity.assign_nearest_centroid(
+        emb, cents, id_col="vec_id", vec_col="embedding", group_col="label"
+    )

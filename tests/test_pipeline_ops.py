@@ -101,3 +101,31 @@ def test_group_centroids(spark):
         for r in group_centroids(df, group_col="label").collect()
     }
     assert got == {("a", 0): 2.0, ("a", 1): 4.0, ("b", 0): 10.0, ("b", 1): 0.0}
+
+
+def test_assign_nearest_centroid(spark):
+    from oracle_schema_copy_spark.operators.similarity import (
+        assign_nearest_centroid,
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "a", [0.9, 0.1]), (3, "b", [0.0, 1.0]),
+         (4, "b", [0.1, 0.9]), (5, "c", [1.0, 0.2])],
+        ["vec_id", "label", "embedding"],
+    )
+    cents = group_centroids(df, group_col="label")
+    got = {
+        r.vec_id: r.assigned
+        for r in assign_nearest_centroid(df, cents).collect()
+    }
+    # expectation computed independently: argmax-dot centroid per vector
+    # (ties by smallest label). NOTE dot, not cosine: the unnormalized
+    # "c" centroid [1.0, 0.2] legitimately wins x-axis-heavy vectors.
+    vecs = {1: [1.0, 0.0], 2: [0.9, 0.1], 3: [0.0, 1.0], 4: [0.1, 0.9], 5: [1.0, 0.2]}
+    cent = {"a": [0.95, 0.05], "b": [0.05, 0.95], "c": [1.0, 0.2]}
+    for vid, v in vecs.items():
+        want = min(
+            cent, key=lambda g: (-sum(x * y for x, y in zip(v, cent[g])), g)
+        )
+        assert got[vid] == want, (vid, got[vid], want)
