@@ -97,6 +97,7 @@ _CHECK_FIRST: list[str] = [
     "asof_forward_next_error",
     "embedding_centroids_by_label",
     "assign_nearest_centroid",
+    "agg_grouping_sets",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -113,6 +114,7 @@ _CHECK_LAST: list[str] = [
     "oplog_roundtrip_orders",
     "multimodal_binary_metadata",
     "text_stats_quality",
+    "dedup_simhash_pairs",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

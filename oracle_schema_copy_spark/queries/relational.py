@@ -749,3 +749,28 @@ def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("totalprice"),
         F.col("o_custkey").cast("double").alias("custkey"),
     ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization rollup/cube sugar over):
+    per-status totals, per-priority totals, and the grand total in one
+    pass — Spark plans a single Expand + aggregate, not three scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum2(F.col("o_totalprice").cast("decimal(14,2)")).alias("total"),
+    )

@@ -233,6 +233,44 @@ def daily_key_dedup(df: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_to_parquet(
+    stream_df: DataFrame, path: str, keys: list[str], checkpoint: str
+) -> None:
+    """foreachBatch CDC-style sink: MERGE each micro-batch into a parquet
+    serving table by key (update-mode emissions overwrite their key's row;
+    new keys insert). The plain-parquet merge materializes the merged
+    frame (localCheckpoint) before overwriting the directory it read —
+    the same staged-swap discipline plans/oplog.py uses. On a table
+    format with native MERGE (Delta/Iceberg) the body becomes one MERGE
+    INTO; the foreachBatch wiring is identical.
+    """
+    from oracle_schema_copy_spark.operators.mutate import merge_upsert
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # update-mode aggregates emit one row per key per batch; the
+        # defensive dedup guards composed sources so MERGE's unique-key
+        # contract holds
+        latest = batch_df.dropDuplicates(keys)
+        try:
+            target = spark.read.parquet(path)
+            merged = merge_upsert(target, latest, keys, check_unique=False)
+        except Exception:  # first batch: no table yet
+            merged = latest
+        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+
+    (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator
 # ---------------------------------------------------------------------------

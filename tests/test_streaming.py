@@ -136,3 +136,46 @@ def test_stream_dedup_matches_batch_distinct(spark):
         ops.daily_key_dedup(ops.events_stream(spark, SF)), output_mode="append"
     )
     pd.testing.assert_frame_equal(_sorted_pdf(live), _sorted_pdf(batch))
+
+
+def test_foreachbatch_upsert_serving_table(spark):
+    """Two micro-batches of stateful running totals merged into a parquet
+    serving table by user_id: the final table must equal the batch totals
+    (each batch's emission OVERWRITES that user's row — upsert, not
+    append)."""
+    events = ops.load_events(spark, SF)
+    stage = os.path.join(tempfile.gettempdir(), f"oscs-fb-{uuid.uuid4().hex[:8]}")
+    try:
+        for i, pred in enumerate(
+            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+        ):
+            events.where(pred).coalesce(1).write.parquet(
+                os.path.join(stage, f"part{i}")
+            )
+        flat = os.path.join(stage, "flat")
+        os.makedirs(flat)
+        n = 0
+        for sub in ("part0", "part1"):
+            for f in os.listdir(os.path.join(stage, sub)):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(stage, sub, f), os.path.join(flat, f"{n}.parquet")
+                    )
+                    n += 1
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        serving = os.path.join(stage, "serving")
+        ops.stream_upsert_to_parquet(
+            ops.stateful_user_totals_stream(sdf),
+            serving,
+            ["user_id"],
+            os.path.join(stage, "ckpt"),
+        )
+        got = _sorted_pdf(spark.read.parquet(serving))
+        expected = _sorted_pdf(ops.batch_user_totals(events))
+        pd.testing.assert_frame_equal(got, expected)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
