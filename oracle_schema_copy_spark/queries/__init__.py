@@ -114,7 +114,7 @@ _CHECK_LAST: list[str] = [
     "oplog_roundtrip_orders",
     "multimodal_binary_metadata",
     "text_stats_quality",
-    "dedup_simhash_pairs",
+    "similarity_topk_bruteforce",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",
