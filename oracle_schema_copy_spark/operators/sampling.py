@@ -53,6 +53,36 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < rate)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "w",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-k by the
+    A-ES key ``u^(1/w)`` (Efraimidis–Spirakis), with the uniform ``u``
+    derived from md5(salt || id) instead of an RNG — reproducible across
+    engines, partitionings and reruns, and oracle-checkable. Rows with
+    non-positive weight are excluded (their key is undefined).
+
+    Shape: per-row key projection + one global TakeOrderedAndProject —
+    each partition keeps its local top-k, the driver merges k rows, never
+    a full sort. This is the "mix domains by quality weight" primitive of
+    corpus curation.
+    """
+    # bucket midpoint -> u in (0, 1), exactly (b + 0.5) / 10000 on both engines
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(BUCKETS))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", F.round(key, 9))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

@@ -98,6 +98,7 @@ _CHECK_FIRST: list[str] = [
     "embedding_centroids_by_label",
     "assign_nearest_centroid",
     "agg_grouping_sets",
+    "sample_weighted_topk",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -115,6 +116,7 @@ _CHECK_LAST: list[str] = [
     "multimodal_binary_metadata",
     "text_stats_quality",
     "similarity_topk_bruteforce",
+    "keyed_scan_orders",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

@@ -921,3 +921,25 @@ def q_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.assign_nearest_centroid(
         emb, cents, id_col="vec_id", vec_col="embedding", group_col="label"
     )
+
+
+@query(
+    "sample_weighted_topk",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(pow(({_SQL_BUCKET.format(salt="'w'")} + 0.5) / 10000,
+                         1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES top-k on
+    md5-derived uniforms, weight = document length): the 'mix sources by
+    weight' curation primitive, reproducible on any engine/partitioning."""
+    from oracle_schema_copy_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_hash_sample(docs, "doc_id", "n_chars", k=100)

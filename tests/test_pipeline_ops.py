@@ -129,3 +129,21 @@ def test_assign_nearest_centroid(spark):
             cent, key=lambda g: (-sum(x * y for x, y in zip(v, cent[g])), g)
         )
         assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_weighted_hash_sample_properties(spark):
+    from oracle_schema_copy_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, float(1 + (i % 7) * 100)) for i in range(200)] + [(900, -1.0)],
+        ["doc_id", "w"],
+    )
+    out = weighted_hash_sample(df, "doc_id", "w", k=20).collect()
+    assert len(out) == 20
+    assert all(r.doc_id != 900 for r in out)  # non-positive weight excluded
+    # deterministic: identical selection on a rerun with different partitioning
+    out2 = weighted_hash_sample(df.repartition(7), "doc_id", "w", k=20).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+    # heavier weights are favored: the top-20 mean weight beats the corpus mean
+    mean_sel = sum(r.w for r in out) / len(out)
+    assert mean_sel > 301.0  # corpus mean ~= 300
