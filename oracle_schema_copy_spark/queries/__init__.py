@@ -99,6 +99,8 @@ _CHECK_FIRST: list[str] = [
     "assign_nearest_centroid",
     "agg_grouping_sets",
     "sample_weighted_topk",
+    "feature_binning_ntile",
+    "dedup_fuzzy_name_pairs",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -117,6 +119,8 @@ _CHECK_LAST: list[str] = [
     "text_stats_quality",
     "similarity_topk_bruteforce",
     "keyed_scan_orders",
+    "dedup_ngram_jaccard",
+    "agg_pricing_summary",
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",

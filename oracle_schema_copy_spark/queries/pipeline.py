@@ -943,3 +943,40 @@ def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return sampling.weighted_hash_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@query(
+    "dedup_fuzzy_name_pairs",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 200)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM c a JOIN c b
+      ON substr(a.c_name, 1, 14) = substr(b.c_name, 1, 14)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs share a 14-char name prefix
+    (an EQUI-join — the blocking key that keeps the pair space linear at
+    scale), verified by edit distance <= 1. Levenshtein is exact-integer
+    on both engines, so the oracle needs no rounding."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select("c_custkey", "c_name", F.substring("c_name", 1, 14).alias("__blk"))
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("__na"), "__blk"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("__nb"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("__na", "__nb").cast("long"))
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b", "distance")
+    )

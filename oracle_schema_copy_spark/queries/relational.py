@@ -774,3 +774,23 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _dsum2(F.col("o_totalprice").cast("decimal(14,2)")).alias("total"),
     )
+
+
+@query(
+    "feature_binning_ntile",
+    """
+    SELECT doc_id, n_chars,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS len_decile
+    FROM documents
+    """,
+)
+def q_feature_binning_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature discretization: equal-population deciles of
+    document length via ntile — the binning step before bucketed
+    histograms / stratified policies. Deterministic total order (ties by
+    id) so both engines cut identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "n_chars", F.ntile(10).over(w).cast("long").alias("len_decile")
+    )
