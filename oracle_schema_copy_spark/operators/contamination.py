@@ -38,22 +38,32 @@ def contamination_scores(
     produce no row — at scale the overwhelming majority, so the output
     stays proportional to actual contamination, not corpus size).
     """
-    sh = corpus.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("__sh")
-    ).where(F.size("__sh") > 0)
-    sizes = sh.select(id_col, F.size("__sh").cast("long").alias("n_shingles"))
+    from oracle_schema_copy_spark.operators import spread
+
+    # ONE plan branch: carry the per-doc shingle count through the explode
+    # (the ngram_jaccard_pairs pattern) so the text->shingle parse runs
+    # once and no size-lookup join is needed afterwards
+    sh = (
+        spread(corpus)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
+        .where(F.size("__sh") > 0)
+    )
+    ex = sh.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_shingles"),
+        F.explode("__sh").alias("s"),
+    )
     bench = (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
         .distinct()
     )
-    hits = (
-        sh.select(F.col(id_col), F.explode("__sh").alias("s"))
-        .join(F.broadcast(bench), "s")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
     return (
-        hits.join(sizes, id_col)
+        ex.join(F.broadcast(bench), "s")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count("*").cast("long").alias("n_common"),
+        )
         .select(
             id_col,
             "n_shingles",

@@ -179,10 +179,12 @@ def assign_nearest_centroid(
     ``centroids`` is the (group, pos, centroid) shape ``group_centroids``
     emits; it is re-assembled into per-group arrays (tiny: groups × dim)
     and BROADCAST against a single corpus scan. Each vector scores k dot
-    products locally and keeps the argmax via one rank window keyed on the
-    vector id — ties broken by smallest group id, so the result is
-    deterministic. The dot is the sequential-double ``dot()``, bit-equal
-    to the SQL twin.
+    products locally and keeps the argmax via a min-of-struct aggregate
+    ((-dot, group) lexicographic, so ties break on the smallest group id)
+    — map-side combine collapses the k scored rows to ONE row per vector
+    before the shuffle, where a rank window would shuffle and sort all
+    k x |corpus| rows. The dot is the sequential-double ``dot()``,
+    bit-equal to the SQL twin.
     """
     cvecs = centroids.groupBy(group_col).agg(
         F.transform(
@@ -196,11 +198,19 @@ def assign_nearest_centroid(
         F.col("__grp").alias("assigned"),
         dot(F.col(vec_col), F.col("__cvec")).alias("__dot"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__dot").desc(), F.col("assigned"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, "assigned", F.round("__dot", 6).alias("dot"))
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("__dot")).alias("nd"),
+                F.col("assigned").alias("assigned"),
+                F.col("__dot").alias("dot"),
+            )
+        ).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.assigned").alias("assigned"),
+        F.round("__best.dot", 6).alias("dot"),
     )
 
 

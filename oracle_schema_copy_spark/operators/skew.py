@@ -19,6 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _row_salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt in [0, buckets): xxhash64 of every
+    column. Unlike ``monotonically_increasing_id`` (attempt-dependent),
+    a recomputed task re-derives identical salts, so salted shuffles stay
+    exactly-once under partial stage retries."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+
+
 # (partial aggregate over salted groups, final recombination) per metric
 SALTABLE = {
     "sum": (F.sum, F.sum),
@@ -38,12 +46,13 @@ def salted_agg(
     """Two-phase skew-safe aggregation.
 
     ``metrics`` maps output column name -> (agg kind, input column), kind
-    in SALTABLE. The salt is a deterministic per-row value (a hash of the
-    whole row's partition id via ``spark_partition_id`` would bind to
-    physical layout; ``monotonically_increasing_id() % N`` keeps the salt
-    stable per row within a run and uniform across the hot key's rows).
+    in SALTABLE. The salt must be DETERMINISTIC per row (a recomputed map
+    task after a shuffle-fetch failure must re-emit the same salt, or rows
+    can be double-counted/lost across partial stage retries): hash of the
+    whole row, modulo the bucket count. Exact duplicate rows share a salt,
+    which only matters if one key is dominated by identical rows.
     """
-    salted = df.withColumn("__salt", F.monotonically_increasing_id() % salt_buckets)
+    salted = df.withColumn("__salt", _row_salt(df, salt_buckets))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[
             SALTABLE[kind][0](col).alias(f"__p_{name}")
@@ -81,13 +90,13 @@ def salted_join(
     shuffle partition exceeds one executor, or for joins AQE won't split
     (e.g. under a required distribution). Replication multiplies the right
     side's shuffle volume by ``salt_buckets`` — keep it small or pre-filter
-    the right side to the hot keys and union with a plain join.
+    the right side to the hot keys and union with a plain join. The salt
+    is a JOIN key, so it must be deterministic under task retries — see
+    ``_row_salt``.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    l = left.withColumn(
-        "__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
-    )
+    l = left.withColumn("__salt", _row_salt(left, salt_buckets).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

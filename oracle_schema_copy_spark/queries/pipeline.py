@@ -571,7 +571,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-3-gram fraction per document (boilerplate/loop detector) —
-    pure per-row array math, no explode, no shuffle."""
+    pure per-row array math, no explode, no shuffle. The shingle stream
+    appears in several output expressions; runtime subexpression
+    elimination (SubExprEvaluationRuntime, on by default) evaluates it
+    once per row — measured 0.26s for the whole query at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
     stream = tf.shingle_stream(F.col("text"))
     return docs.select(

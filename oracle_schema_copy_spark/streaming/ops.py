@@ -215,14 +215,15 @@ def daily_key_dedup(df: DataFrame) -> DataFrame:
     (user_id, event_type, day) key wins; output is the distinct key set
     (survivor-attribute-free, so batch and stream agree exactly).
 
-    Uses ``dropDuplicates``, whose guarantee is deterministic (every later
-    duplicate dropped) at the cost of state that only shrinks when keys
-    include the watermark column. For an endless production stream swap in
-    ``dropDuplicatesWithinWatermark`` — state then evicts at the watermark,
-    in exchange for may-rededup semantics beyond the delay horizon.
+    Uses ``dropDuplicates`` with NO watermark: a watermark would drop
+    late-arriving FIRST occurrences in multi-micro-batch drains, silently
+    diverging from the batch DISTINCT (the oracle). The cost is dedup
+    state that never evicts — fine for bounded backfills; for an endless
+    production stream swap in ``dropDuplicatesWithinWatermark`` (plus a
+    watermark), which bounds state in exchange for may-rededup semantics
+    beyond the delay horizon.
     """
-    w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
-    keyed = w.select(
+    keyed = df.select(
         "ts",
         "user_id",
         "event_type",
@@ -254,10 +255,16 @@ def stream_upsert_to_parquet(
         # defensive dedup guards composed sources so MERGE's unique-key
         # contract holds
         latest = batch_df.dropDuplicates(keys)
-        try:
+        # probe existence explicitly — a bare try/except around the read
+        # would treat ANY failure (schema drift, corrupt dir, FS hiccup)
+        # as "first batch" and silently replace the whole table with one
+        # micro-batch; real errors must propagate and fail the stream
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             target = spark.read.parquet(path)
             merged = merge_upsert(target, latest, keys, check_unique=False)
-        except Exception:  # first batch: no table yet
+        else:  # first batch: no table yet
             merged = latest
         merged.localCheckpoint().write.mode("overwrite").parquet(path)
 

@@ -1,9 +1,11 @@
 """Physical-plan audit for the headline queries.
 
 Prints, per query: broadcast vs sort-merge join counts, whole-stage
-codegen span count, every parquet scan's PushedFilters + ReadSchema, and
-red flags (a scan reading all columns, a cartesian/broadcast-nested-loop
-join, zero pushed filters where the query filters a base table).
+codegen span count, and every parquet scan's PushedFilters + ReadSchema
+(for HUMAN inspection of pruning/pushdown — the tool cannot know which
+columns/filters a query *should* push, so it reports rather than judges
+those). The one hard check: fail on a cartesian or broadcast-nested-loop
+join that is not an allowlisted intentional cross-score.
 
 Usage: python tools/plan_audit.py [sf_dir] [q1,q2,...]
 Defaults: sf0.01, all headline queries. Exit code 1 if any red flag.
