@@ -101,6 +101,7 @@ _CHECK_FIRST: list[str] = [
     "sample_weighted_topk",
     "feature_binning_ntile",
     "dedup_fuzzy_name_pairs",
+    "agg_stats_moments",
 ]
 _CHECK_LAST: list[str] = [
     # each has an earlier same-family representative in the check order,
@@ -120,6 +121,7 @@ _CHECK_LAST: list[str] = [
     "similarity_topk_bruteforce",
     "keyed_scan_orders",
     "dedup_ngram_jaccard",
+    "join_inner_revenue_by_order",
     "agg_pricing_summary",
     "dedup_normalized",
     "dedup_simhash_signatures",

@@ -794,3 +794,26 @@ def q_feature_binning_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "n_chars", F.ntile(10).over(w).cast("long").alias("len_decile")
     )
+
+
+@query(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (sample stddev, Pearson correlation) —
+    both engines use merge-formula accumulation whose results agree at
+    these rounding levels (verified empirically at sf0.01 and sf0.1:
+    stddev rounded to 4, corr to 6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
