@@ -38,23 +38,29 @@ def contamination_scores(
     produce no row — at scale the overwhelming majority, so the output
     stays proportional to actual contamination, not corpus size).
     """
-    from oracle_schema_copy_spark.operators import spread
+    from oracle_schema_copy_spark.operators.dedup import shingle_sets
 
     # ONE plan branch: carry the per-doc shingle count through the explode
     # (the ngram_jaccard_pairs pattern) so the text->shingle parse runs
-    # once and no size-lookup join is needed afterwards
-    sh = (
-        spread(corpus)
-        .select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
-        .where(F.size("__sh") > 0)
+    # once and no size-lookup join is needed afterwards. shingle_sets
+    # filters on TOKEN count, not size(shingle_set) — a filter on the
+    # computed array would be pushed below the projection and re-evaluate
+    # the whole shingle expression per row (its docstring documents this).
+    sh = shingle_sets(corpus, id_col, text_col, n).withColumnRenamed(
+        "shingle_set", "__sh"
     )
+    # explode_outer, not explode: with plain explode Catalyst rewrites the
+    # Generate in a way that re-evaluates the shingle expression per
+    # OUTPUT row (~10x slower here); outer keeps it evaluated once per
+    # input row (same fix as dedup.py's posting generators — empties are
+    # already filtered, so outer == inner semantically)
     ex = sh.select(
         F.col(id_col),
         F.size("__sh").cast("long").alias("n_shingles"),
-        F.explode("__sh").alias("s"),
+        F.explode_outer("__sh").alias("s"),
     )
     bench = (
-        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
+        benchmark.select(F.explode_outer(shingles(F.col(text_col), n)).alias("s"))
         .distinct()
     )
     return (
