@@ -78,21 +78,27 @@ def merge_upsert(
 
 def delete_by_keys(
     target: DataFrame,
-    key_column: str,
+    key_columns: str | list[str],
     keys: Iterable | DataFrame,
     spark: SparkSession | None = None,
 ) -> DataFrame:
-    """Rows of ``target`` surviving a keyed delete (anti-join rewrite)."""
+    """Rows of ``target`` surviving a keyed delete (anti-join rewrite).
+    ``key_columns`` may be composite; a keys DataFrame pairs its columns
+    positionally with ``key_columns``."""
+    cols = [key_columns] if isinstance(key_columns, str) else list(key_columns)
     if not isinstance(keys, DataFrame):
         assert spark is not None, "spark session required for driver-side key lists"
-        keys = spark.createDataFrame([(k,) for k in keys], [key_column])
-    kcol = keys.columns[0]
+        vals = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+        keys = spark.createDataFrame(vals, cols)
+    keys = keys.distinct()
+    cond = None
+    for tcol, kcol in zip(cols, keys.columns):
+        e = target[tcol] == keys[kcol]
+        cond = e if cond is None else cond & e
     # no broadcast hint: a forced hint overrides the size threshold and
     # collects arbitrarily large key sets to the driver; the planner / AQE
     # broadcasts small key frames on its own (see walk.py module docstring)
-    return target.join(
-        keys.distinct(), target[key_column] == keys[kcol], "left_anti"
-    )
+    return target.join(keys, cond, "left_anti")
 
 
 def bulk_copy(source: DataFrame, columns: list[str] | None = None) -> DataFrame:

@@ -24,7 +24,13 @@ Semantic deltas from the reference, on purpose (SURVEY.md §4 quirks):
   are UNIONED (the reference overwrites, ``CopyUtils.java:566-567``);
 - seed/frontier keys are de-duplicated before counting, so the copy
   assertion holds under duplicate root ids;
-- composite-PK tables may be walked via any declared single join column.
+- composite-PK tables are first-class: the reference hard-errors on them
+  (``CopyUtils.java:410-412``); here a frontier carries ALL primary-key
+  columns, selections semi/anti-join on the full composite key, and the
+  copy assertion counts distinct composite tuples. Edges OUT of a
+  composite-PK parent still probe via the single declared FK-referenced
+  column (``FkEdge.parent_column``) — a single-column FK cannot address a
+  composite parent key, matching SQL FK semantics.
 
 Scale: frontiers are cached and typically tiny relative to the fact
 tables (the use case is subgraph extraction), so every probe compiles to
@@ -40,7 +46,7 @@ side with local shuffle readers) broadcasts exactly when it's safe.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable
+from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,47 +54,85 @@ from pyspark.sql import functions as F
 from oracle_schema_copy_spark.catalog import Catalog, FkEdge, parse_paths, root_table_of_paths
 
 
+def _key_cols(key_columns: str | Sequence[str]) -> list[str]:
+    return [key_columns] if isinstance(key_columns, str) else list(key_columns)
+
+
+def _eq_cond(table_df: DataFrame, table_cols: Sequence[str], keys: DataFrame):
+    """AND-of-equalities join condition pairing table columns with the key
+    frame's columns positionally."""
+    cond = None
+    for tcol, kcol in zip(table_cols, keys.columns):
+        e = table_df[tcol] == keys[kcol]
+        cond = e if cond is None else cond & e
+    return cond
+
+
 @dataclass
 class TableSelection:
-    """A keyed row-set: (table, key column, distinct key values as a 1-col DF)."""
+    """A keyed row-set: (table, key column(s), distinct key tuples as a DF).
+
+    ``key_columns`` accepts a single column name or a sequence (composite
+    PK); ``keys`` must have matching columns in the same order."""
 
     table: str
-    key_column: str
+    key_columns: str | tuple[str, ...]
     keys: DataFrame
 
+    def __post_init__(self) -> None:
+        self.key_columns = tuple(_key_cols(self.key_columns))
 
-def keyed_scan(table_df: DataFrame, key_column: str, keys: DataFrame) -> DataFrame:
-    """Rows of ``table_df`` whose ``key_column`` appears in ``keys`` (S2).
+    @property
+    def key_column(self) -> str:
+        """Single-key convenience accessor (leading column for composites)."""
+        return self.key_columns[0]
 
-    ``keys`` must be a single-column DataFrame; it is the build side of a
-    left-semi join — broadcast by the planner/AQE when under the size
-    threshold, shuffled when not (no forced hint; see module docstring).
+
+def keyed_scan(
+    table_df: DataFrame, key_columns: str | Sequence[str], keys: DataFrame
+) -> DataFrame:
+    """Rows of ``table_df`` whose key column(s) appear in ``keys`` (S2).
+
+    ``keys`` columns pair positionally with ``key_columns``; it is the
+    build side of a left-semi join — broadcast by the planner/AQE when
+    under the size threshold, shuffled when not (no forced hint; see
+    module docstring).
     """
-    kcol = keys.columns[0]
-    return table_df.join(keys, table_df[key_column] == keys[kcol], "left_semi")
+    return table_df.join(keys, _eq_cond(table_df, _key_cols(key_columns), keys), "left_semi")
 
 
 def find_linked_rows(
-    child_df: DataFrame, child_column: str, child_pk: str, parent_keys: DataFrame
+    child_df: DataFrame,
+    child_column: str,
+    child_pk: str | Sequence[str],
+    parent_keys: DataFrame,
 ) -> DataFrame:
-    """Child PKs whose FK column matches any parent key (S3): semi-join probe."""
+    """Child PKs whose FK column matches any parent key (S3): semi-join probe.
+
+    ``child_pk`` may be composite — the returned frontier then carries all
+    PK columns (one row per distinct composite key).
+    """
     kcol = parent_keys.columns[0]
     return (
         child_df.join(
             parent_keys, child_df[child_column] == parent_keys[kcol], "left_semi"
         )
-        .select(F.col(child_pk))
-        # frontiers are key SETS: child_pk may repeat across matched rows
-        # (e.g. l_orderkey over lineitem's composite PK), and the frontier
-        # is broadcast on the next hop — dedup here keeps it minimal
+        .select(*[F.col(c) for c in _key_cols(child_pk)])
+        # frontiers are key SETS: single-col projections of a composite-PK
+        # child may repeat across matched rows, and the frontier is
+        # broadcast on the next hop — dedup here keeps it minimal
         .distinct()
     )
 
 
-def seed_frame(spark: SparkSession, key_column: str, values: Iterable) -> DataFrame:
-    """Build the root key frontier from driver-side seed values (bounded)."""
-    vals = list(values)
-    return spark.createDataFrame([(v,) for v in vals], [key_column]).distinct()
+def seed_frame(
+    spark: SparkSession, key_columns: str | Sequence[str], values: Iterable
+) -> DataFrame:
+    """Build the root key frontier from driver-side seed values (bounded).
+    For composite keys pass tuple values matching ``key_columns`` order."""
+    cols = _key_cols(key_columns)
+    vals = [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in values]
+    return spark.createDataFrame(vals, cols).distinct()
 
 
 def walk_linked(
@@ -106,25 +150,31 @@ def walk_linked(
     """
     edges: list[FkEdge] = parse_paths(paths, catalog.pk_of_map() | _walk_pks(catalog))
     root_table = root_table_of_paths(paths)
-    root_pk = _walk_pk(catalog, root_table)
+    root_pk = _walk_pk_cols(catalog, root_table)
 
     if isinstance(root_ids, DataFrame):
-        roots = root_ids.toDF(root_pk).distinct()
+        roots = root_ids.toDF(*root_pk).distinct()
     else:
         roots = seed_frame(spark, root_pk, root_ids)
     roots = roots.cache()
 
     ids_by_table: dict[str, DataFrame] = {root_table: roots}
     order: list[str] = [root_table]
-    key_col: dict[str, str] = {root_table: root_pk}
+    key_col: dict[str, tuple[str, ...]] = {root_table: root_pk}
 
     for edge in edges:
         parent_ids = ids_by_table.get(edge.parent_table)
         if parent_ids is None:
             raise ValueError(f"could not find path to {edge.parent_table}")
         child = edge.child_table
-        child_pk = _walk_pk(catalog, child)
-        found = find_linked_rows(tables[child], edge.child_column, child_pk, parent_ids)
+        child_pk = _walk_pk_cols(catalog, child)
+        # a single-column FK probes one parent column; composite-PK parent
+        # frontiers project down to the FK-referenced column for the probe
+        if list(parent_ids.columns) == [edge.parent_column]:
+            probe = parent_ids
+        else:
+            probe = parent_ids.select(edge.parent_column).distinct()
+        found = find_linked_rows(tables[child], edge.child_column, child_pk, probe)
         if child in ids_by_table:
             # union semantics (reference overwrites here — documented delta);
             # duplicates across edges are tolerated (see find_linked_rows)
@@ -151,7 +201,7 @@ def copy_selections(
     fact table.
     """
     out: dict[str, DataFrame] = {
-        sel.table: keyed_scan(tables[sel.table], sel.key_column, sel.keys)
+        sel.table: keyed_scan(tables[sel.table], sel.key_columns, sel.keys)
         for sel in selections
     }
     if assert_counts and selections:
@@ -159,11 +209,15 @@ def copy_selections(
         for sel in selections:
             found = (
                 out[sel.table]
-                .agg(F.count_distinct(F.col(sel.key_column)).alias("n_found"))
+                .agg(
+                    F.count_distinct(
+                        *[F.col(c) for c in sel.key_columns]
+                    ).alias("n_found")
+                )
                 .select(F.lit(sel.table).alias("table_name"), "n_found")
             )
             want = sel.keys.agg(
-                F.count_distinct(F.col(sel.keys.columns[0])).alias("n_keys")
+                F.count_distinct(*[F.col(c) for c in sel.keys.columns]).alias("n_keys")
             )
             row = found.crossJoin(want)
             checks = row if checks is None else checks.unionByName(row)
@@ -187,11 +241,9 @@ def delete_selections(
     """
     out: dict[str, DataFrame] = {}
     for sel in selections:
-        kcol = sel.keys.columns[0]
-        out[sel.table] = tables[sel.table].join(
-            sel.keys,
-            tables[sel.table][sel.key_column] == sel.keys[kcol],
-            "left_anti",
+        tdf = tables[sel.table]
+        out[sel.table] = tdf.join(
+            sel.keys, _eq_cond(tdf, sel.key_columns, sel.keys), "left_anti"
         )
     return out
 
@@ -220,13 +272,13 @@ def delete_tree(
     return delete_selections(tables, sels)
 
 
-def _walk_pk(catalog: Catalog, table: str) -> str:
-    """Key column used to identify rows of ``table`` during a walk: the
-    single-column PK when there is one, else the first PK column (composite
-    PK tables are addressed by their leading/declared walk column)."""
-    pk = catalog.primary_keys[table.lower()]
-    return pk[0]
+def _walk_pk_cols(catalog: Catalog, table: str) -> tuple[str, ...]:
+    """Key columns identifying rows of ``table`` during a walk: the full
+    (possibly composite) primary key."""
+    return catalog.primary_keys[table.lower()]
 
 
 def _walk_pks(catalog: Catalog) -> dict[str, str]:
+    """Leading PK column per table — the column a single-column FK edge
+    references when addressing the table as a *parent* (path parsing)."""
     return {t: pk[0] for t, pk in catalog.primary_keys.items()}

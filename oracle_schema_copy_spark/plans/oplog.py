@@ -117,9 +117,17 @@ class OperationLogWriter:
         keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
         self._data_op("upsert", table, df, {"key_columns": keys})
 
-    def delete(self, table: str, key_column: str, keys: DataFrame) -> None:
-        """Delete rows of ``table`` by key on replay (K5 / DeleteByPk)."""
-        self._data_op("delete", table, keys.select(key_column), {"key_column": key_column})
+    def delete(self, table: str, key_columns: str | list[str], keys: DataFrame) -> None:
+        """Delete rows of ``table`` by (possibly composite) key on replay
+        (K5 / DeleteByPk). ``keys`` columns pair positionally with
+        ``key_columns``."""
+        cols = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+        if set(cols) <= set(keys.columns):
+            payload = keys.select(*cols)
+        else:  # positional pairing (e.g. a differently-named key frame)
+            assert len(keys.columns) == len(cols), "key frame arity mismatch"
+            payload = keys.toDF(*cols)
+        self._data_op("delete", table, payload, {"key_columns": cols})
 
     # -- plumbing ------------------------------------------------------------
 
@@ -277,9 +285,9 @@ def replay(
             warehouse.rewrite(rec.table, merged)
         elif rec.kind == "delete":
             keys = spark.read.parquet(os.path.join(log_path, rec.payload))
-            kept = mutate.delete_by_keys(
-                warehouse.read(rec.table), rec.params["key_column"], keys
-            )
+            # key_columns is the current form; key_column the pre-composite one
+            cols = rec.params.get("key_columns") or [rec.params["key_column"]]
+            kept = mutate.delete_by_keys(warehouse.read(rec.table), cols, keys)
             warehouse.rewrite(rec.table, kept)
         else:
             raise ValueError(f"unknown operation kind {rec.kind!r} at seq {rec.seq}")

@@ -52,30 +52,80 @@ def _load_all() -> None:
 
 
 # Checking order for external verifiers that iterate queries() under a
-# query-count or time budget: queries never yet hard-gate-checked and
-# newly added/reshaped ones go FIRST; the TAIL holds queries whose
-# operator family is already covered by an earlier green entry, so a
-# budget cutoff costs the least coverage. Names absent from both lists
-# keep registry (insertion) order in the middle.
+# query-count or time budget (the round driver records the first ~50):
+# FIRST holds (a) queries fixed/rewritten since their last recorded driver
+# check — a stale green row proves nothing about the current code — then
+# (b) brand-new queries, then (c) queries whose most recent driver row is
+# a round old.  The TAIL holds queries green in the immediately previous
+# round's gate with unchanged implementations, so a budget cutoff costs
+# the least fresh information.  Names absent from both lists keep
+# registry (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
-    # streaming: registered in r1 but never reached by the driver's gate
+    # (a) modified since last driver check
+    "scalar_math_functions",  # r2 red row; oracle BIGINT cast fixed in r3
+    "dedup_ngram_jaccard",  # rewritten in r2 (max_df cap) after its r1 check
+    "asof_join_last_click",  # r3: deterministic tie-break key added
+    # (b) new in r3
+    "similarity_topk_lsh_vectorized",
+    "copy_tree_lineitem_composite",
+    "oplog_atomic_replay_orders",
+    # (c) last driver row is from r1
+    "linked_rows_probe",
+    "join_multiway_revenue_by_nation",
+    "topk_per_group_lineitems",
+    "agg_rollup_flag_status",
+    "edges_by_table",
+    "similarity_topk_ivf_label",
+    "text_lang_id",
+    "delete_by_keys_lineitem",
+    "ddl_rewrite",
+    "oplog_roundtrip_orders",
+    "multimodal_binary_metadata",
+    "text_stats_quality",
+    "similarity_topk_bruteforce",
+    "keyed_scan_orders",
+    "join_inner_revenue_by_order",
+    "agg_pricing_summary",
+    "dedup_normalized",
+    "dedup_simhash_signatures",
+    "dedup_embedding_cosine",
+    "similarity_lsh_bucket_histogram",
+    "join_left_outer_order_counts",
+    "join_full_outer_customers_orders",
+    "agg_count_distinct",
+    "agg_cube_priority_status",
+    "agg_filtered_revenue",
+    "window_lag_lead_order_dates",
+    "window_running_quantity",
+    "sort_limit_top_orders",
+    "multimodal_frame_sample",
+    "text_fingerprint",
+    "text_token_histogram",
+    "scalar_date_functions",
+    "scalar_string_functions",
+    "copy_tree_summary",
+    "edge_exclusion_filter",
+    "table_exclusion",
+    "bulk_copy_projection",
+    "export_all_roundtrip_nation",
+]
+_CHECK_LAST: list[str] = [
+    # green in CORRECTNESS_r02 with unchanged implementations; each has an
+    # earlier same-family representative in the check order, so a 50-entry
+    # verifier cutoff still covers every operator family
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
     "stream_watermark_late_drop",
     "stream_tumbling_window_live",
     "stream_stateful_user_totals_live",
-    # scalar tail of relational: same story
-    "scalar_math_functions",
     "scalar_array_functions",
     "scalar_json_events",
-    # new or reshaped this round
     "schema_ddl_catalog",
     "multimodal_feature_extract",
     "dedup_embedding_lsh",
     "export_view_opaque_roundtrip",
     "dedup_components",
-    "asof_join_last_click",
     "range_join_error_views",
     "sample_stratified_by_lang",
     "train_val_test_split",
@@ -102,49 +152,15 @@ _CHECK_FIRST: list[str] = [
     "feature_binning_ntile",
     "dedup_fuzzy_name_pairs",
     "agg_stats_moments",
-]
-_CHECK_LAST: list[str] = [
-    # each has an earlier same-family representative in the check order,
-    # so a 50-entry verifier cutoff still covers every operator family
-    "linked_rows_probe",
-    "join_multiway_revenue_by_nation",
-    "topk_per_group_lineitems",
-    "agg_rollup_flag_status",
-    "edges_by_table",
-    "similarity_topk_ivf_label",
-    "text_lang_id",
-    "delete_by_keys_lineitem",
-    "ddl_rewrite",
-    "oplog_roundtrip_orders",
-    "multimodal_binary_metadata",
-    "text_stats_quality",
-    "similarity_topk_bruteforce",
-    "keyed_scan_orders",
-    "dedup_ngram_jaccard",
-    "join_inner_revenue_by_order",
-    "agg_pricing_summary",
-    "dedup_normalized",
-    "dedup_simhash_signatures",
-    "dedup_embedding_cosine",
-    "similarity_lsh_bucket_histogram",
-    "join_left_outer_order_counts",
-    "join_full_outer_customers_orders",
-    "agg_count_distinct",
-    "agg_cube_priority_status",
-    "agg_filtered_revenue",
-    "window_lag_lead_order_dates",
-    "window_running_quantity",
-    "sort_limit_top_orders",
-    "multimodal_frame_sample",
-    "text_fingerprint",
-    "text_token_histogram",
-    "scalar_date_functions",
-    "scalar_string_functions",
-    "copy_tree_summary",
-    "edge_exclusion_filter",
-    "table_exclusion",
-    "bulk_copy_projection",
-    "export_all_roundtrip_nation",
+    "copy_tree_lineitem",
+    "delete_tree_orders",
+    "upsert_orders",
+    "topo_depth",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "window_rank_orders_per_customer",
+    "setops_customer_segments",
 ]
 
 

@@ -514,8 +514,8 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            round(abs(l_extendedprice - 50000), 6) AS abs_delta,
-           ceil(l_quantity) AS qty_ceil,
-           floor(l_quantity) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            round(sqrt(l_extendedprice), 6) AS price_sqrt,
            round(ln(l_extendedprice), 6) AS price_ln,
            round(power(l_discount + 1, 2), 6) AS disc_sq,

@@ -29,20 +29,30 @@ TPCH_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes the events nano-timestamp column.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-TZ TIMESTAMP.
 
-    The events parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a long (nanosAsLong) and
-    convert to a microsecond timestamp column of the same name.
+    Fixture generations have stored ``ts`` two ways: TIMESTAMP(NANOS)
+    (readable only via ``nanosAsLong`` → bigint, then converted) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ, which
+    streaming watermarks reject). Both land on TIMESTAMP; sessions run
+    under UTC so the NTZ→LTZ cast preserves the wall clock exactly.
     """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        # integer division: double math loses sub-µs precision at 1e18
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes the events timestamp column (see
+    ``normalize_events_ts``)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer division: double math loses sub-µs precision at 1e18
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from oracle_schema_copy_spark.sources.tables import load_table
+from oracle_schema_copy_spark.sources.tables import load_table, normalize_events_ts
 
 WATERMARK_DELAY = "1 hour"
 
@@ -45,22 +45,22 @@ def events_stream(
     ``events.parquet`` file, so the stream reads the fixture directory with
     a ``pathGlobFilter`` pinned to that one file — no staging dirs or
     symlinks to leak. Schema comes from the batch reader (streams cannot
-    infer), and the TIMESTAMP(NANOS) column gets the same long→micros
-    normalization as ``load_table``. ``max_files_per_trigger`` throttles
-    micro-batch size — a SOURCE option, which is why it lives here and not
-    on any sink.
+    infer), and ``ts`` gets the same normalization as ``load_table``
+    (nanos-as-long or micros-NTZ → session-TZ TIMESTAMP; watermarks reject
+    NTZ). ``max_files_per_trigger`` throttles micro-batch size — a SOURCE
+    option, which is why it lives here and not on any sink.
     """
+    # Set the conf here rather than relying on a previous load_table call
+    # having set it — otherwise the stream schema is order-dependent
+    # across a shared session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     reader = spark.readStream.schema(raw.schema).option(
         "pathGlobFilter", "events.parquet"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    sdf = reader.parquet(sf_dir)
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        # integer division: double math loses sub-µs precision at 1e18
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return sdf
+    return normalize_events_ts(reader.parquet(sf_dir))
 
 
 def run_stream_to_df(

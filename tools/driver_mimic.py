@@ -22,6 +22,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=cols, ignore_index=True)
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for strict comparison.
+
+    The real driver hashes stringified cells, so a Spark BIGINT ``2`` vs a
+    DuckDB DOUBLE ``2.0`` hash-diverges even when values are numerically
+    identical.  The float-tolerant value compare below would mask that, so
+    dtype families must match exactly for numeric columns.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "obj"
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from oracle_schema_copy_spark.session import get_spark
@@ -66,6 +85,10 @@ def main() -> int:
         else:
             for c in s.columns:
                 a, b = s[c], d[c]
+                fa, fb = dtype_family(a), dtype_family(b)
+                if fa != fb and {fa, fb} & {"int", "float", "bool"}:
+                    ok, why = False, f"col {c} dtype {a.dtype} != {b.dtype}"
+                    break
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                     aa, bb = a.astype(float).to_numpy(), b.astype(float).to_numpy()
                     for i, (x, y) in enumerate(zip(aa, bb)):
