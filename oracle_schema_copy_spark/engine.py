@@ -34,8 +34,8 @@ class FileTarget:
     def upsert(self, table: str, df: DataFrame, key) -> None:
         self.log.upsert(table, df, key)
 
-    def delete(self, table: str, key_column: str, keys: DataFrame) -> None:
-        self.log.delete(table, key_column, keys)
+    def delete(self, table: str, key_columns: str | list[str], keys: DataFrame) -> None:
+        self.log.delete(table, key_columns, keys)
 
     def execute_sql(self, statements: list[str]) -> None:
         self.log.ddl(statements)
@@ -60,8 +60,8 @@ class WarehouseTarget:
     def upsert(self, table: str, df: DataFrame, key) -> None:
         self.wh.rewrite(table, mutate.merge_upsert(self.wh.read(table), df, key))
 
-    def delete(self, table: str, key_column: str, keys: DataFrame) -> None:
-        self.wh.rewrite(table, mutate.delete_by_keys(self.wh.read(table), key_column, keys))
+    def delete(self, table: str, key_columns: str | list[str], keys: DataFrame) -> None:
+        self.wh.rewrite(table, mutate.delete_by_keys(self.wh.read(table), key_columns, keys))
 
     def execute_sql(self, statements: list[str]) -> None:
         for s in statements:
@@ -111,12 +111,12 @@ class JdbcTarget:
             allow_production=self.allow_production,
         )
 
-    def delete(self, table: str, key_column: str, keys: DataFrame) -> None:
+    def delete(self, table: str, key_columns: str | list[str], keys: DataFrame) -> None:
         jdbc_mutations.jdbc_delete(
             keys,
             self.conn,
             table,
-            key_column,
+            key_columns,
             executor=self._executor(),
             allow_production=self.allow_production,
         )
@@ -184,7 +184,11 @@ class Engine:
         tabs = self.tables(tables_from_paths(paths))
         sels = walk.walk_linked(self.spark, tabs, self.catalog, paths, root_ids)
         for sel in reversed(sels):
-            target.delete(sel.table, sel.key_column, sel.keys)
+            # full composite key list — the leading column alone would
+            # over-delete any partial selection of a composite-PK table.
+            # Leaf selections derive their key tuples lazily here (sinks
+            # need explicit keys; data-plane deletes never do).
+            target.delete(sel.table, list(sel.key_columns), sel.keys)
 
     def copy(self, target, table: str, columns: list[str] | None = None) -> None:
         """Whole-table copy (the reference's ``copy`` verb)."""

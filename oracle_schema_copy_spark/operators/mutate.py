@@ -90,6 +90,11 @@ def delete_by_keys(
         assert spark is not None, "spark session required for driver-side key lists"
         vals = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
         keys = spark.createDataFrame(vals, cols)
+    # a shorter key frame would silently truncate the condition to the
+    # leading columns and delete every row matching on those alone
+    assert len(keys.columns) == len(cols), (
+        f"key frame arity mismatch: {len(keys.columns)} columns vs {cols}"
+    )
     keys = keys.distinct()
     cond = None
     for tcol, kcol in zip(cols, keys.columns):

@@ -25,12 +25,17 @@ Semantic deltas from the reference, on purpose (SURVEY.md §4 quirks):
 - seed/frontier keys are de-duplicated before counting, so the copy
   assertion holds under duplicate root ids;
 - composite-PK tables are first-class: the reference hard-errors on them
-  (``CopyUtils.java:410-412``); here a frontier carries ALL primary-key
-  columns, selections semi/anti-join on the full composite key, and the
-  copy assertion counts distinct composite tuples. Edges OUT of a
-  composite-PK parent still probe via the single declared FK-referenced
-  column (``FkEdge.parent_column``) — a single-column FK cannot address a
-  composite parent key, matching SQL FK semantics.
+  (``CopyUtils.java:410-412``); here a materialized frontier carries ALL
+  primary-key columns, selections semi/anti-join on the full composite
+  key, and the copy assertion counts distinct composite tuples. Edges OUT
+  of a composite-PK parent still probe via the single declared
+  FK-referenced column (``FkEdge.parent_column``) — a single-column FK
+  cannot address a composite parent key, matching SQL FK semantics.
+- full-PK frontiers are materialized ONLY for tables probed again later
+  (parents of a later edge, or reached by several edges). Leaf tables —
+  typically the widest fact tables — keep their selection as the FK
+  semi-join itself (``TableSelection.rows``), with explicit key tuples
+  derived lazily only if a sink asks; see ``walk_linked``.
 
 Scale: frontiers are cached and typically tiny relative to the fact
 tables (the use case is subgraph extraction), so every probe compiles to
@@ -45,7 +50,7 @@ side with local shuffle readers) broadcasts exactly when it's safe.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from collections import Counter
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,27 +65,73 @@ def _key_cols(key_columns: str | Sequence[str]) -> list[str]:
 
 def _eq_cond(table_df: DataFrame, table_cols: Sequence[str], keys: DataFrame):
     """AND-of-equalities join condition pairing table columns with the key
-    frame's columns positionally."""
+    frame's columns positionally. The arities must match — a shorter key
+    frame would silently delete/select on the leading columns alone."""
+    cols = list(table_cols)
+    assert len(keys.columns) == len(cols), (
+        f"key frame arity mismatch: {len(keys.columns)} columns vs "
+        f"key columns {cols}"
+    )
     cond = None
-    for tcol, kcol in zip(table_cols, keys.columns):
+    for tcol, kcol in zip(cols, keys.columns):
         e = table_df[tcol] == keys[kcol]
         cond = e if cond is None else cond & e
     return cond
 
 
-@dataclass
 class TableSelection:
-    """A keyed row-set: (table, key column(s), distinct key tuples as a DF).
+    """A keyed row-set over one table, in one of two representations:
+
+    - **keyed** (``keys`` given): the distinct (possibly composite) PK
+      tuples as a DataFrame; rows are recovered by a semi-join on the full
+      key. The representation the walk materializes for tables that are
+      probed again (parents of later edges) or reached by several edges.
+    - **leaf** (``rows`` + ``probe_column`` + ``probe`` given): the
+      selected rows ARE the semi-join of the table's FK column against the
+      parent probe frontier — no PK frontier is ever materialized. This is
+      the scale path for wide fact tables at the edge of the walk: the r3
+      implementation materialized (and cached, and double-counted) the
+      full composite PK of every walked table, which at 100 TB makes the
+      widest leaf the walk's bottleneck for zero benefit — a leaf frontier
+      is never probed again.
+
+    ``keys`` stays available on leaf selections as a LAZY projection
+    (``rows.select(pk).distinct()``) for consumers that genuinely need
+    explicit key tuples (JDBC/oplog delete targets); data-plane paths
+    (copy/delete on DataFrames) never force it.
 
     ``key_columns`` accepts a single column name or a sequence (composite
-    PK); ``keys`` must have matching columns in the same order."""
+    PK); a given ``keys`` frame must have matching columns in the same
+    order."""
 
-    table: str
-    key_columns: str | tuple[str, ...]
-    keys: DataFrame
+    def __init__(
+        self,
+        table: str,
+        key_columns: str | Sequence[str],
+        keys: DataFrame | None = None,
+        *,
+        rows: DataFrame | None = None,
+        probe_column: str | None = None,
+        probe: DataFrame | None = None,
+    ):
+        if keys is None and rows is None:
+            raise ValueError("TableSelection needs keys or rows")
+        if rows is not None and (probe_column is None or probe is None):
+            raise ValueError("a rows (leaf) selection needs probe_column and probe")
+        self.table = table
+        self.key_columns: tuple[str, ...] = tuple(_key_cols(key_columns))
+        self._keys = keys
+        self.rows = rows
+        self.probe_column = probe_column
+        self.probe = probe
 
-    def __post_init__(self) -> None:
-        self.key_columns = tuple(_key_cols(self.key_columns))
+    @property
+    def keys(self) -> DataFrame:
+        """Distinct key tuples; derived lazily from ``rows`` on leaf
+        selections (an extra distinct — only target sinks need it)."""
+        if self._keys is None:
+            self._keys = self.rows.select(*self.key_columns).distinct()
+        return self._keys
 
     @property
     def key_column(self) -> str:
@@ -147,6 +198,16 @@ def walk_linked(
     Each declared edge is evaluated exactly once, in order (a bounded
     transitive closure over a user-declared DAG — not a fixpoint, matching
     the reference). Raises if an edge's parent table was never reached.
+
+    Frontier materialization policy (the 100 TB-relevant decision): a
+    child's full-PK frontier is computed, de-duplicated and cached ONLY
+    when it will be probed again — the child parents a later edge — or
+    when several edges reach it (union semantics need a key-set form).
+    Every other child is a LEAF: its selection is the semi-join of its FK
+    column against the (cached, already-distinct) parent probe, so the
+    widest fact tables at the walk's edge never pay a distinct+cache of
+    their composite PK (the r3 regression: ~600k 2-column tuples cached
+    per walk at sf0.1, 3× the whole walk's runtime).
     """
     edges: list[FkEdge] = parse_paths(paths, catalog.pk_of_map() | _walk_pks(catalog))
     root_table = root_table_of_paths(paths)
@@ -158,7 +219,11 @@ def walk_linked(
         roots = seed_frame(spark, root_pk, root_ids)
     roots = roots.cache()
 
+    parents_probed = {e.parent_table for e in edges}
+    n_edges_in = Counter(e.child_table for e in edges)
+
     ids_by_table: dict[str, DataFrame] = {root_table: roots}
+    leaf_parts: dict[str, tuple[str, DataFrame, DataFrame]] = {}
     order: list[str] = [root_table]
     key_col: dict[str, tuple[str, ...]] = {root_table: root_pk}
 
@@ -174,17 +239,38 @@ def walk_linked(
             probe = parent_ids
         else:
             probe = parent_ids.select(edge.parent_column).distinct()
-        found = find_linked_rows(tables[child], edge.child_column, child_pk, probe)
-        if child in ids_by_table:
-            # union semantics (reference overwrites here — documented delta);
-            # duplicates across edges are tolerated (see find_linked_rows)
-            ids_by_table[child] = ids_by_table[child].union(found).cache()
+        if child in parents_probed or n_edges_in[child] > 1:
+            found = find_linked_rows(tables[child], edge.child_column, child_pk, probe)
+            if child in ids_by_table:
+                # union semantics (reference overwrites here — documented
+                # delta); duplicates across edges are tolerated
+                ids_by_table[child] = ids_by_table[child].union(found).cache()
+            else:
+                ids_by_table[child] = found.cache()
+                order.append(child)
+                key_col[child] = child_pk
         else:
-            ids_by_table[child] = found.cache()
+            # leaf fast path: rows = FK semi-join, no PK frontier
+            rows = tables[child].join(
+                probe, tables[child][edge.child_column] == probe[probe.columns[0]],
+                "left_semi",
+            )
+            leaf_parts[child] = (edge.child_column, probe, rows)
             order.append(child)
             key_col[child] = child_pk
 
-    return [TableSelection(t, key_col[t], ids_by_table[t]) for t in order]
+    out: list[TableSelection] = []
+    for t in order:
+        if t in ids_by_table:
+            out.append(TableSelection(t, key_col[t], ids_by_table[t]))
+        else:
+            fk_col, probe, rows = leaf_parts[t]
+            out.append(
+                TableSelection(
+                    t, key_col[t], rows=rows, probe_column=fk_col, probe=probe
+                )
+            )
+    return out
 
 
 def copy_selections(
@@ -199,33 +285,70 @@ def copy_selections(
     aggregates) — per-job overhead dominates otherwise, and at scale each
     check is a broadcast semi-join + partial agg, never a shuffle of the
     fact table.
+
+    Leaf selections (``sel.rows`` set) ARE their rows — no key-frontier
+    re-join. Their check is against the probe side: the distinct FK values
+    appearing in the copied rows can never exceed the probe key count
+    (``<=``, not ``==`` — a probe key with zero children is legitimate);
+    a violated bound means the join condition selected foreign rows.
     """
     out: dict[str, DataFrame] = {
-        sel.table: keyed_scan(tables[sel.table], sel.key_columns, sel.keys)
+        sel.table: (
+            sel.rows
+            if sel.rows is not None
+            else keyed_scan(tables[sel.table], sel.key_columns, sel.keys)
+        )
         for sel in selections
     }
     if assert_counts and selections:
         checks = None
         for sel in selections:
-            found = (
-                out[sel.table]
-                .agg(
-                    F.count_distinct(
-                        *[F.col(c) for c in sel.key_columns]
-                    ).alias("n_found")
+            if sel.rows is not None:
+                found = (
+                    out[sel.table]
+                    .agg(F.count_distinct(F.col(sel.probe_column)).alias("n_found"))
+                    .select(
+                        F.lit(sel.table).alias("table_name"),
+                        "n_found",
+                        F.lit("le").alias("op"),
+                    )
                 )
-                .select(F.lit(sel.table).alias("table_name"), "n_found")
-            )
-            want = sel.keys.agg(
-                F.count_distinct(*[F.col(c) for c in sel.keys.columns]).alias("n_keys")
-            )
+                want = sel.probe.agg(
+                    F.count_distinct(
+                        *[F.col(c) for c in sel.probe.columns]
+                    ).alias("n_keys")
+                )
+            else:
+                found = (
+                    out[sel.table]
+                    .agg(
+                        F.count_distinct(
+                            *[F.col(c) for c in sel.key_columns]
+                        ).alias("n_found")
+                    )
+                    .select(
+                        F.lit(sel.table).alias("table_name"),
+                        "n_found",
+                        F.lit("eq").alias("op"),
+                    )
+                )
+                want = sel.keys.agg(
+                    F.count_distinct(*[F.col(c) for c in sel.keys.columns]).alias("n_keys")
+                )
             row = found.crossJoin(want)
             checks = row if checks is None else checks.unionByName(row)
-        bad = [r for r in checks.collect() if r.n_found != r.n_keys]
+        bad = [
+            r
+            for r in checks.collect()
+            if ((r.n_found != r.n_keys) if r.op == "eq" else (r.n_found > r.n_keys))
+        ]
         if bad:
             r = bad[0]
             raise AssertionError(
                 f"selection copy of {r.table_name} matched {r.n_found} of {r.n_keys} keys"
+                if r.op == "eq"
+                else f"leaf selection of {r.table_name} carried {r.n_found} distinct "
+                f"FK values but the probe held only {r.n_keys} keys"
             )
     return out
 
@@ -238,13 +361,24 @@ def delete_selections(
     Child-before-parent ordering is the caller's responsibility via path
     order, as in the reference; on immutable parquet the result is a
     rewrite, so ordering only matters for JDBC targets.
+
+    Leaf selections anti-join on their FK column against the parent probe
+    — set-equivalent to the PK anti-join (the selected rows are exactly
+    those whose FK hits the probe) without materializing a PK frontier.
     """
     out: dict[str, DataFrame] = {}
     for sel in selections:
         tdf = tables[sel.table]
-        out[sel.table] = tdf.join(
-            sel.keys, _eq_cond(tdf, sel.key_columns, sel.keys), "left_anti"
-        )
+        if sel.rows is not None:
+            out[sel.table] = tdf.join(
+                sel.probe,
+                tdf[sel.probe_column] == sel.probe[sel.probe.columns[0]],
+                "left_anti",
+            )
+        else:
+            out[sel.table] = tdf.join(
+                sel.keys, _eq_cond(tdf, sel.key_columns, sel.keys), "left_anti"
+            )
     return out
 
 

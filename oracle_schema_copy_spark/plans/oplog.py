@@ -119,8 +119,13 @@ class OperationLogWriter:
 
     def delete(self, table: str, key_columns: str | list[str], keys: DataFrame) -> None:
         """Delete rows of ``table`` by (possibly composite) key on replay
-        (K5 / DeleteByPk). ``keys`` columns pair positionally with
-        ``key_columns``."""
+        (K5 / DeleteByPk).
+
+        Column pairing: when every key-column NAME exists in ``keys`` the
+        named columns are selected (order-insensitive — a frame that
+        coincidentally shares the names is assumed to mean them); otherwise
+        the frame's columns pair POSITIONALLY with ``key_columns`` and the
+        arity must match."""
         cols = [key_columns] if isinstance(key_columns, str) else list(key_columns)
         if set(cols) <= set(keys.columns):
             payload = keys.select(*cols)

@@ -99,6 +99,38 @@ def q_delete_tree_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copy_tree_lineitem_composite",
+    """
+    SELECT l.* FROM lineitem l
+    WHERE l.l_orderkey % 200 = 0 AND l.l_linenumber <= 2
+    """,
+)
+def q_copy_tree_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-PK selection copy: (l_orderkey, l_linenumber) tuples seeded
+    driver-side through ``seed_frame`` — the reference's literal-id-list
+    seeding mode (``walkLinked`` takes an id list, ``CopyUtils.java:533``),
+    which the reference REFUSES for composite-PK tables
+    (``CopyUtils.java:410-412``) and we support first-class. Copy goes
+    through the full composite-key semi-join and the composite
+    ``count_distinct`` coverage assert of ``copy_selections``.
+
+    The seed list is a bounded deterministic collect of the PK projection
+    (9 / 69 / 845 tuples at sf0.001/0.01/0.1) — literal seeding is
+    driver-side BY DEFINITION; the data plane stays distributed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    seed_rows = (
+        li.filter((F.col("l_orderkey") % 200 == 0) & (F.col("l_linenumber") <= 2))
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    keys = walk.seed_frame(
+        spark, ("l_orderkey", "l_linenumber"), [tuple(r) for r in seed_rows]
+    )
+    sel = walk.TableSelection("lineitem", ("l_orderkey", "l_linenumber"), keys)
+    return walk.copy_selections({"lineitem": li}, [sel])["lineitem"]
+
+
+@query(
     "keyed_scan_orders",
     """
     SELECT o.* FROM orders o

@@ -28,6 +28,7 @@ spark.read/write.jdbc to work).
 from __future__ import annotations
 
 import datetime as _dt
+import math as _math
 from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,10 @@ def sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not _math.isfinite(v):
+        # str(nan/inf) is not valid SQL in any dialect; a NaN "key" can
+        # never equality-match a row anyway, so this is always a caller bug
+        raise ValueError(f"non-finite float {v!r} cannot be a SQL key literal")
     if isinstance(v, (int, float)):
         return str(v)
     if isinstance(v, _dt.datetime):
@@ -111,6 +116,29 @@ def delete_in_sql(table: str, key_column: str, keys: Sequence) -> list[str]:
     for i in range(0, len(ks), DELETE_BATCH):
         chunk = ", ".join(sql_literal(k) for k in ks[i : i + DELETE_BATCH])
         out.append(f"DELETE FROM {table} WHERE {key_column} IN ({chunk})")
+    return out
+
+
+def delete_tuples_sql(
+    table: str, key_columns: Sequence[str], key_tuples: Sequence[Sequence]
+) -> list[str]:
+    """Composite-key batched delete: ``DELETE ... WHERE (a=.. AND b=..) OR
+    ...`` — OR-of-AND rather than a row-value ``(a, b) IN (...)`` because
+    row-value constructors are not portable (SQL Server lacks them).
+    Same ``DELETE_BATCH`` batching as the single-column path."""
+    cols = list(key_columns)
+    out = []
+    ts = list(key_tuples)
+    for i in range(0, len(ts), DELETE_BATCH):
+        preds = " OR ".join(
+            "("
+            + " AND ".join(
+                f"{c} = {sql_literal(v)}" for c, v in zip(cols, t)
+            )
+            + ")"
+            for t in ts[i : i + DELETE_BATCH]
+        )
+        out.append(f"DELETE FROM {table} WHERE {preds}")
     return out
 
 
@@ -216,41 +244,56 @@ def jdbc_delete(
     keys: DataFrame | Iterable,
     conn: JdbcConnection,
     table: str,
-    key_column: str,
+    key_columns: Sequence[str] | str,
     *,
     executor: StatementExecutor,
     max_inline_keys: int = 100_000,
     allow_production: bool = False,
 ) -> list[str]:
-    """Keyed delete. Key sets up to ``max_inline_keys`` ship as batched
-    IN-list statements (bounded driver memory: keys only, never rows); a
-    larger key DataFrame is staged to the database and deleted with one
-    set-oriented EXISTS statement — no driver collect of the key set.
+    """Keyed delete, single-column or composite. Key sets up to
+    ``max_inline_keys`` ship as batched IN-list (single column) or
+    OR-of-AND (composite) statements — bounded driver memory: keys only,
+    never rows. A larger key DataFrame is staged to the database and
+    deleted with one set-oriented EXISTS statement — no driver collect of
+    the key set. A keys DataFrame pairs its columns positionally with
+    ``key_columns`` and must match in arity.
     Returns the executed statements."""
     prod_check(conn.url, allow_production=allow_production)
+    cols = [key_columns] if isinstance(key_columns, str) else list(key_columns)
     if isinstance(keys, DataFrame):
-        kcol = keys.columns[0]
-        distinct = keys.select(kcol).distinct()
+        assert len(keys.columns) == len(cols), (
+            f"key frame arity mismatch: {len(keys.columns)} columns vs {cols}"
+        )
+        distinct = keys.distinct()
         # bounded probe: count first, collect only under the inline cap
         n = distinct.count()
         if n > max_inline_keys:
             staging = staging_name(table, "delete")
             write_table(
-                distinct.toDF(key_column),
+                distinct.toDF(*cols),
                 conn,
                 staging,
                 mode="overwrite",
                 allow_production=allow_production,
             )
             statements = [
-                delete_using_staging_sql(table, staging, [key_column]),
+                delete_using_staging_sql(table, staging, cols),
                 f"DROP TABLE {staging}",
             ]
             executor(statements)
             return statements
-        key_list = [r[0] for r in distinct.collect()]
+        key_list = [tuple(r) for r in distinct.collect()]
     else:
-        key_list = list(dict.fromkeys(keys))
-    statements = delete_in_sql(table, key_column, key_list)
+        key_list = [
+            tuple(k) if isinstance(k, (tuple, list)) else (k,)
+            for k in dict.fromkeys(
+                tuple(k) if isinstance(k, (tuple, list)) else k for k in keys
+            )
+        ]
+        assert all(len(k) == len(cols) for k in key_list), "key tuple arity mismatch"
+    if len(cols) == 1:
+        statements = delete_in_sql(table, cols[0], [k[0] for k in key_list])
+    else:
+        statements = delete_tuples_sql(table, cols, key_list)
     executor(statements)
     return statements

@@ -50,6 +50,27 @@ def test_delete_tree_child_first_on_warehouse(engine, spark, tmp_path):
     )
 
 
+def test_delete_tree_payload_carries_composite_key(engine, spark, tmp_path):
+    """Engine.delete_tree must hand targets the FULL composite key — the
+    leading column alone would over-delete partial selections (and wrote
+    duplicate keys into the payload before r4)."""
+    from oracle_schema_copy_spark.plans import oplog
+
+    log_path = str(tmp_path / "log")
+    target = engine.create_file_target(log_path)
+    engine.delete_tree(
+        target, ["CUSTOMER->ORDERS.O_CUSTKEY", "ORDERS->LINEITEM.L_ORDERKEY"], [1, 2]
+    )
+    target.close()
+    recs = list(oplog.read_manifest(log_path))
+    assert [r.table for r in recs] == ["lineitem", "orders", "customer"]  # child-first
+    li = recs[0]
+    assert li.params["key_columns"] == ["l_orderkey", "l_linenumber"]
+    payload = spark.read.parquet(os.path.join(log_path, li.payload))
+    assert set(payload.columns) == {"l_orderkey", "l_linenumber"}
+    assert payload.count() == payload.distinct().count() > 0
+
+
 def test_copy_and_update_verbs(engine, tmp_path):
     wh_target = engine.create_warehouse_target(str(tmp_path / "wh"))
     engine.copy(wh_target, "nation")
