@@ -30,6 +30,33 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def plane_dot(vec_col: str, plane) -> Column:
+    """Dot of an array column (by NAME) with a LITERAL plane, unrolled to
+    a flat left-associated sum: ``vec[0]*p0 + vec[1]*p1 + ...``.
+
+    Same addition order as ``dot()`` and the DuckDB
+    ``list_sum(list_transform(generate_series...))`` twin (an IEEE leading
+    ``0.0 + x`` is bit-equal to ``x``), so results stay bit-identical —
+    but the expression is plain arithmetic that whole-stage codegen
+    compiles, where ``dot()``'s higher-order functions are interpreted
+    CodegenFallback. This is the hot projection of LSH bucketing (16
+    plane projections per row); only works when the plane is a Python
+    literal list, which LSH hyperplanes always are.
+
+    Built as ONE ``F.expr`` over a generated SQL string: building the
+    same tree with Column operators costs ~4 py4j round-trips per element
+    (measured 14s of pure driver time per banded-LSH query construction);
+    one SQL parse JVM-side is milliseconds. ``D`` suffixes keep the
+    literals DOUBLE (bare ``1.0`` parses as DECIMAL in Spark SQL, which
+    would silently switch the whole sum to decimal arithmetic). Spark SQL
+    ``arr[i]`` indexing is 0-based."""
+    terms = " + ".join(
+        f"(CAST(`{vec_col}`[{i}] AS DOUBLE) * {float(p)!r}D)"
+        for i, p in enumerate(plane)
+    )
+    return F.expr(terms)
+
+
 def sq_norm(a: Column) -> Column:
     return F.aggregate(as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
 

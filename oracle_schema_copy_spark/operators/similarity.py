@@ -22,7 +22,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oracle_schema_copy_spark.functions.vectors import dot
+from oracle_schema_copy_spark.functions.vectors import dot, dot_vectorized, plane_dot
 from oracle_schema_copy_spark.operators import ordered_pair_array, spread
 
 
@@ -126,8 +126,8 @@ def lsh_bucket(
     df = spread(df)
     bucket = None
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        side = F.when(dot(F.col(vec_col), lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        # plane_dot: codegen'd unrolled sum, bit-equal to the HOF dot
+        side = F.when(plane_dot(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = side if bucket is None else bucket + side
     return df.withColumn("bucket", bucket.cast("long"))
 
@@ -293,22 +293,37 @@ def banded_bucket_keys(
 ) -> DataFrame:
     """(id, bk=(band, key)) rows: one banded-LSH bucket key per band per
     vector — the shared candidate-generation primitive for pair dedup and
-    ANN search. Per-row projections then one explode; no shuffle."""
+    ANN search. Per-row projections then one explode; no shuffle.
+
+    The B*r plane-sign bits are computed in a PROJECTION below the
+    explode, one named column per plane: inlining all 16 unrolled plane
+    sums into the generator expression itself exceeds janino's 64 KB
+    method limit and silently drops the whole stage to interpreted mode
+    (observed: ``CodeGenerator: failed to compile ... grows beyond 64
+    KB``). As separate projection expressions they codegen-split per
+    column and the stage stays compiled."""
     planes = hyperplanes(bands * planes_per_band, dim)
+    bit_cols = []
+    for b in range(bands):
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            # plane_dot: codegen'd unrolled sum, bit-equal to the HOF dot
+            bit_cols.append(
+                F.when(plane_dot(vec_col, plane) > 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                .alias(f"__bit_{b}_{j}")
+            )
+    staged = df.select(F.col(id_col), *bit_cols)
     band_structs = []
     for b in range(bands):
         key = None
         for j in range(planes_per_band):
-            plane = planes[b * planes_per_band + j]
-            lit_plane = F.array(*[F.lit(v) for v in plane])
-            bit = F.when(dot(F.col(vec_col), lit_plane) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
+            bit = F.col(f"__bit_{b}_{j}")
             key = bit if key is None else key + bit
         band_structs.append(
             F.struct(F.lit(b).alias("band"), key.cast("long").alias("key"))
         )
-    return df.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+    return staged.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
 
 
 def lsh_banded_topk(
@@ -322,6 +337,7 @@ def lsh_banded_topk(
     planes_per_band: int = 2,
     dim: int = 64,
     max_bucket: int = 1000,
+    scorer: str = "exact",
 ) -> DataFrame:
     """ANN top-k: candidates share >= 1 banded-LSH bucket with the query,
     scored exactly, ranked per query — the pruned counterpart of
@@ -332,7 +348,18 @@ def lsh_banded_topk(
     ``max_bucket`` drops degenerate corpus buckets (a near-constant region
     of embedding space) before the candidate join — the same guard every
     sibling candidate generator applies; without it one hot bucket emits
-    |bucket| rows per query per band."""
+    |bucket| rows per query per band.
+
+    ``scorer``: ``"exact"`` scores with the sequential-double ``dot()``
+    (bit-identical to the SQL twin — the oracle path);
+    ``"vectorized"`` scores with the Arrow-batched numpy
+    ``dot_vectorized`` — the PRODUCTION path (one numpy reduction per
+    Arrow batch instead of an interpreted per-row loop). numpy's pairwise
+    summation differs from sequential in the last ulp, so vectorized
+    scores are rounded to 6 decimals and RANKED ON THE ROUNDED VALUE
+    (neighbor-id tie-break) — |pairwise − sequential| < 1e-12 for 64-dim
+    unit vectors, so the rounded score (and therefore the ranking) agrees
+    with a 6-decimal-rounded sequential oracle."""
     cb = banded_bucket_keys(
         spread(corpus), id_col=id_col, vec_col=vec_col, bands=bands,
         planes_per_band=planes_per_band, dim=dim,
@@ -354,10 +381,16 @@ def lsh_banded_topk(
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    if scorer == "vectorized":
+        score = F.round(dot_vectorized(F.col("__nv"), F.col("__qv")), 6)
+    elif scorer == "exact":
+        score = dot(F.col("__nv"), F.col("__qv"))
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
     scored = (
         cand.join(qv, "query_id")
         .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", dot(F.col("__nv"), F.col("__qv")).alias("score"))
+        .select("query_id", "neighbor_id", score.alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -409,6 +409,56 @@ def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_topk_lsh_vectorized",
+    f"""
+    WITH {_banded_lsh_sql()},
+    qb AS (SELECT vec_id AS query_id, band, key FROM buckets WHERE vec_id < 20),
+    ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 1000),
+    cand AS (
+        SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+        FROM buckets b JOIN ok USING (band, key)
+        JOIN qb ON b.band = qb.band AND b.key = qb.key
+         AND b.vec_id <> qb.query_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round({_sql_dot('n.embedding', 'q.embedding')}, 6) AS score
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+    headline=True,
+)
+def q_similarity_topk_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-scorer twin of similarity_topk_lsh_banded: identical
+    banded-LSH candidate generation (bit-exact buckets on both engines),
+    but candidate scoring runs through ``dot_vectorized`` — Arrow-batched
+    numpy, one ``einsum`` per batch instead of an interpreted per-row HOF
+    loop. Scores are rounded to 6 decimals and ranked on the rounded
+    value on BOTH sides, absorbing numpy's pairwise-vs-sequential
+    last-ulp difference (|Δ| < 1e-12 ≪ 0.5e-6).
+
+    Measured scorer-only comparison (400k 64-dim dots, one stage, sf0.1
+    corpus × 200 queries, local[8]): HOF ``dot()`` 2.4-3.4s, Arrow
+    ``dot_vectorized`` 1.1-1.2s steady — 2-3× here, Arrow-transfer-bound;
+    the gap widens with vector width since einsum time is negligible. At
+    THIS query's sf0.1 workload (20 queries, ~30k candidate dots) total
+    runtime is fixed-job-overhead-bound, so the two bench entries sit
+    within environment noise of each other — the scorer advantage is the
+    per-dot number above, not the headline delta."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_banded_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2,
+        max_bucket=1000, scorer="vectorized",
+    )
+
+
 def _hyperplane_sql_literals(n_planes: int = 8, dim: int = 64) -> list[str]:
     planes = similarity.hyperplanes(n_planes, dim)
     return ["[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in planes]
