@@ -205,7 +205,13 @@ class Engine:
         order = [t for t in self.catalog.topo_order(tables)]
         oplog.export_all(tabs, log_path, topo_order=order)
 
-    def import_schema(self, log_path: str, warehouse_root: str) -> oplog.Warehouse:
+    def import_schema(
+        self, log_path: str, warehouse_root: str, *, atomic: bool = False
+    ) -> oplog.Warehouse:
+        """``atomic=True`` replays through a staging warehouse + commit
+        marker (the reference's one-transaction import semantics,
+        CopyUtils.java:367); default is the idempotent-rerun replay."""
         wh = oplog.Warehouse(self.spark, warehouse_root)
-        oplog.replay(self.spark, log_path, wh)
+        fn = oplog.replay_atomic if atomic else oplog.replay
+        fn(self.spark, log_path, wh)
         return wh

@@ -74,6 +74,11 @@ def weighted_hash_sample(
     """
     # bucket midpoint -> u in (0, 1), exactly (b + 0.5) / 10000 on both engines
     u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(BUCKETS))
+    # key is ROUNDED to 9 digits before the ordering on BOTH engines (the
+    # SQL twin rounds identically), so a cross-engine last-ulp pow()
+    # difference cannot flip the k-th/(k+1)-th boundary; rounding-induced
+    # ties break on id, also mirrored. The k-th selection is therefore
+    # deterministic AND engine-independent, at 1e-9 key resolution.
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
         df.filter(F.col(weight_col) > 0)

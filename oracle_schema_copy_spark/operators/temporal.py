@@ -84,9 +84,17 @@ def asof_join(
     )
     u = q.unionByName(p)
     ts_order = F.col(ts) if direction == "backward" else F.col(ts).desc()
+    # final __q tie-break: several quotes at the SAME (key, ts) would
+    # otherwise be carried nondeterministically (partition-order luck).
+    # Ordering by the quote struct makes the carried row the MAX quote
+    # tuple (in quote_cols order) — deterministic on any partitioning.
+    # Only disambiguates among equal-(ts, tag) QUOTE rows: probes sort
+    # apart via __tag and their __q is NULL. SQL ASOF oracles are equally
+    # arbitrary on such ties; the fixtures contain none (a tie would
+    # surface as a value mismatch in the driver compare).
     w = (
         Window.partitionBy(key)
-        .orderBy(ts_order, "__tag")
+        .orderBy(ts_order, "__tag", "__q")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -15,12 +15,13 @@ splittable/columnar (a 100 TB export is N parquet files per op, written
 in parallel by executors; the Java-serialization format was a
 single-threaded byte stream).
 
-Transactionality delta (documented, SURVEY §3.2): the reference replays an
-entire import inside one JDBC transaction. Plain parquet has no
-cross-table transaction; replay here is (a) per-table staged-write +
-atomic rename, (b) idempotent to re-run after failure (replaying from seq
-0 reproduces the same final state because inserts rebuild staged tables
-and merges/deletes are deterministic).
+Transactionality (SURVEY §3.2): the reference replays an entire import
+inside one JDBC transaction. Two replay modes cover that contract here:
+``replay`` is per-table staged-write + atomic rename, idempotent to
+re-run after failure; ``replay_atomic`` stages the WHOLE replay into a
+shadow warehouse and commits via one marker rename + roll-forward — a
+crashed import is never observable as a partially-applied warehouse,
+matching the reference's single-commit semantics (CopyUtils.java:367).
 
 Data operations are chunked at ``rows_per_op`` (reference flushes every
 10k rows, ``AbstractLoadRowsCallback.java:28``) — kept as a knob for
@@ -245,6 +246,14 @@ def replay(
     Pass ``spark.sql`` (or a JDBC statement executor) when replaying into a
     real SQL catalog. ``on_opaque`` is 'skip' (default — parquet targets
     can't run Oracle DDL) or 'error'. Returns the applied records.
+
+    Replayed VIEW records (and the table temp views they read through)
+    deliberately OUTLIVE the replay in the session catalog: a view whose
+    definition is dropped the moment the import ends would be useless to
+    the reader the import exists for. On a shared session, replay N's
+    views shadow same-named earlier ones (latest import wins) — callers
+    needing isolation should replay in their own SparkSession or
+    ``spark.catalog.dropTempView`` afterwards.
     """
     from oracle_schema_copy_spark.operators import mutate
 
@@ -292,12 +301,117 @@ def replay(
             keys = spark.read.parquet(os.path.join(log_path, rec.payload))
             # key_columns is the current form; key_column the pre-composite one
             cols = rec.params.get("key_columns") or [rec.params["key_column"]]
+            if set(cols) <= set(keys.columns):
+                # project by name: tolerates a payload carrying extra
+                # columns (e.g. a legacy single-key record over a wider
+                # key frame) — delete_by_keys requires exact arity
+                keys = keys.select(*cols)
             kept = mutate.delete_by_keys(warehouse.read(rec.table), cols, keys)
             warehouse.rewrite(rec.table, kept)
         else:
             raise ValueError(f"unknown operation kind {rec.kind!r} at seq {rec.seq}")
         applied.append(rec)
     return applied
+
+
+STAGE_DIRNAME = ".replay_stage"
+COMMIT_MARKER = ".replay_commit.json"
+
+
+class _StagingWarehouse(Warehouse):
+    """Replay target whose WRITES all land under a staging root while
+    READS overlay stage-over-base — upsert/delete ops see prior staged
+    state (or the untouched base table), and the base warehouse is never
+    written until commit."""
+
+    def __init__(self, spark: SparkSession, root: str, base: Warehouse):
+        super().__init__(spark, root)
+        self.base = base
+
+    def _staged(self, table: str) -> bool:
+        return os.path.isdir(os.path.join(self.root, table))
+
+    def exists(self, table: str) -> bool:
+        return self._staged(table) or self.base.exists(table)
+
+    def read(self, table: str) -> DataFrame:
+        if self._staged(table):
+            return self.spark.read.parquet(self._dir(table))
+        return self.base.read(table)
+
+
+def replay_atomic(
+    spark: SparkSession,
+    log_path: str,
+    warehouse: Warehouse,
+    *,
+    execute_sql: Callable[[str], None] | None = None,
+    on_opaque: str = "skip",
+) -> list[OpRecord]:
+    """Whole-log transactional replay: the reference imports an entire
+    schema inside ONE JDBC transaction (``CopyUtils.java:353-375``, commit
+    at ``:367``); plain ``replay`` substitutes per-table staged renames +
+    re-run idempotence, leaving a window where a crashed replay is
+    OBSERVABLE as a partially-applied warehouse (SURVEY §3.2's documented
+    delta). This closes it with a staging warehouse + commit marker:
+
+    1. Roll forward a previous crashed commit (marker present → finish it).
+    2. Replay every operation into ``<root>/.replay_stage`` — reads
+       overlay stage-over-target, the target is never written.
+    3. COMMIT POINT: one atomic rename of a marker file listing the staged
+       tables into the warehouse root.
+    4. Roll forward: move each staged table over its live counterpart,
+       then drop marker + stage.
+
+    A failure before (3) leaves the target byte-identical (the stale stage
+    is discarded by the next run); a failure during (4) is completed by
+    the roll-forward in (1), which skips already-moved tables — so readers
+    either see the pre-replay state or the fully-replayed one, never a
+    prefix. Single-writer, like the reference's import."""
+    os.makedirs(warehouse.root, exist_ok=True)
+    recover_replay(warehouse)
+    stage_root = os.path.join(warehouse.root, STAGE_DIRNAME)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    stage = _StagingWarehouse(spark, stage_root, warehouse)
+    applied = replay(
+        spark, log_path, stage, execute_sql=execute_sql, on_opaque=on_opaque
+    )
+    fd, tmp = tempfile.mkstemp(dir=warehouse.root, suffix=".marker.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"tables": sorted(stage.tables_written)}, f)
+    os.replace(tmp, os.path.join(warehouse.root, COMMIT_MARKER))  # COMMIT POINT
+    _apply_commit(warehouse)
+    return applied
+
+
+def recover_replay(warehouse: Warehouse) -> bool:
+    """Roll forward a committed-but-unapplied replay (crash between commit
+    marker and table moves). Returns True if there was one. Idempotent."""
+    if os.path.isfile(os.path.join(warehouse.root, COMMIT_MARKER)):
+        _apply_commit(warehouse)
+        return True
+    return False
+
+
+def _apply_commit(warehouse: Warehouse) -> None:
+    root = warehouse.root
+    with open(os.path.join(root, COMMIT_MARKER)) as f:
+        tables = json.load(f)["tables"]
+    stage_root = os.path.join(root, STAGE_DIRNAME)
+    for t in tables:
+        src = os.path.join(stage_root, t)
+        if not os.path.isdir(src):
+            continue  # already moved by a previous (crashed) roll-forward
+        dst = os.path.join(root, t)
+        trash = dst + ".__old__"
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, trash)
+        os.replace(src, dst)
+        shutil.rmtree(trash, ignore_errors=True)
+        warehouse.tables_written.add(t)
+    os.remove(os.path.join(root, COMMIT_MARKER))
+    shutil.rmtree(stage_root, ignore_errors=True)
 
 
 def export_all(

@@ -62,10 +62,15 @@ def _load_all() -> None:
 # registry (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
     # (a) modified since last driver check
-    "scalar_math_functions",  # r2 red row; oracle BIGINT cast fixed in r3
-    "dedup_ngram_jaccard",  # rewritten in r2 (max_df cap) after its r1 check
-    "asof_join_last_click",  # r3: deterministic tie-break key added
-    # (b) new in r3
+    "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
+    "copy_tree_summary",  # r4: same walk rewrite
+    "delete_tree_orders",  # r4: leaf anti-join delete path
+    "similarity_topk_lsh_banded",  # r4: codegen'd plane projections
+    "similarity_lsh_bucket_histogram",  # r4: same plane_dot change
+    "dedup_embedding_lsh",  # r4: same plane_dot change
+    "asof_join_last_click",  # r4: deterministic tie-break (quote-struct order)
+    "asof_forward_next_error",  # r4: same tie-break change
+    # (b) new in r4
     "similarity_topk_lsh_vectorized",
     "copy_tree_lineitem_composite",
     "oplog_atomic_replay_orders",
@@ -89,7 +94,6 @@ _CHECK_FIRST: list[str] = [
     "dedup_normalized",
     "dedup_simhash_signatures",
     "dedup_embedding_cosine",
-    "similarity_lsh_bucket_histogram",
     "join_left_outer_order_counts",
     "join_full_outer_customers_orders",
     "agg_count_distinct",
@@ -103,7 +107,6 @@ _CHECK_FIRST: list[str] = [
     "text_token_histogram",
     "scalar_date_functions",
     "scalar_string_functions",
-    "copy_tree_summary",
     "edge_exclusion_filter",
     "table_exclusion",
     "bulk_copy_projection",
@@ -123,13 +126,11 @@ _CHECK_LAST: list[str] = [
     "scalar_json_events",
     "schema_ddl_catalog",
     "multimodal_feature_extract",
-    "dedup_embedding_lsh",
     "export_view_opaque_roundtrip",
     "dedup_components",
     "range_join_error_views",
     "sample_stratified_by_lang",
     "train_val_test_split",
-    "similarity_topk_lsh_banded",
     "curation_pipeline",
     "agg_percentiles",
     "agg_salted_skew_safe",
@@ -144,7 +145,6 @@ _CHECK_LAST: list[str] = [
     "join_salted_skew",
     "sessionize_events",
     "trailing_window_features",
-    "asof_forward_next_error",
     "embedding_centroids_by_label",
     "assign_nearest_centroid",
     "agg_grouping_sets",
@@ -152,8 +152,6 @@ _CHECK_LAST: list[str] = [
     "feature_binning_ntile",
     "dedup_fuzzy_name_pairs",
     "agg_stats_moments",
-    "copy_tree_lineitem",
-    "delete_tree_orders",
     "upsert_orders",
     "topo_depth",
     "dedup_exact",
@@ -165,8 +163,23 @@ _CHECK_LAST: list[str] = [
 
 
 def _check_order(names: list[str]) -> list[str]:
-    first = [n for n in _CHECK_FIRST if n in names]
-    last = [n for n in _CHECK_LAST if n in names]
+    """Raises on check-order names missing from the registry: round 3
+    shipped three _CHECK_FIRST names whose implementations didn't exist
+    (silently filtered — the list claimed coverage that wasn't there).
+    Loud failure keeps the check order honest."""
+    from collections import Counter
+
+    listed = _CHECK_FIRST + _CHECK_LAST
+    unknown = sorted(set(listed) - set(names))
+    if unknown:
+        raise ValueError(
+            f"check-order names not in the query registry (ghosts): {unknown}"
+        )
+    dups = sorted(n for n, c in Counter(listed).items() if c > 1)
+    if dups:
+        raise ValueError(f"names listed twice in the check order: {dups}")
+    first = list(_CHECK_FIRST)
+    last = list(_CHECK_LAST)
     mid = [n for n in names if n not in set(first) | set(last)]
     return first + mid + last
 

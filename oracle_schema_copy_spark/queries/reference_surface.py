@@ -435,6 +435,49 @@ def q_oplog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "oplog_atomic_replay_orders",
+    """
+    WITH upserted AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT * FROM upserted WHERE o_orderkey % 13 <> 0
+    """,
+)
+def q_oplog_atomic_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional twin of oplog_roundtrip_orders: the same
+    insert+upsert+delete log replayed through ``replay_atomic`` — staged
+    warehouse, single commit-marker rename, roll-forward recovery — the
+    reference's one-JDBC-transaction import semantics
+    (``CopyUtils.java:353-375``, commit at ``:367``) on immutable storage.
+    Same oracle as the plain replay: transactionality must not change the
+    final state, only remove the partially-applied crash window (which
+    ``tests/test_oplog.py`` kills a replay mid-log to verify)."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.plans import oplog
+
+    base = f"{_SCRATCH}/oplog_atomic_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    dels = orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    with oplog.OperationLogWriter(f"{base}/log") as log:
+        log.insert("orders", orders)
+        log.upsert("orders", updates, "o_orderkey")
+        log.delete("orders", "o_orderkey", dels)
+    wh = oplog.Warehouse(spark, f"{base}/wh")
+    oplog.replay_atomic(spark, f"{base}/log", wh)
+    return wh.read("orders")
+
+
+@query(
     "export_view_opaque_roundtrip",
     """
     SELECT n.n_name AS nation_name, r.r_name AS region_name

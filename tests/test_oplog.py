@@ -131,6 +131,113 @@ def test_replay_is_idempotent_after_partial_failure(spark, sf_dir, tmp_path):
     assert wh.read("nation").count() == n1 == 25
 
 
+def _append_bogus_op(log_path: str) -> None:
+    """Append an unknown-kind record to a closed manifest — replay raises
+    exactly at that op, simulating a mid-log crash."""
+    with open(os.path.join(log_path, oplog.MANIFEST), "a") as f:
+        f.write(
+            json.dumps(
+                {"seq": 99, "kind": "explode", "table": None, "params": {}, "payload": None}
+            )
+            + "\n"
+        )
+
+
+def test_atomic_replay_crash_leaves_target_untouched(spark, sf_dir, tmp_path):
+    """Kill a replay mid-log: with replay_atomic the target warehouse must
+    be byte-identical to its pre-replay state (plain replay leaves the
+    prefix applied — the SURVEY §3.2 delta this closes)."""
+    from oracle_schema_copy_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    wh = oplog.Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("nation", nation.filter(F.col("n_nationkey") < 5))  # pre-state: 5 rows
+
+    log = str(tmp_path / "log")
+    with oplog.OperationLogWriter(log) as lg:
+        lg.insert("nation", nation)  # would overwrite with 25 rows
+    _append_bogus_op(log)
+
+    with pytest.raises(ValueError, match="unknown operation kind"):
+        oplog.replay_atomic(spark, log, wh)
+    assert wh.read("nation").count() == 5  # untouched
+    assert not os.path.exists(os.path.join(wh.root, oplog.COMMIT_MARKER))
+
+    # and the SAME warehouse then accepts a clean atomic replay
+    log2 = str(tmp_path / "log2")
+    with oplog.OperationLogWriter(log2) as lg:
+        lg.insert("nation", nation)
+    oplog.replay_atomic(spark, log2, wh)
+    assert wh.read("nation").count() == 25
+
+
+def test_atomic_replay_rolls_forward_after_commit_marker(spark, sf_dir, tmp_path):
+    """A crash BETWEEN the commit-marker rename and the table moves is
+    completed by the next replay/recover (roll-forward), not undone."""
+    import shutil as _sh
+
+    from oracle_schema_copy_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    wh = oplog.Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("nation", nation.filter(F.col("n_nationkey") < 5))
+
+    # hand-craft the post-commit pre-apply state: staged table + marker
+    stage = os.path.join(wh.root, oplog.STAGE_DIRNAME)
+    nation.write.parquet(os.path.join(stage, "nation"))
+    with open(os.path.join(wh.root, oplog.COMMIT_MARKER), "w") as f:
+        json.dump({"tables": ["nation"]}, f)
+
+    assert oplog.recover_replay(wh) is True
+    assert wh.read("nation").count() == 25  # the committed state, applied
+    assert not os.path.exists(os.path.join(wh.root, oplog.COMMIT_MARKER))
+    assert not os.path.isdir(stage)
+    assert oplog.recover_replay(wh) is False  # idempotent; nothing pending
+    _sh.rmtree(str(tmp_path / "wh"), ignore_errors=True)
+
+
+def test_replay_composite_and_legacy_delete_records(spark, sf_dir, tmp_path):
+    """Composite-key delete ops round-trip through write/replay; a legacy
+    single-``key_column`` manifest record (pre-composite format) still
+    replays."""
+    from oracle_schema_copy_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000).cache()
+    doomed = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        "l_orderkey", "l_linenumber"
+    ).distinct()
+    log = str(tmp_path / "log")
+    with oplog.OperationLogWriter(log) as lg:
+        lg.insert("lineitem", li)
+        lg.delete("lineitem", ["l_orderkey", "l_linenumber"], doomed)
+    recs = list(oplog.read_manifest(log))
+    assert recs[1].params["key_columns"] == ["l_orderkey", "l_linenumber"]
+    wh = oplog.Warehouse(spark, str(tmp_path / "wh"))
+    oplog.replay(spark, log, wh)
+    expected = li.join(
+        doomed.toDF("k1", "k2"),
+        (F.col("l_orderkey") == F.col("k1")) & (F.col("l_linenumber") == F.col("k2")),
+        "left_anti",
+    ).count()
+    assert wh.read("lineitem").count() == expected
+
+    # legacy record: rewrite the delete op's params to the old key_column form
+    mpath = os.path.join(log, oplog.MANIFEST)
+    lines = [json.loads(ln) for ln in open(mpath)]
+    lines[1]["params"] = {"key_column": "l_orderkey"}
+    with open(mpath, "w") as f:
+        for d in lines:
+            f.write(json.dumps(d, sort_keys=True) + "\n")
+    wh2 = oplog.Warehouse(spark, str(tmp_path / "wh2"))
+    oplog.replay(spark, log, wh2)
+    # legacy semantics: delete by the leading column only
+    expected_legacy = li.join(
+        doomed.select("l_orderkey").distinct(), "l_orderkey", "left_anti"
+    ).count()
+    assert wh2.read("lineitem").count() == expected_legacy
+    li.unpersist()
+
+
 def test_view_and_opaque_objects_roundtrip(spark, sf_dir, tmp_path):
     """S9: view defs replay as views over imported tables; opaque SQL
     (triggers/sequences) survives in the manifest, is skipped by parquet
