@@ -409,6 +409,101 @@ def near_dup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
+def near_dup_components_star(pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round scale path that ``near_dup_components``'
+    docstring names as its upgrade. Same output contract: (doc_id,
+    component = min reachable id).
+
+    Per round: large-star hangs every neighbor LARGER than u off u's
+    minimum (m = min(Γ(u) ∪ {u})); small-star re-points the smaller
+    neighbors (and u itself) at m. Both are one min-aggregation + one
+    equi-join over the edge list — no vectors, no text, just id pairs —
+    and the edge set monotonically collapses toward per-component stars.
+    Label propagation needs O(diameter) rounds (a 1000-link chain = 1000
+    shuffles); this needs O(log n) regardless of shape, which is the
+    difference between feasible and not on a 100 TB pair graph.
+
+    Convergence = (count, xxhash64 checksum) of the edge list stable
+    across a round — two scalars to the driver per round, same bounded
+    control flow as the sibling loop. ``localCheckpoint`` truncates
+    iterative lineage. Non-convergence raises (same policy: a silently
+    split cluster is worse than a loud failure).
+    """
+    E = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        E.select(F.col("u").alias("id"))
+        .union(E.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(edges: DataFrame):
+        # bit_xor, not sum: ANSI mode (Spark 4 default) throws on long-sum
+        # overflow, and xor is order-independent with no overflow at all
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row.n, row.h
+
+    prev = _checksum(E)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: emit (v, m) for every neighbor v > u
+        und = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        E = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star on (larger -> smaller) edges: re-point smaller
+        # neighbors and u itself at the minimum
+        D = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = D.groupBy("u").agg(F.min("v").alias("mn"))
+        repointed = (
+            D.join(mins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        selfedge = mins.select(F.col("u"), F.col("mn").alias("v"))
+        E = (
+            repointed.union(selfedge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _checksum(E)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_components_star did not converge within {max_iter} rounds"
+        )
+    # At convergence E is a star per component: (member, root). Roots have
+    # no outgoing edge — they are their own component.
+    members = E.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = nodes.join(E.select(F.col("u").alias("id")), "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return members.union(roots).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component")
+    )
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     id_col: str,

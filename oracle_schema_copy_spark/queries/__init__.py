@@ -74,6 +74,7 @@ _CHECK_FIRST: list[str] = [
     "similarity_topk_lsh_vectorized",
     "copy_tree_lineitem_composite",
     "oplog_atomic_replay_orders",
+    "dedup_components_star",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

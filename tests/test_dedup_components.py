@@ -42,3 +42,42 @@ def test_unconverged_raises_instead_of_silent_split(spark):
     # the same chain converges with enough rounds
     ok = {r.doc_id: r.component for r in near_dup_components(chain).collect()}
     assert set(ok.values()) == {1}
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star variant
+# ---------------------------------------------------------------------------
+
+from oracle_schema_copy_spark.operators.dedup import near_dup_components_star
+
+
+def _components_star(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    return {r.doc_id: r.component for r in near_dup_components_star(df, **kw).collect()}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        [(10, 11), (10, 12), (10, 13), (20, 21), (30, 31)],
+        [(1, 5), (1, 6), (2, 7), (2, 8), (6, 7)],
+        [(5, 1), (9, 5), (2, 9), (7, 3)],  # reversed-order edges
+    ],
+)
+def test_star_agrees_with_label_propagation(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    lp = {r.doc_id: r.component for r in near_dup_components(df).collect()}
+    assert _components_star(spark, pairs) == lp
+
+
+def test_star_handles_long_chain_in_log_rounds(spark):
+    """A 33-node chain: label propagation needs ~31 rounds (raises under a
+    6-round budget); star contraction converges within 6 — the O(log n)
+    vs O(diameter) difference this variant exists for."""
+    chain = [(i, i + 1) for i in range(1, 33)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(df, max_iter=6)
+    got = _components_star(spark, chain, max_iter=6)
+    assert got == {i: 1 for i in range(1, 34)}
