@@ -14,10 +14,10 @@ the median and round-over-round comparisons became undecidable):
 - **Warmup inside each JVM**: generic shuffle/broadcast/Arrow warmup plus
   ONE untimed execution of the query itself (codegen compile + JIT), so
   timed samples measure the steady-state plan, not first-touch costs.
-- **5 timed runs per query** (``SPARK_GRAFT_BENCH_RUNS``), reported as the
-  max-dropped trimmed median (see ``_trimmed_median`` — contention noise
-  is one-sided), plus min, max-min spread, and the full sample list so
-  outliers are visible in the record.
+- **7 timed runs per query** (``SPARK_GRAFT_BENCH_RUNS``), reported as a
+  one-sided trimmed median (worst third dropped — contention noise is
+  one-sided, see ``_trimmed_median``), plus min, max-min spread, and the
+  full sample list so outliers are visible in the record.
 - Machine state (cpu count, 1-min loadavg before/after) is recorded so an
   overloaded-sandbox run is distinguishable from a plan regression.
 
@@ -86,20 +86,22 @@ def _median(xs: list[float]) -> float:
 
 
 def _trimmed_median(xs: list[float]) -> float:
-    """Median after dropping the single worst sample. The sandbox's noise
-    is one-sided (co-tenant CPU contention ADDS seconds; nothing ever
-    makes a run faster than the plan), so the max sample carries no
-    information about plan cost; dropping it keeps one contention spike
-    from shifting the median. ``min`` (also reported) is the fully
-    contention-free floor."""
+    """Median after dropping the worst third of samples. The sandbox's
+    noise is one-sided (co-tenant CPU contention ADDS seconds — observed
+    31.8s samples on a 2.9s-min query; nothing ever makes a run faster
+    than the plan), so the top samples carry no information about plan
+    cost; a proportional one-sided trim keeps a burst of spikes from
+    shifting the median. ``min`` (also reported) is the contention-free
+    floor."""
     s = sorted(xs)
-    return _median(s[:-1]) if len(s) > 2 else _median(s)
+    drop = max(1, len(s) // 3) if len(s) > 2 else 0
+    return _median(s[: len(s) - drop])
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
 
     if len(sys.argv) > 2 and sys.argv[1] == "--one":

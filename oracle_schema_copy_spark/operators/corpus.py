@@ -1,0 +1,130 @@
+"""Corpus-level text statistics: tf-idf keywords and vocabulary/OOV
+analysis — the corpus-wide counterparts of the per-row scores in
+``functions/text.py`` (which need no aggregation). A training-data
+pipeline uses these for keyword extraction, vocabulary coverage checks
+("how much of this shard is OOV for my tokenizer?"), and
+frequency-based quality filters.
+
+Scale shape (both operators):
+- tokens explode map-side; every aggregation map-side combines before
+  its shuffle (token counts, per-doc counts), so shuffles carry
+  (token, count) / (doc, count) pairs — never text;
+- the vocabulary is a top-V aggregate (V = thousands), broadcast back
+  against the exploded stream: corpus-size-independent build side;
+- no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.functions.text import tokens
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` tf-idf terms per document: tf(d,t) * ln(N / df(t)),
+    rounded to 6 decimals (ln is the one non-rational step; both engines
+    evaluate IEEE-double ln, and the 6-dp rounding absorbs last-ulp
+    dialect differences), ranked per document with a term-name tie-break.
+
+    One explode + two map-side-combined aggregations (tf by (doc, term),
+    df by term) + a broadcast-able join of the df table; the rank window
+    shuffles only (doc, term, score) triples.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def top_vocabulary(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    size: int = 1000,
+) -> DataFrame:
+    """The corpus's ``size`` most frequent tokens (count desc, token asc
+    tie-break — fully deterministic): the stand-in for a tokenizer
+    vocabulary in coverage analysis. One explode + one map-side-combined
+    count + a global top-V (TakeOrderedAndProject — per-partition top-V,
+    merged on the driver; never a full sort)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(size)
+        .select("term", F.col("n").cast("long").alias("n"))
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary statistics against ``vocab`` (a
+    one-column-or-more frame whose first column is the term): token
+    count, OOV token count, and their exact-integer ratio (no
+    transcendentals — the oracle matches bit-for-bit).
+
+    The exploded token stream LEFT-ANTI-joins the broadcast vocabulary;
+    per-doc counts map-side combine. Documents with zero tokens report
+    rate 0.0."""
+    v = F.broadcast(vocab.select(F.col(vocab.columns[0]).alias("term")).distinct())
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    oov = (
+        tok.join(v, "term", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    totals = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(oov, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.coalesce("n_oov", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+    )

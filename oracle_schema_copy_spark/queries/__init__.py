@@ -75,6 +75,8 @@ _CHECK_FIRST: list[str] = [
     "copy_tree_lineitem_composite",
     "oplog_atomic_replay_orders",
     "dedup_components_star",
+    "text_tfidf_top_terms",
+    "text_oov_rate",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -667,6 +667,70 @@ def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(nd AS DOUBLE) / CAST(dfr.df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN dfr USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM scored)
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (tf * ln(N/df), 6-dp rounded,
+    term tie-break) — corpus-level keyword extraction: one explode, two
+    map-side-combined aggregations, broadcast df join, rank window."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "text_oov_rate",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS n FROM tok GROUP BY 1
+            ORDER BY n DESC, term LIMIT 10)),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+    oov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov
+        FROM tok ANTI JOIN vocab USING (term) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(t.n_tokens, 0) AS n_tokens,
+           COALESCE(o.n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(t.n_tokens, 0) > 0
+                THEN CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens
+                ELSE 0.0 END AS oov_rate
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN oov o USING (doc_id)
+    """,
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage analysis: per-document OOV token count/rate
+    against the corpus top-10 vocabulary (count-desc, term-asc ties — the
+    fixture vocabulary is 31 words, so top-10 leaves real OOV mass).
+    Exact-integer ratios; the vocabulary boundary is deterministic on
+    both engines. The tokenizer-coverage question every training shard
+    gets asked, as one broadcast anti-join."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.oov_rate(docs, corpus.top_vocabulary(docs, size=10))
+
+
 # synthetic PII appended identically on both engines (the fixture corpus is
 # a clean word stream, so redaction needs planted positives to prove itself)
 _SQL_PII_AUG = (

@@ -1,11 +1,14 @@
 """Standalone driver-mimic: runs entry() + every queries() entry vs its
 DuckDB oracle at a given SF (default sf0.01, the driver's t2 scale).
 
-Usage: python tools/driver_mimic.py [sf_dir]
+Usage: python tools/driver_mimic.py [sf_dir] [only_query1,only_query2]
+Set SPARK_GRAFT_MIMIC_JSON=<path> to also write a JSON artifact
+(per-query status + row counts — the committed sf0.1 evidence file).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -62,6 +65,7 @@ def main() -> int:
 
     qs, osql = m.queries(), m.oracle_sql()
     fails: list[str] = []
+    results: dict[str, dict] = {}
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name, fn in qs.items():
         if only and name not in only:
@@ -70,10 +74,12 @@ def main() -> int:
             s = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
+            results[name] = {"status": "ERROR", "why": f"{type(e).__name__}: {e}"}
             fails.append(name)
             continue
         if name not in osql:
             print(f"{name}: rows-only ({len(s)} rows)")
+            results[name] = {"status": "rows_only", "rows": len(s)}
             continue
         d = con.sql(osql[name]).df()
         s, d = normalize(s), normalize(d)
@@ -105,9 +111,25 @@ def main() -> int:
                 if not ok:
                     break
         print(f"{name}: {'MATCH' if ok else 'MISMATCH ' + why} ({len(s)} rows)")
+        results[name] = {"status": "MATCH" if ok else "MISMATCH", "rows": len(s)}
         if not ok:
+            results[name]["why"] = why
             fails.append(name)
     print("FAILURES:", fails or "none")
+    out = os.environ.get("SPARK_GRAFT_MIMIC_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "n_queries": len(results),
+                    "n_fail": len(fails),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     spark.stop()
     return 1 if fails else 0
 
