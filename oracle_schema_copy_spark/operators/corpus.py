@@ -86,6 +86,65 @@ def top_vocabulary(
     )
 
 
+def mixture_rates(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token mass and the sampling rate (basis points) that
+    equalizes groups to the SMALLEST group's token count — the "mix
+    domains to a target ratio" step of corpus curation, computed
+    declaratively: one explode-free token count (``size(split(...))``),
+    one map-side-combined aggregation to |groups| rows, one broadcast of
+    the global minimum. ``rate_bp = floor(10000 * min_tokens /
+    group_tokens)`` — exact integer arithmetic after one IEEE division,
+    identical across engines."""
+    per = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+    )
+    mn = per.agg(F.min("n_tokens").alias("__mn"))
+    return (
+        per.crossJoin(F.broadcast(mn))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.lit(10000)
+                * F.col("__mn").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            .cast("long")
+            .alias("rate_bp"),
+        )
+    )
+
+
+def sample_to_mixture(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ``mixture_rates`` as a deterministic hash sample: every group
+    downsampled toward the smallest group's token mass. Rates join back
+    broadcast (|groups| rows); membership is the md5 ring of
+    ``operators/sampling.py`` — reproducible on any engine/partitioning,
+    and the whole pipeline (count → rate → filter) is one declarative
+    plan with a single aggregation shuffle."""
+    from oracle_schema_copy_spark.operators.sampling import hash_bucket
+
+    rates = mixture_rates(docs, group_col=group_col, text_col=text_col)
+    return (
+        docs.join(F.broadcast(rates.select(group_col, "rate_bp")), group_col)
+        .filter(hash_bucket(F.col(id_col), "mix") < F.col("rate_bp"))
+        .select(id_col, group_col)
+    )
+
+
 def oov_rate(
     docs: DataFrame,
     vocab: DataFrame,

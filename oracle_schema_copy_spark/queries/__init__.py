@@ -77,6 +77,8 @@ _CHECK_FIRST: list[str] = [
     "dedup_components_star",
     "text_tfidf_top_terms",
     "text_oov_rate",
+    "corpus_mixture_rates",
+    "sample_mix_by_source",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -38,6 +38,11 @@ def _sql_h(expr: str, digits: int = 7) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {digits})) AS BIGINT)"
 
 
+# deterministic md5 sampling ring (operators/sampling.py twin)
+_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5({salt} || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000"
+)
+
 _SQL_JACCARD_PAIRS = f"""
     WITH {_SQL_SHINGLES},
     ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
@@ -731,6 +736,51 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.oov_rate(docs, corpus.top_vocabulary(docs, size=10))
 
 
+_SQL_MIX_RATES = """
+    per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    mixr AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(10000 * CAST((SELECT min(n_tokens) FROM per) AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS rate_bp
+        FROM per)
+"""
+
+
+@query(
+    "corpus_mixture_rates",
+    f"WITH {_SQL_MIX_RATES} SELECT * FROM mixr",
+)
+def q_corpus_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing rates: per-source doc/token mass and the basis-point
+    sampling rate equalizing every source to the smallest one — the 'mix
+    sources to a target ratio' computation, one aggregation shuffle."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.mixture_rates(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample_mix_by_source",
+    f"""
+    WITH {_SQL_MIX_RATES}
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN mixr USING (source)
+    WHERE {_SQL_BUCKET.format(salt="'mix'")} < mixr.rate_bp
+    """,
+)
+def q_sample_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied mixture: deterministic md5-ring downsampling of every
+    source toward the smallest source's token mass (rates broadcast back;
+    membership engine-independent — the reproducible 'remix the corpus'
+    primitive)."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.sample_to_mixture(load_table(spark, sf_dir, "documents"))
+
+
 # synthetic PII appended identically on both engines (the fixture corpus is
 # a clean word stream, so redaction needs planted positives to prove itself)
 _SQL_PII_AUG = (
@@ -850,11 +900,6 @@ def q_pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits
 # ---------------------------------------------------------------------------
-
-_SQL_BUCKET = (
-    "CAST(('0x' || substr(md5({salt} || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000"
-)
-
 
 @query(
     "sample_stratified_by_lang",
