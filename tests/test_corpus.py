@@ -43,3 +43,28 @@ def test_oov_rate_exact_counts(spark):
     assert (got[1].n_tokens, got[1].n_oov, got[1].oov_rate) == (4, 2, 0.5)
     assert (got[2].n_tokens, got[2].n_oov, got[2].oov_rate) == (2, 0, 0.0)
     assert (got[3].n_tokens, got[3].n_oov, got[3].oov_rate) == (3, 3, 1.0)
+
+
+def test_mixture_rates_equalize_to_smallest(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "big"),
+            (2, "a b c d", "big"),      # big: 8 tokens
+            (3, "a b", "small"),        # small: 2 tokens
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rates = {r.source: r for r in corpus.mixture_rates(docs).collect()}
+    assert rates["small"].rate_bp == 10000          # keep everything
+    assert rates["big"].rate_bp == 2500             # 2/8 of the ring
+    assert rates["big"].n_tokens == 8 and rates["small"].n_tokens == 2
+
+
+def test_sample_to_mixture_is_deterministic_subset(spark):
+    rows = [(i, "tok " * (i % 5 + 1), f"s{i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], ["doc_id", "text", "source"]
+    )
+    a = sorted(r.doc_id for r in corpus.sample_to_mixture(docs).collect())
+    b = sorted(r.doc_id for r in corpus.sample_to_mixture(docs.repartition(7)).collect())
+    assert a == b and 0 < len(a) <= 60  # partitioning-independent
