@@ -49,17 +49,28 @@ def _warmup(spark) -> None:
 
 
 def _time_query(spark, fn, sf_dir: str, runs: int) -> dict:
-    """Untimed warmup executions, then ``runs`` timed samples.
+    """Untimed warmup executions, then up to ``runs`` timed samples.
 
     Two warmup passes, not one: measured single-warmup runs still carried
     5× first-sample JIT residue (C2 compiles the hot loops during/after
-    the first full execution)."""
+    the first full execution).
+
+    The timed phase is bounded by ``SPARK_GRAFT_BENCH_QUERY_BUDGET``
+    seconds (default 60, min 3 samples always taken): under co-tenant
+    contention a single sample can take 30s+, and an unbounded 7-sample
+    protocol across 15 queries must not blow whatever timeout the
+    calling driver enforces — a completed 3-sample record beats a killed
+    7-sample one."""
     t0 = time.perf_counter()
     assert fn(spark, sf_dir).count() >= 0
     assert fn(spark, sf_dir).count() >= 0
     warm = time.perf_counter() - t0
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_BUDGET", "60"))
     samples = []
-    for _ in range(runs):
+    t_start = time.perf_counter()
+    for i in range(runs):
+        if i >= 3 and time.perf_counter() - t_start > budget:
+            break
         t0 = time.perf_counter()
         assert fn(spark, sf_dir).count() >= 0
         samples.append(round(time.perf_counter() - t0, 3))
