@@ -92,6 +92,68 @@ def label_partitioned_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """True IVF search: route each query to its ``nprobe`` highest-dot
+    centroids, then scan exactly those cells — the recall/cost dial
+    ``label_partitioned_topk`` (nprobe=1) lacks. ``centroids`` is the
+    (cell, pos, centroid) shape ``group_centroids`` emits.
+
+    Plan shape: the centroid table re-assembles to |cells| arrays and
+    BROADCASTS twice — once against the (small) query set to pick probe
+    cells (rank window over |queries| × |cells| rows — driver-free), once
+    never: the corpus joins the probe list (|queries| × nprobe rows,
+    broadcast) on the cell id. At scale, with the corpus written
+    partitioned/bucketed by cell, that equi-join prunes I/O to the probed
+    cells; scoring touches only their rows. All dots are the
+    sequential-double ``dot()`` — bit-identical to the SQL twin."""
+    cvecs = (
+        centroids.groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("__cvec")
+        )
+        .select(F.col(cell_col).alias("__cell"), "__cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    qscore = q.join(F.broadcast(cvecs)).select(
+        "query_id", "__qv", "__cell", dot(F.col("__qv"), F.col("__cvec")).alias("__cd")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("__cell"))
+    probed = (
+        qscore.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "__cell")
+    )
+    scored = spread(corpus).join(
+        F.broadcast(probed),
+        (F.col(cell_col) == F.col("__cell")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col(vec_col), F.col("__qv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 bits (seeded, library-free,
     reproducible verbatim in the SQL oracle as literal arrays)."""

@@ -79,6 +79,7 @@ _CHECK_FIRST: list[str] = [
     "text_oov_rate",
     "corpus_mixture_rates",
     "sample_mix_by_source",
+    "similarity_topk_ivf_nprobe",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -405,6 +405,51 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_ivf_nprobe",
+    f"""
+    WITH cents AS (
+        SELECT label, k - 1 AS pos,
+               round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY label, k),
+    cvec AS (
+        SELECT label, array_agg(centroid ORDER BY pos) AS cv
+        FROM cents GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    qcell AS (
+        SELECT query_id, qv, label,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_sql_dot('qv', 'cv')} DESC, label) AS pr
+        FROM q CROSS JOIN cvec),
+    probed AS (SELECT query_id, qv, label FROM qcell WHERE pr <= 2),
+    scored AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'p.qv')} AS score
+        FROM embeddings e JOIN probed p
+          ON e.label = p.label AND e.vec_id <> p.query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF: train the coarse quantizer (per-label centroids), route
+    each of 20 queries to its top-2 centroid cells, search only those
+    cells — the recall/cost dial of production IVF indexes (nprobe=1 is
+    similarity_topk_ivf_label). Centroids broadcast; the corpus joins the
+    probe list on the cell id, which at scale is partition pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), cents, nprobe=2, k=5
+    )
+
+
+@query(
     "similarity_topk_lsh_banded",
     f"""
     WITH {_banded_lsh_sql()},
