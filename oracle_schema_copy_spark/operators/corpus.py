@@ -86,6 +86,92 @@ def top_vocabulary(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a literal term set — the
+    keyword-retrieval half of hybrid search (and the lexical side of
+    contamination / source-tracing lookups).
+
+    Determinism engineering (the oracle must match exactly): tf is an
+    integer count; doc length and the corpus (N, Σdl) are integer
+    aggregates (one IEEE division each for avgdl and the norm); idf uses
+    the Lucene ``ln(1 + (N - df + ½)/(df + ½))`` form. Per-term scores
+    are pivoted to ONE column per query term and added in FIXED term
+    order (a float sum over a groupBy would be order-nondeterministic),
+    rounded to 6 dp, and RANKED ON THE ROUNDED score with an id
+    tie-break. Only docs containing ≥1 query term appear.
+
+    Shape: one explode filtered to the term list (a handful of tokens —
+    the filter prunes the stream at the scan), two map-side-combined
+    aggregations, broadcast joins of the df table and the 1-row corpus
+    stats; the rank is a single TakeOrdered."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(list(terms)))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    dl = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("__sumdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl")
+                        / (
+                            F.col("__sumdl").cast("double")
+                            / F.col("__n").cast("double")
+                        )
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("__s"))).alias(f"__s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = None
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    return (
+        per_term.select(F.col(id_col), F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def mixture_rates(
     docs: DataFrame,
     *,

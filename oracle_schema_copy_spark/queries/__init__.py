@@ -80,6 +80,8 @@ _CHECK_FIRST: list[str] = [
     "corpus_mixture_rates",
     "sample_mix_by_source",
     "similarity_topk_ivf_nprobe",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

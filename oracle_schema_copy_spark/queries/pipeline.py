@@ -9,7 +9,7 @@ one hash function the two engines implement identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions import text as tf
@@ -779,6 +779,104 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus.oov_rate(docs, corpus.top_vocabulary(docs, size=10))
+
+
+_BM25_TERMS = ["hash", "scan", "filter"]
+
+# every literal CAST to DOUBLE: bare 2.2 is DECIMAL in DuckDB and decimal
+# arithmetic diverges from the double math Spark does
+_SQL_BM25 = f"""
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    ftok AS (SELECT * FROM tok WHERE term IN ({', '.join(f"'{t}'" for t in _BM25_TERMS)})),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ftok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ftok GROUP BY 1),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS sumdl
+              FROM documents),
+    sc AS (
+        SELECT tf.doc_id, tf.term,
+               ln(CAST(1.0 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n))) AS s
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    pt AS (
+        SELECT doc_id,
+               {', '.join(f"max(CASE WHEN term = '{t}' THEN s END) AS s{i}" for i, t in enumerate(_BM25_TERMS))}
+        FROM sc GROUP BY doc_id),
+    bm AS (
+        SELECT doc_id,
+               round({' + '.join(f'COALESCE(s{i}, CAST(0.0 AS DOUBLE))' for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+        FROM pt)
+"""
+
+
+@query(
+    "search_bm25_topk",
+    f"WITH {_SQL_BM25} SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10",
+)
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: BM25 top-10 for a 3-term query (Lucene idf
+    form, k1=1.2 b=0.75) — integer tf/dl/df, fixed-order per-term sum,
+    6-dp rounding; see operators/corpus.bm25_topk for the determinism
+    engineering."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@query(
+    "search_hybrid_rrf",
+    f"""
+    WITH {_SQL_BM25},
+    bmr AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rb
+        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    cosr AS (
+        SELECT vec_id, CAST(row_number() OVER (
+            ORDER BY {_sql_dot('embedding', 'v')} DESC, vec_id) AS BIGINT) AS rc
+        FROM embeddings CROSS JOIN qv
+        ORDER BY {_sql_dot('embedding', 'v')} DESC, vec_id LIMIT 50)
+    SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+           (CASE WHEN b.rb IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (60 + b.rb) ELSE CAST(0.0 AS DOUBLE) END)
+           + (CASE WHEN c.rc IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (60 + c.rc) ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+    FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.vec_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 top-50 and
+    embedding-cosine top-50 for one query (vec_id 0; the fixture's doc
+    and vector id spaces align) — the lexical+semantic fusion every
+    retrieval-based curation/dedup pipeline runs. Ranks are integers and
+    the two 1/(60+r) terms add in fixed order, so the fused score is
+    bit-identical to the SQL twin with no rounding at all."""
+    from oracle_schema_copy_spark.functions.vectors import dot
+    from oracle_schema_copy_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = corpus.bm25_topk(docs, _BM25_TERMS, k=50)
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(wb).cast("long").alias("rb"))
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id", dot(F.col("embedding"), F.col("__qv")).alias("__cos")
+    )
+    # top-50 FIRST (distributed TakeOrdered), then rank the 50 survivors —
+    # a global rank window over the whole corpus would single-partition it
+    top50 = scored.orderBy(F.desc("__cos"), F.asc("vec_id")).limit(50)
+    wc = Window.orderBy(F.desc("__cos"), F.asc("vec_id"))
+    cosr = top50.select("vec_id", F.row_number().over(wc).cast("long").alias("rc"))
+    fused = bmr.join(cosr, bmr["doc_id"] == cosr["vec_id"], "full_outer").select(
+        F.coalesce(bmr["doc_id"], cosr["vec_id"]).alias("doc_id"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rc")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
 
 
 _SQL_MIX_RATES = """

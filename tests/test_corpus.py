@@ -68,3 +68,17 @@ def test_sample_to_mixture_is_deterministic_subset(spark):
     a = sorted(r.doc_id for r in corpus.sample_to_mixture(docs).collect())
     b = sorted(r.doc_id for r in corpus.sample_to_mixture(docs.repartition(7)).collect())
     assert a == b and 0 < len(a) <= 60  # partitioning-independent
+
+
+def test_bm25_rewards_tf_and_penalizes_length(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash pad"),                   # dense, short
+            (2, "hash " + "pad " * 20 + "end"),          # one hit, long
+            (3, "pad pad pad"),                          # no hit -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = corpus.bm25_topk(docs, ["hash"], k=10).collect()
+    assert [r.doc_id for r in got] == [1, 2]  # doc 3 never appears
+    assert got[0].bm25 > got[1].bm25 > 0
