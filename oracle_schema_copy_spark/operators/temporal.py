@@ -167,6 +167,53 @@ def range_join_binned(
     )
 
 
+def funnel(
+    events: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel progression per key: for step i, the EARLIEST event
+    of type ``steps[i]`` strictly after the key's step-(i-1) time; keys
+    enter the result by completing step 1. Output: (key, t1..tN nullable,
+    reached = furthest completed step) — the product-analytics funnel
+    (view → click → convert) over the events fixture.
+
+    Shape: one filtered min-aggregation per step, each an equi-join on
+    the key against the (shrinking) survivors of the previous step —
+    N-1 co-partitioned hash joins on the same key, no windows over the
+    full stream, no row explosion; every aggregation map-side combines.
+    Deterministic: ``min(ts)`` is order-free.
+    """
+    out = (
+        events.filter(F.col(step_col) == steps[0])
+        .groupBy(F.col(key))
+        .agg(F.min(ts).alias("t1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        e = events.filter(F.col(step_col) == s).select(
+            F.col(key).alias("__k"), F.col(ts).alias("__t")
+        )
+        nxt = (
+            e.join(
+                out.select(key, f"t{i - 1}"),
+                (e["__k"] == F.col(key)) & (e["__t"] > F.col(f"t{i - 1}")),
+            )
+            .groupBy("__k")
+            .agg(F.min("__t").alias(f"t{i}"))
+        )
+        out = out.join(nxt, out[key] == nxt["__k"], "left").drop("__k")
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+    return out.select(
+        key, *[f"t{i}" for i in range(1, len(steps) + 1)],
+        reached.cast("long").alias("reached"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     *,

@@ -82,6 +82,7 @@ _CHECK_FIRST: list[str] = [
     "similarity_topk_ivf_nprobe",
     "search_bm25_topk",
     "search_hybrid_rrf",
+    "funnel_view_click_error",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

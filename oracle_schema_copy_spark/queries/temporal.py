@@ -121,6 +121,40 @@ def q_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_click_error",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'error' GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+                AS BIGINT) AS reached
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def q_funnel_view_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → error per user: earliest qualifying
+    event per step, strictly after the previous step — N-1 co-partitioned
+    key joins, min-aggregations only (order-free, hence exactly
+    oracle-able). The conversion-path analytic over the events stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.funnel(
+        ev, key="user_id", ts="ts", step_col="event_type",
+        steps=["view", "click", "error"],
+    )
+
+
+@query(
     "asof_forward_next_error",
     """
     SELECT e.user_id, e.ts, e.event_id, n.event_id AS q_event_id, n.ts AS q_ts

@@ -150,3 +150,30 @@ def test_asof_join_forward_and_tolerance(spark):
             probes, quotes, key="user_id", ts="ts",
             quote_cols=["event_id"], direction="sideways",
         )
+
+
+def test_funnel_ordered_progression(spark):
+    from datetime import datetime as dt
+
+    from oracle_schema_copy_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, dt(2024, 1, 1, 10), "view"), (1, dt(2024, 1, 1, 11), "click"),
+        (1, dt(2024, 1, 1, 12), "error"),
+        # u2: click BEFORE view -> step 2 not reached
+        (2, dt(2024, 1, 1, 9), "click"), (2, dt(2024, 1, 1, 10), "view"),
+        # u3: never views -> absent entirely (despite click+error)
+        (3, dt(2024, 1, 1, 10), "click"), (3, dt(2024, 1, 1, 11), "error"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r
+        for r in funnel(
+            ev, key="user_id", ts="ts", step_col="event_type",
+            steps=["view", "click", "error"],
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1].reached == 3 and got[1].t3 == dt(2024, 1, 1, 12)
+    assert got[2].reached == 1 and got[2].t2 is None
