@@ -30,6 +30,19 @@ from pyspark.sql import types as T
 
 FEATURE_DIM = 8
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -119,3 +132,54 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_w: int = 8,
+    out_h: int = 8,
+    real: bool = False,
+) -> DataFrame:
+    """Arrow-batched image resize/thumbnail over binary payloads — the
+    fourth member of the decode / feature-extract / resize / frame-sample
+    quartet. Source dimensions come from the stub decoder; the "resized"
+    thumbnail is identified by a digest deterministically derived from
+    (payload sha256, target dims), so the SQL oracle can re-derive every
+    output column without any codec. Exact doubles: ``scale = out/in``
+    is one IEEE division of small ints on both engines.
+
+    ``real=True`` raises (no codec libraries here); the ``mapInPandas``
+    plumbing — schema, Arrow batches, per-partition iteration — is the
+    production shape either way; swap the body for PIL's ``thumbnail``.
+    """
+    if real:
+        raise NotImplementedError(
+            "real image resize requires codec libraries not present in "
+            "this environment; use real=False for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _, _ = _fake_decode(p)
+                hx = hashlib.sha256(p).hexdigest()
+                rows.append(
+                    (
+                        int(i), w, h, out_w, out_h,
+                        out_w / w, out_h / h,
+                        hashlib.md5(f"{hx}|{out_w}x{out_h}".encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h",
+                    "scale_x", "scale_y", "thumb_md5",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)

@@ -83,6 +83,7 @@ _CHECK_FIRST: list[str] = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "funnel_view_click_error",
+    "multimodal_resize_stub",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -1209,6 +1209,31 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_stub",
+    """
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+    SELECT doc_id,
+           CAST(16 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 16 AS INT) AS in_w,
+           CAST(16 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 16 AS INT) AS in_h,
+           CAST(8 AS INT) AS out_w,
+           CAST(8 AS INT) AS out_h,
+           CAST(8 AS DOUBLE) / (16 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 16) AS scale_x,
+           CAST(8 AS DOUBLE) / (16 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 16) AS scale_y,
+           md5(hx || '|8x8') AS thumb_md5
+    FROM h
+    """,
+)
+def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize over binary payloads (stub decoder, real
+    mapInPandas Arrow plumbing): source dims, target dims, exact scale
+    factors, and a deterministic thumbnail digest the oracle re-derives
+    from the payload sha256 — completing the decode / feature-extract /
+    resize / frame-sample multimodal quartet."""
+    docs = multimodal.attach_binary(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_stub(docs, out_w=8, out_h=8)
+
+
+@query(
     "embedding_centroids_by_label",
     """
     SELECT label, CAST(k - 1 AS BIGINT) AS pos,
