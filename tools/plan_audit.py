@@ -47,16 +47,31 @@ def audit(plan: str) -> dict:
     }
 
 
-# queries whose nested-loop join is the DESIGN, not a regression: the
-# exact brute-force scorer is a deliberate broadcast cross-score of the
-# (tiny) query set against the corpus — the pruned LSH/IVF variants are
-# the scale paths.
-INTENTIONAL_CROSS = {"similarity_topk_bruteforce"}
+# queries whose nested-loop join is the DESIGN, not a regression:
+# - similarity_topk_bruteforce: deliberate broadcast cross-score of the
+#   (tiny) query set against the corpus — the pruned LSH/IVF variants are
+#   the scale paths;
+# - bm25/mixture/tfidf/oov: a ONE-ROW corpus-stats frame (N, Σdl / global
+#   min) broadcast against per-doc rows — a scalar, not a data join;
+# - ivf_nprobe: |queries| × |cells| centroid-routing grid (both tiny and
+#   broadcast; the corpus side joins the probe list by equi-key);
+# - hybrid_rrf: one query vector broadcast against the corpus scorer.
+# All are bounded by construction (1 row, or queries × cells).
+INTENTIONAL_CROSS = {
+    "similarity_topk_bruteforce",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "similarity_topk_ivf_nprobe",
+    "sample_mix_by_source",
+    "corpus_mixture_rates",
+    "text_tfidf_top_terms",
+    "assign_nearest_centroid",
+}
 
 
 def main() -> int:
     from oracle_schema_copy_spark.session import get_spark
-    from oracle_schema_copy_spark.queries import headline_queries
+    from oracle_schema_copy_spark.queries import headline_queries, queries
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -68,7 +83,14 @@ def main() -> int:
     # upgrades the static shape audited here (e.g. SMJ -> broadcast)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     flags = 0
-    for name, fn in headline_queries().items():
+    # default sweep = the benched headliners; an explicit list may name
+    # ANY registered query
+    pool = queries() if only else headline_queries()
+    unknown = sorted(only - set(pool)) if only else []
+    if unknown:
+        print(f"unknown query names: {unknown}")
+        return 1
+    for name, fn in pool.items():
         if only and name not in only:
             continue
         df = fn(spark, sf_dir)
