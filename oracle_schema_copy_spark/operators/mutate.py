@@ -106,6 +106,68 @@ def delete_by_keys(
     return target.join(keys, cond, "left_anti")
 
 
+def snapshot_diff(
+    base: DataFrame,
+    current: DataFrame,
+    key_columns: str | list[str],
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots of the same table: one row
+    per changed key, ``op`` in ('insert', 'update', 'delete').
+
+    This is the verification half of the reference's copy pipeline turned
+    into an operator: where ``CopyUtils`` asserts post-copy row counts, a
+    snapshot diff tells you *which* keys differ — the primitive behind
+    incremental re-copy, drift detection between source and target, and
+    CDC bootstrap.
+
+    Shape: full outer join on the PK (one shuffle, both sides
+    hash-partitioned on the key — the same plan as the upsert merge), then
+    a null-safe column-by-column comparison. ``IS DISTINCT FROM`` per
+    column (not a row hash) keeps the comparison type-exact and
+    engine-portable: float NaNs, timestamps and NULLs compare identically
+    in any SQL engine, with no canonical-serialization trap. Unchanged
+    keys are dropped map-side after the join.
+    """
+    keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+    data_cols = [c for c in base.columns if c not in keys]
+    assert set(base.columns) == set(current.columns), "snapshot schemas differ"
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in data_cols],
+        F.lit(True).alias("__in_b"),
+    )
+    c = current.select(
+        *[F.col(k).alias(f"__ck_{k}") for k in keys],
+        *[F.col(col).alias(f"__c_{col}") for col in data_cols],
+        F.lit(True).alias("__in_c"),
+    )
+    cond = None
+    for k in keys:
+        e = b[f"__bk_{k}"].eqNullSafe(c[f"__ck_{k}"])
+        cond = e if cond is None else cond & e
+    joined = b.join(c, cond, "full_outer")
+    changed = None
+    for col in data_cols:
+        ne = ~F.col(f"__b_{col}").eqNullSafe(F.col(f"__c_{col}"))
+        changed = ne if changed is None else changed | ne
+    op = (
+        F.when(F.col("__in_b").isNull(), F.lit("insert"))
+        .when(F.col("__in_c").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__bk_{k}"), F.col(f"__ck_{k}")).alias(k)
+                for k in keys
+            ],
+            "op",
+        )
+    )
+
+
 def bulk_copy(source: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Full-table copy projection (the reference's explicit column list —
     ``generateColumnList``, ``CopyUtils.java:672-680`` — is Catalyst column

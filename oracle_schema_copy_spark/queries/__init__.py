@@ -84,6 +84,13 @@ _CHECK_FIRST: list[str] = [
     "search_hybrid_rrf",
     "funnel_view_click_error",
     "multimodal_resize_stub",
+    "graph_pagerank_user_type",
+    "text_bigram_counts",
+    "embedding_dim_stats",
+    "join_bloom_pruned_semi",
+    "histogram_price_buckets",
+    "snapshot_diff_orders",
+    "events_rollup_cascade",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

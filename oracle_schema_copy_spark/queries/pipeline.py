@@ -1342,3 +1342,108 @@ def q_dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("distance") <= 1)
         .select("id_a", "id_b", "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics / corpus statistics (round-4 additions)
+# ---------------------------------------------------------------------------
+
+_PAGERANK_EDGES_SQL = """SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+               't:' || event_type AS dst FROM events
+        UNION
+        SELECT DISTINCT 't:' || event_type AS src,
+               'u:' || CAST(user_id AS VARCHAR) AS dst FROM events"""
+
+
+def _pagerank_oracle() -> str:
+    from oracle_schema_copy_spark.operators import graph
+
+    return (
+        graph.pagerank_sql(_PAGERANK_EDGES_SQL, iterations=3)
+        + "\n    SELECT node, rank FROM r3"
+    )
+
+
+@query("graph_pagerank_user_type", _pagerank_oracle())
+def q_graph_pagerank_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the bipartite user <-> event-type
+    graph — the iterative-algorithm shape (driver loop, one shuffle per
+    iteration, localCheckpoint lineage cuts). Ranks are exact BIGINT
+    micro-units (integer floor division everywhere), so the unrolled-CTE
+    oracle matches bit-for-bit with no float tolerance."""
+    from oracle_schema_copy_spark.operators import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.pagerank(edges, iterations=3)
+
+
+@query(
+    "text_bigram_counts",
+    """
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i))
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams — the n-gram language-model counting step.
+    Bigrams are generated per row with a codegen'd transform over index
+    sequences (no self-join); one explode, one map-side-combined count.
+    The empty-guard matters: Spark's sequence(1, 0) DESCENDS, so short
+    docs must map to an empty array explicitly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) > 1 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    SELECT CAST(pos AS BIGINT) AS dim,
+           round(avg(CAST(c AS DOUBLE)), 6) AS mean,
+           CAST(min(c) AS DOUBLE) AS lo,
+           CAST(max(c) AS DOUBLE) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(embedding) AS c,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY pos
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/min/max) — the feature-
+    drift / normalization profile of an embedding column. posexplode then
+    aggregate: the shuffle carries dim x 4 numbers per map partition
+    (partial aggregation), never the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "c"))
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.round(F.avg(F.col("c").cast("double")), 6).alias("mean"),
+            F.min("c").cast("double").alias("lo"),
+            F.max("c").cast("double").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select((F.col("pos") + 1).cast("long").alias("dim"), "mean", "lo", "hi", "n")
+    )

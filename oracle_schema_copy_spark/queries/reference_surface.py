@@ -544,3 +544,52 @@ def q_export_all_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     return wh.read("nation")
 
 
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH cur AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN c.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op
+    FROM orders b FULL JOIN cur c ON b.o_orderkey = c.o_orderkey
+    WHERE b.o_orderkey IS NULL OR c.o_orderkey IS NULL
+       OR b.o_custkey       IS DISTINCT FROM c.o_custkey
+       OR b.o_orderstatus   IS DISTINCT FROM c.o_orderstatus
+       OR b.o_totalprice    IS DISTINCT FROM c.o_totalprice
+       OR b.o_orderdate     IS DISTINCT FROM c.o_orderdate
+       OR b.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: which keys changed between two table versions,
+    and how (insert/update/delete) — the drift-detection half of the
+    reference's copy verification (`CopyUtils` count asserts,
+    `CopyUtils.java:907-917`) as a keyed operator. The current snapshot is
+    derived in-query (deletes %97, price-doubles %101, re-keyed inserts
+    %89) so both engines diff identical inputs."""
+    orders = load_table(spark, sf_dir, "orders")
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0)
+    current = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 1000000000
+        )
+    )
+    return mutate.snapshot_diff(orders, current, "o_orderkey")

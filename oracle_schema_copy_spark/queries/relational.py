@@ -817,3 +817,68 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@query(
+    "join_bloom_pruned_semi",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 31 = 0)
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit bloom-filter runtime pre-filter: the
+    build side's keys become a 2^17-bit bloom probed in the fact scan
+    (codegen'd shift/AND on xxhash64 positions — rows die before the join
+    shuffle), then the exact semi-join removes the false positives. Result
+    is row-identical to the plain semi-join, which is the oracle; see
+    operators/bloom.py for why this is Spark's own InjectRuntimeFilter
+    mechanic as a first-class operator."""
+    from oracle_schema_copy_spark.operators import bloom
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select("o_orderkey")
+    )
+    pruned = bloom.bloom_semi_join(lineitem, keys, on="l_orderkey", key_col="o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum2(_dec("l_quantity")).alias("qty"),
+    )
+
+
+@query(
+    "histogram_price_buckets",
+    """
+    SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                     WHEN l_extendedprice >= 120000 THEN 25
+                     ELSE floor(l_extendedprice / 5000) + 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY bucket
+    """,
+)
+def q_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via the SQL-standard width_bucket — the
+    profiling primitive behind range-partition planning and data-skew
+    reports. Bucket edges are closed-open and identical in both engines;
+    one map-side-combined aggregation, shuffle carries <= 26 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bucket",
+            F.expr("width_bucket(l_extendedprice, 0, 120000, 24)").cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum2(F.col("l_extendedprice").cast("decimal(14,2)")).alias("total"),
+        )
+    )

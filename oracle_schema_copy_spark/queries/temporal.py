@@ -180,3 +180,36 @@ def q_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, quotes, key="user_id", ts="ts", quote_cols=["event_id", "ts"],
         direction="forward", tolerance_seconds=7200,
     )
+
+
+@query(
+    "events_rollup_cascade",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 9) AS hv
+        FROM events GROUP BY 1)
+    SELECT CAST(date_trunc('day', h) AS DATE) AS day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(hv), 6) AS sum_value
+    FROM hourly GROUP BY 1
+    """,
+)
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (the hypertable rollup pattern): the
+    daily grain is computed FROM the hourly partials, not from raw rows —
+    at scale the hourly frame is a materialized incremental aggregate and
+    every coarser grain reuses it, so each event is read once ever. The
+    intermediate is rounded at 9 dp and the final at 6 dp on BOTH sides,
+    absorbing double-summation order differences at each stage."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 9).alias("hv")
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("h")).cast("date").alias("day")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("hv"), 6).alias("sum_value"),
+    )
