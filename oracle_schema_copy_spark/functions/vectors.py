@@ -50,11 +50,17 @@ def plane_dot(vec_col: str, plane) -> Column:
     literals DOUBLE (bare ``1.0`` parses as DECIMAL in Spark SQL, which
     would silently switch the whole sum to decimal arithmetic). Spark SQL
     ``arr[i]`` indexing is 0-based."""
-    terms = " + ".join(
+    return F.expr(plane_dot_sql(vec_col, plane))
+
+
+def plane_dot_sql(vec_col: str, plane) -> str:
+    """The SQL-string form of :func:`plane_dot`, for callers composing it
+    into a larger single-parse ``selectExpr`` (one py4j round-trip for a
+    whole projection instead of hundreds of Column-operator calls)."""
+    return " + ".join(
         f"(CAST(`{vec_col}`[{i}] AS DOUBLE) * {float(p)!r}D)"
         for i, p in enumerate(plane)
     )
-    return F.expr(terms)
 
 
 def sq_norm(a: Column) -> Column:

@@ -22,7 +22,11 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oracle_schema_copy_spark.functions.vectors import dot, dot_vectorized, plane_dot
+from oracle_schema_copy_spark.functions.vectors import (
+    dot,
+    dot_vectorized,
+    plane_dot_sql,
+)
 from oracle_schema_copy_spark.operators import ordered_pair_array, spread
 
 
@@ -186,12 +190,14 @@ def lsh_bucket(
     corpus by this column so candidate generation is shuffle-free."""
     planes = hyperplanes(n_planes, dim)
     df = spread(df)
-    bucket = None
-    for p, plane in enumerate(planes):
-        # plane_dot: codegen'd unrolled sum, bit-equal to the HOF dot
-        side = F.when(plane_dot(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = side if bucket is None else bucket + side
-    return df.withColumn("bucket", bucket.cast("long"))
+    # one parsed SQL expression for the whole signature: per-plane Column
+    # operators cost hundreds of py4j round-trips per query build
+    # (plane_dot_sql docstring / CLAUDE.md generated-expression lesson)
+    sides = " + ".join(
+        f"(CASE WHEN {plane_dot_sql(vec_col, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return df.withColumn("bucket", F.expr(f"CAST({sides} AS LONG)"))
 
 
 def group_centroids(
@@ -365,27 +371,23 @@ def banded_bucket_keys(
     KB``). As separate projection expressions they codegen-split per
     column and the stage stays compiled."""
     planes = hyperplanes(bands * planes_per_band, dim)
-    bit_cols = []
-    for b in range(bands):
-        for j in range(planes_per_band):
-            plane = planes[b * planes_per_band + j]
-            # plane_dot: codegen'd unrolled sum, bit-equal to the HOF dot
-            bit_cols.append(
-                F.when(plane_dot(vec_col, plane) > 0, F.lit(1 << j))
-                .otherwise(F.lit(0))
-                .alias(f"__bit_{b}_{j}")
-            )
-    staged = df.select(F.col(id_col), *bit_cols)
-    band_structs = []
-    for b in range(bands):
-        key = None
-        for j in range(planes_per_band):
-            bit = F.col(f"__bit_{b}_{j}")
-            key = bit if key is None else key + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.cast("long").alias("key"))
+    # two selectExpr calls — 2 py4j round-trips total; the same projection
+    # built with Column operators measured ~1.4s of driver time per call
+    # (3,500+ py4j round-trips; CLAUDE.md generated-expression lesson)
+    bit_exprs = [
+        f"(CASE WHEN {plane_dot_sql(vec_col, planes[b * planes_per_band + j])} > 0"
+        f" THEN {1 << j} ELSE 0 END) AS __bit_{b}_{j}"
+        for b in range(bands)
+        for j in range(planes_per_band)
+    ]
+    staged = df.selectExpr(f"`{id_col}`", *bit_exprs)
+    structs = ", ".join(
+        "named_struct('band', {b}, 'key', CAST({key} AS LONG))".format(
+            b=b, key=" + ".join(f"__bit_{b}_{j}" for j in range(planes_per_band))
         )
-    return staged.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+        for b in range(bands)
+    )
+    return staged.selectExpr(f"`{id_col}`", f"explode(array({structs})) AS bk")
 
 
 def lsh_banded_topk(
