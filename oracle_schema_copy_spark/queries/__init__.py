@@ -91,6 +91,9 @@ _CHECK_FIRST: list[str] = [
     "histogram_price_buckets",
     "snapshot_diff_orders",
     "events_rollup_cascade",
+    "integrity_bucket_checksums",
+    "zorder_locality_profile",
+    "incremental_agg_maintenance",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -593,3 +593,71 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mutate.snapshot_diff(orders, current, "o_orderkey")
+
+
+def _checksum_cols() -> list[str]:
+    return ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _integrity_oracle() -> str:
+    from oracle_schema_copy_spark.operators import integrity
+
+    return integrity.bucket_checksums_sql(
+        "orders", "o_orderkey", _checksum_cols(), buckets=64
+    )
+
+
+@query("integrity_bucket_checksums", _integrity_oracle())
+def q_integrity_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy checksums: 64 (bucket, count, exact
+    integer md5-digest sum) rows localize any source/target divergence to
+    a 1/64th key range — comparing two 100 TB tables costs one scan each
+    and shuffles 64 rows, vs the reference's whole-table count asserts
+    (`CopyUtils.java:907-917`). Spark and DuckDB digests come from ONE
+    dialect-parameterized SQL generator, so the hash cannot drift."""
+    from oracle_schema_copy_spark.operators import integrity
+
+    return integrity.bucket_checksums(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", _checksum_cols(), buckets=64
+    )
+
+
+def _zorder_oracle() -> str:
+    from oracle_schema_copy_spark.operators import integrity
+
+    z = integrity.zorder_code_sql("l_partkey", "l_suppkey", bits=16, dialect="duckdb")
+    return f"""
+    SELECT CAST({z} // 65536 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_partkey) AS BIGINT) AS min_p,
+           CAST(max(l_partkey) AS BIGINT) AS max_p,
+           CAST(min(l_suppkey) AS BIGINT) AS min_s,
+           CAST(max(l_suppkey) AS BIGINT) AS max_s
+    FROM lineitem
+    GROUP BY 1
+    """
+
+
+@query("zorder_locality_profile", _zorder_oracle())
+def q_zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) interleave of (l_partkey, l_suppkey) bucketed by
+    the code's high bits: each bucket's min/max envelope is tight in BOTH
+    dimensions — the property that makes range-partitioning by z-code
+    (see integrity.cluster_by_zorder) yield data-skipping parquet layouts
+    for 2-D predicates. The interleave SQL is emitted per-dialect by one
+    generator, so Spark and the oracle compute identical codes."""
+    from oracle_schema_copy_spark.operators import integrity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = integrity.zorder_code("l_partkey", "l_suppkey", bits=16)
+    return (
+        li.withColumn("__z", z)
+        .groupBy(F.expr("__z DIV 65536").cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").cast("long").alias("min_p"),
+            F.max("l_partkey").cast("long").alias("max_p"),
+            F.min("l_suppkey").cast("long").alias("min_s"),
+            F.max("l_suppkey").cast("long").alias("max_s"),
+        )
+    )

@@ -882,3 +882,42 @@ def q_histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum2(F.col("l_extendedprice").cast("decimal(14,2)")).alias("total"),
         )
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the standing aggregate over the
+    base partition (orders before 2000) is NOT rescanned when a delta
+    arrives — base partials and delta partials union and re-combine
+    (count: sum of counts; sum: sum of sums — any algebraic aggregate
+    works). At 100 TB the base partial frame is a tiny stored table and
+    each refresh costs one scan of the delta only. The oracle is the
+    direct GROUP BY over the union — result-identical by construction
+    (exact decimal sums, so re-association cannot drift)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__s"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("__n").alias("n"),
+            F.round(F.sum("__s"), 2).cast("double").alias("total"),
+        )
+    )

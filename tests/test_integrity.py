@@ -1,0 +1,55 @@
+"""integrity operators: bucket checksums and z-order clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.operators import integrity
+
+
+def test_bucket_checksum_localizes_a_single_row_change(spark):
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("v")
+    )
+    tampered = base.withColumn(
+        "v", F.when(F.col("k") == 123, F.lit("X")).otherwise(F.col("v"))
+    )
+    a = {r.bucket: (r.n_rows, r.checksum) for r in
+         integrity.bucket_checksums(base, "k", ["k", "v"], buckets=16).collect()}
+    b = {r.bucket: (r.n_rows, r.checksum) for r in
+         integrity.bucket_checksums(tampered, "k", ["k", "v"], buckets=16).collect()}
+    diff = [bk for bk in a if a[bk] != b[bk]]
+    assert diff == [123 % 16]  # exactly the tampered key's bucket diverges
+    assert a[diff[0]][0] == b[diff[0]][0]  # same row count, different checksum
+
+
+def test_zorder_code_interleaves_bits(spark):
+    # a=0b11 -> bits at even positions (1+4); b=0b1 -> bit at position 1
+    df = spark.createDataFrame([(3, 1)], ["a", "b"])
+    z = df.select(integrity.zorder_code("a", "b", bits=4).alias("z")).first().z
+    assert z == 0b111  # a0->pos0, b0->pos1, a1->pos2
+    z2 = df.selectExpr("2 AS a", "2 AS b").select(
+        integrity.zorder_code("a", "b", bits=4).alias("z")
+    ).first().z
+    assert z2 == 0b1100  # a1->pos2, b1->pos3
+
+
+def test_cluster_by_zorder_tightens_partition_envelopes(spark):
+    import itertools
+
+    rows = [(a, b) for a, b in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, ["a", "b"]).repartition(16)
+    clustered = integrity.cluster_by_zorder(df, "a", "b", bits=5, partitions=16)
+    spans = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    # 1024 points over 16 z-range partitions: every partition's 2-D
+    # envelope must be far tighter than the full 31x31 domain
+    avg_area = sum((r.sa + 1) * (r.sb + 1) for r in spans) / len(spans)
+    assert avg_area <= 0.35 * 32 * 32  # z-order: ~64-point tiles, not slabs
