@@ -94,6 +94,8 @@ _CHECK_FIRST: list[str] = [
     "integrity_bucket_checksums",
     "zorder_locality_profile",
     "incremental_agg_maintenance",
+    "scalar_subquery_share",
+    "stats_column_profile",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -921,3 +921,73 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("__s"), 2).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "scalar_subquery_share",
+    """
+    SELECT o_orderstatus,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                    FROM orders), 6) AS share
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scalar_subquery_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via a scalar subquery: the grand total is a
+    single-row aggregate broadcast into every group row (Spark plans the
+    1x1 frame as a broadcast nested loop that costs one row) — no second
+    scan of the groups, no window over the whole table. Division happens
+    in DOUBLE after exact decimal sums on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__s")
+    )
+    grand = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__g")
+    )
+    return per_status.join(F.broadcast(grand)).select(
+        "o_orderstatus",
+        F.round(F.col("__s"), 2).cast("double").alias("total"),
+        F.round(F.col("__s").cast("double") / F.col("__g").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "stats_column_profile",
+    """
+    SELECT 'o_custkey' AS col, CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    """,
+)
+def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile (null count, exact NDV) — the
+    statistics a cost-based optimizer and a data-quality gate both feed
+    on. ONE scan computes every column's metrics as sibling aggregates
+    (Spark expands multi-distinct into one Expand node), then a tiny
+    unpivot shapes (col, n_null, n_distinct) rows; the oracle's UNION ALL
+    of per-column scans is the semantic twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    wide = orders.agg(*aggs)
+    stacked = ", ".join(f"'{c}', __null_{c}, __nd_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col, n_null, n_distinct)"
+    ).selectExpr(
+        "col", "CAST(n_null AS LONG) AS n_null", "CAST(n_distinct AS LONG) AS n_distinct"
+    )
