@@ -58,6 +58,7 @@ def audit(plan: str) -> dict:
 # - hybrid_rrf: one query vector broadcast against the corpus scorer.
 # All are bounded by construction (1 row, or queries × cells).
 INTENTIONAL_CROSS = {
+    "scalar_subquery_share",  # 1x1 grand-total frame broadcast into groups
     "similarity_topk_bruteforce",
     "search_bm25_topk",
     "search_hybrid_rrf",
