@@ -273,3 +273,51 @@ def oov_rate(
             .alias("oov_rate"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    chunking step ahead of embedding / retrieval indexing. Emits
+    (doc_id, chunk_id, n_tok, chunk_hash): the md5 of the re-joined chunk
+    stands in for the chunk text so the frame stays narrow (and the
+    DuckDB twin can hash the identical string); swap the hash for the
+    joined text itself when materializing real chunks.
+
+    Per-row index arithmetic only (window starts = an index sequence at
+    ``chunk_tokens - overlap`` stride, one slice per start), then one
+    explode — no shuffle at all until whatever consumes the chunks. A
+    100 TB corpus chunks embarrassingly parallel with the scan.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    # starts: 0, stride, 2*stride, ... while start < n (last chunk may be
+    # short); slice() is 1-based
+    chunks = (
+        f"transform(sequence(0, (size(split({text_col}, ' ')) - 1) DIV {stride}), "
+        f"s -> slice(split({text_col}, ' '), s * {stride} + 1, {chunk_tokens}))"
+    )
+    ex = docs.select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).alias("__n"),
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "__toks"),
+    )
+    # drop pure-overlap tails: when n is an exact multiple of the stride
+    # the last window starts at n - overlap and repeats only tokens the
+    # previous chunk already covered — it carries no new content
+    keep = (F.col("chunk_id") == 0) | (
+        F.col("chunk_id") * stride + overlap < F.col("__n")
+    )
+    return ex.filter(keep).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("__toks").cast("long").alias("n_tok"),
+        F.md5(F.array_join("__toks", " ")).alias("chunk_hash"),
+    )

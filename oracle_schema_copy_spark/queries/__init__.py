@@ -96,6 +96,7 @@ _CHECK_FIRST: list[str] = [
     "incremental_agg_maintenance",
     "scalar_subquery_share",
     "stats_column_profile",
+    "chunk_documents_overlap",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

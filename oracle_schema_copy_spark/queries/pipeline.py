@@ -1447,3 +1447,31 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("pos") + 1).cast("long").alias("dim"), "mean", "lo", "hi", "n")
     )
+
+
+@query(
+    "chunk_documents_overlap",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ex AS (
+        SELECT doc_id, len(t) AS n, s AS chunk_id,
+               list_slice(t, s * 48 + 1, s * 48 + 64) AS toks
+        FROM tok, unnest(generate_series(0, (len(t) - 1) // 48)) AS g(s))
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           md5(array_to_string(toks, ' ')) AS chunk_hash
+    FROM ex
+    WHERE chunk_id = 0 OR chunk_id * 48 + 16 < n
+    """,
+)
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks at stride 48 (16-token overlap) per document —
+    the chunking step ahead of embedding/retrieval indexing. Pure per-row
+    index arithmetic + one explode (no shuffle); pure-overlap tail
+    windows are dropped on both sides. Chunk content is compared via md5
+    of the re-joined tokens, the hash both engines share."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
