@@ -97,6 +97,8 @@ _CHECK_FIRST: list[str] = [
     "scalar_subquery_share",
     "stats_column_profile",
     "chunk_documents_overlap",
+    "gapfill_locf_hourly",
+    "regr_value_by_hour",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

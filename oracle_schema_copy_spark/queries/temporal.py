@@ -9,7 +9,7 @@ implementations that must agree row-for-row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.operators import temporal
@@ -212,4 +212,84 @@ def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum("n").alias("n_events"),
         F.round(F.sum("hv"), 6).alias("sum_value"),
+    )
+
+
+@query(
+    "gapfill_locf_hourly",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS hv
+        FROM events WHERE user_id < 12 GROUP BY 1, 2),
+    bounds AS (
+        SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds)
+    SELECT g.user_id, g.h,
+           CAST(coalesce(hy.n, 0) AS BIGINT) AS n,
+           last_value(hy.hv IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid g LEFT JOIN hourly hy ON hy.user_id = g.user_id AND hy.h = g.h
+    """,
+)
+def q_gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + last-observation-carried-forward (the
+    hypertable `time_bucket_gapfill` + `locf` pattern): a dense hourly
+    grid per user (sequence over that user's own [min, max] span — no
+    global calendar join) left-joined to the sparse hourly aggregate,
+    then one ordered window carries the last seen value across the gaps.
+    Hours before a user's first value stay NULL on both engines. Grid
+    size is users x span-hours — bounded, independent of event count."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 12)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("hv"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.last("hv", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+@query(
+    "regr_value_by_hour",
+    """
+    SELECT event_type,
+           round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) AS intercept,
+           round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_regr_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend via the SQL regr_* aggregate family (slope,
+    intercept, R^2 of event value against hour-of-day) — one partial-
+    aggregated pass; both engines accumulate the same moment sums, agreeing
+    at 6-dp rounding (same tolerance class as agg_stats_moments)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
     )
