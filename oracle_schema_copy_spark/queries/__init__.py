@@ -99,6 +99,7 @@ _CHECK_FIRST: list[str] = [
     "chunk_documents_overlap",
     "gapfill_locf_hourly",
     "regr_value_by_hour",
+    "mad_outlier_flags",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

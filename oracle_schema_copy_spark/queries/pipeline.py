@@ -1475,3 +1475,29 @@ def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@query(
+    "mad_outlier_flags",
+    """
+    WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, e.event_id, e.value,
+                   abs(e.value - m.med) AS deviation
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(deviation) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type, CAST(d.event_id AS BIGINT) AS event_id, d.value,
+           d.deviation,
+           d.deviation > (CASE WHEN m.mad > 0 THEN 3.0 * m.mad ELSE 0.0 END)
+               AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier flags (|x - median| > 3 * MAD) via a
+    grouped-map applyInPandas: ONE shuffle computes both order statistics
+    and the flags numpy-side, where the SQL twin needs two aggregate+join
+    rounds. Medians are order statistics — no float summation — so the
+    two formulations agree bit-for-bit with no rounding."""
+    from oracle_schema_copy_spark.operators import quality
+
+    return quality.mad_outliers(load_table(spark, sf_dir, "events"))
