@@ -100,6 +100,7 @@ _CHECK_FIRST: list[str] = [
     "gapfill_locf_hourly",
     "regr_value_by_hour",
     "mad_outlier_flags",
+    "agg_approx_distinct_contract",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -991,3 +991,34 @@ def q_stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "col", "CAST(n_null AS LONG) AS n_null", "CAST(n_distinct AS LONG) AS n_distinct"
     )
+
+
+@query(
+    "agg_approx_distinct_contract",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ epsilon contract: the approx NDV itself is not
+    portable across engines, so the gated columns are the exact NDV plus
+    a BOOLEAN asserting |approx - exact| <= 5% — the oracle states TRUE
+    unconditionally, so any sketch drift past the bound breaks the hash
+    match and turns the row red. HLL register-merge is a max — order- and
+    partitioning-independent — so the Spark side is deterministic. At
+    100 TB the approx pass is the one you run (no two-phase expand); the
+    exact twin here is the auditor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_nd"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02).cast("double")
+                - F.count_distinct("l_partkey").cast("double")
+            )
+            <= 0.05 * F.count_distinct("l_partkey").cast("double")
+        ).alias("approx_within_5pct"),
+    )
