@@ -101,6 +101,7 @@ _CHECK_FIRST: list[str] = [
     "regr_value_by_hour",
     "mad_outlier_flags",
     "agg_approx_distinct_contract",
+    "stream_static_enrich_live",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from oracle_schema_copy_spark.queries import query
+from oracle_schema_copy_spark.sources.tables import load_table
 from oracle_schema_copy_spark.streaming import ops
 
 # epoch-aligned bucket start as a naive UTC timestamp
@@ -175,4 +176,24 @@ def q_stream_stateful_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.run_stream_to_df(
         ops.stateful_user_totals_stream(ops.events_stream(spark, sf_dir)),
         output_mode="update",
+    )
+
+
+@query(
+    "stream_static_enrich_live",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment, c.c_acctbal
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join: the live event stream enriched per
+    micro-batch against the broadcast customer dimension (stateless — no
+    watermark or join state), drained with availableNow. Oracle is the
+    equivalent batch join."""
+    dim = load_table(spark, sf_dir, "customer")
+    return ops.run_stream_to_df(
+        ops.static_enrich(ops.events_stream(spark, sf_dir), dim),
+        output_mode="append",
     )

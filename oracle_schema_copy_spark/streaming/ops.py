@@ -333,3 +333,28 @@ def batch_user_totals(df: DataFrame) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
+
+
+def static_enrich(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment", "c_acctbal"),
+) -> DataFrame:
+    """Stream-static inner join: each micro-batch of the event stream is
+    enriched against a BATCH dimension table — stateless (no watermark,
+    no buffered state), the dimension is re-resolved per micro-batch so a
+    slowly-changing dim is picked up on its next trigger. The explicit
+    broadcast keeps every micro-batch shuffle-free on the stream side —
+    the plan you want when the enriched stream is 100 TB/day and the dim
+    is thousands of rows."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(
+        F.broadcast(dim.select(dim_key, *dim_cols)),
+        stream_df[key] == dim[dim_key],
+    ).select(
+        "event_id", key, "event_type", "value", *dim_cols
+    )
