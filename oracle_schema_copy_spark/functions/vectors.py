@@ -53,6 +53,25 @@ def plane_dot(vec_col: str, plane) -> Column:
     return F.expr(plane_dot_sql(vec_col, plane))
 
 
+def dot_unrolled(a_col: str, b_col: str, dim: int) -> Column:
+    """Dot of two array columns (by NAME) with a KNOWN fixed dimension,
+    unrolled to a flat left-associated sum — whole-stage-codegen'd, where
+    ``dot()``'s higher-order functions are interpreted CodegenFallback.
+
+    Bit-equal to ``dot()`` for ``dim``-length inputs: same multiply and
+    addition order, and IEEE ``0.0 + x == x`` for the HOF's seed. If an
+    input array is SHORTER than ``dim`` the out-of-range index RAISES
+    under ANSI mode (Spark 4 default) — loud, where ``dot()`` would
+    quietly sum the shorter prefix — so pass ``dim=None`` at call sites
+    that must handle ragged vectors."""
+    return F.expr(
+        " + ".join(
+            f"(CAST(`{a_col}`[{i}] AS DOUBLE) * CAST(`{b_col}`[{i}] AS DOUBLE))"
+            for i in range(dim)
+        )
+    )
+
+
 def plane_dot_sql(vec_col: str, plane) -> str:
     """The SQL-string form of :func:`plane_dot`, for callers composing it
     into a larger single-parse ``selectExpr`` (one py4j round-trip for a

@@ -332,7 +332,12 @@ def simhash_pairs(
 
 
 def embedding_cosine_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.45
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.45,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs: all pairs with dot-product similarity
     above threshold (embeddings are pre-normalized, so dot == cosine).
@@ -340,16 +345,15 @@ def embedding_cosine_pairs(
     Brute-force O(n^2) — correct baseline and the oracle-checkable path;
     at scale use similarity.lsh_bucket_candidates to prune the pair space.
     """
-    from oracle_schema_copy_spark.functions.vectors import dot
+    from oracle_schema_copy_spark.operators.similarity import _exact_dot
 
-    a, b = spread(emb).alias("a"), emb.alias("b")
+    a = spread(emb).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
-        )
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _exact_dot("__va", "__vb", dim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -513,6 +517,7 @@ def embedding_lsh_pairs(
     bands: int = 8,
     planes_per_band: int = 2,
     max_bucket: int = 1000,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane LSH + exact re-score
     — the pruned scale path for embedding_cosine_pairs.
@@ -523,8 +528,10 @@ def embedding_lsh_pairs(
     O(candidates), not O(n^2); recall is the banded-LSH collision
     probability (tune bands/planes_per_band per corpus scale).
     """
-    from oracle_schema_copy_spark.functions.vectors import dot
-    from oracle_schema_copy_spark.operators.similarity import lsh_banded_candidates
+    from oracle_schema_copy_spark.operators.similarity import (
+        _exact_dot,
+        lsh_banded_candidates,
+    )
 
     cands = lsh_banded_candidates(
         emb,
@@ -539,7 +546,7 @@ def embedding_lsh_pairs(
     return (
         cands.join(vec_a, "id_a")
         .join(vec_b, "id_b")
-        .withColumn("cosine", dot(F.col("__va"), F.col("__vb")))
+        .withColumn("cosine", _exact_dot("__va", "__vb", dim))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

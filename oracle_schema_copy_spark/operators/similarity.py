@@ -24,10 +24,21 @@ from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions.vectors import (
     dot,
+    dot_unrolled,
     dot_vectorized,
     plane_dot_sql,
 )
 from oracle_schema_copy_spark.operators import ordered_pair_array, spread
+
+
+def _exact_dot(a_col: str, b_col: str, dim: int | None):
+    """Exact sequential-double dot for the scoring hot paths: codegen'd
+    unrolled sum when the dimension is statically known (the common case —
+    embedding width is a property of the model), interpreted HOF ``dot()``
+    for ragged/unknown widths. Both are bit-identical to the SQL twin."""
+    if dim is not None:
+        return dot_unrolled(a_col, b_col, dim)
+    return dot(F.col(a_col), F.col(b_col))
 
 
 def brute_force_topk(
@@ -37,6 +48,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
@@ -52,7 +64,7 @@ def brute_force_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        dot(F.col(vec_col), F.col("__qvec")).alias("score"),
+        _exact_dot(vec_col, "__qvec", dim).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -70,6 +82,7 @@ def label_partitioned_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     k: int = 5,
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF-style search: candidates restricted to the query's coarse cell.
 
@@ -86,7 +99,7 @@ def label_partitioned_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        dot(F.col(vec_col), F.col("__qvec")).alias("score"),
+        _exact_dot(vec_col, "__qvec", dim).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -106,6 +119,7 @@ def ivf_topk(
     cell_col: str = "label",
     nprobe: int = 2,
     k: int = 5,
+    dim: int | None = 64,
 ) -> DataFrame:
     """True IVF search: route each query to its ``nprobe`` highest-dot
     centroids, then scan exactly those cells — the recall/cost dial
@@ -134,7 +148,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     qscore = q.join(F.broadcast(cvecs)).select(
-        "query_id", "__qv", "__cell", dot(F.col("__qv"), F.col("__cvec")).alias("__cd")
+        "query_id", "__qv", "__cell", _exact_dot("__qv", "__cvec", dim).alias("__cd")
     )
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("__cell"))
     probed = (
@@ -148,7 +162,7 @@ def ivf_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        dot(F.col(vec_col), F.col("__qv")).alias("score"),
+        _exact_dot(vec_col, "__qv", dim).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -239,6 +253,7 @@ def assign_nearest_centroid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str = "label",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Assign each vector to its highest-dot-product centroid — the
     quantizer-assignment step that pairs with ``group_centroids`` (one
@@ -264,7 +279,7 @@ def assign_nearest_centroid(
     scored = spread(df.select(id_col, vec_col)).join(F.broadcast(cvecs)).select(
         F.col(id_col),
         F.col("__grp").alias("assigned"),
-        dot(F.col(vec_col), F.col("__cvec")).alias("__dot"),
+        _exact_dot(vec_col, "__cvec", dim).alias("__dot"),
     )
     best = scored.groupBy(id_col).agg(
         F.min(
@@ -448,7 +463,8 @@ def lsh_banded_topk(
     if scorer == "vectorized":
         score = F.round(dot_vectorized(F.col("__nv"), F.col("__qv")), 6)
     elif scorer == "exact":
-        score = dot(F.col("__nv"), F.col("__qv"))
+        # codegen'd unrolled sum, bit-equal to the HOF dot at this dim
+        score = _exact_dot("__nv", "__qv", dim)
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
     scored = (

@@ -117,7 +117,9 @@ def test_assign_nearest_centroid(spark):
     cents = group_centroids(df, group_col="label")
     got = {
         r.vec_id: r.assigned
-        for r in assign_nearest_centroid(df, cents).collect()
+        # dim=2: the default (64, the fixture width) would index past
+        # these toy vectors — ANSI mode makes that a loud error
+        for r in assign_nearest_centroid(df, cents, dim=2).collect()
     }
     # expectation computed independently: argmax-dot centroid per vector
     # (ties by smallest label). NOTE dot, not cosine: the unnormalized
