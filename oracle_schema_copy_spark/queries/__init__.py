@@ -70,6 +70,10 @@ _CHECK_FIRST: list[str] = [
     "dedup_embedding_lsh",  # r4: same plane_dot change
     "asof_join_last_click",  # r4: deterministic tie-break (quote-struct order)
     "asof_forward_next_error",  # r4: same tie-break change
+    "similarity_topk_bruteforce",  # r4: codegen'd unrolled exact dot
+    "similarity_topk_ivf_label",  # r4: same scorer change
+    "dedup_embedding_cosine",  # r4: same scorer change
+    "assign_nearest_centroid",  # r4: same scorer change
     # (b) new in r4
     "similarity_topk_lsh_vectorized",
     "copy_tree_lineitem_composite",
@@ -108,20 +112,17 @@ _CHECK_FIRST: list[str] = [
     "topk_per_group_lineitems",
     "agg_rollup_flag_status",
     "edges_by_table",
-    "similarity_topk_ivf_label",
     "text_lang_id",
     "delete_by_keys_lineitem",
     "ddl_rewrite",
     "oplog_roundtrip_orders",
     "multimodal_binary_metadata",
     "text_stats_quality",
-    "similarity_topk_bruteforce",
     "keyed_scan_orders",
     "join_inner_revenue_by_order",
     "agg_pricing_summary",
     "dedup_normalized",
     "dedup_simhash_signatures",
-    "dedup_embedding_cosine",
     "join_left_outer_order_counts",
     "join_full_outer_customers_orders",
     "agg_count_distinct",
@@ -174,7 +175,6 @@ _CHECK_LAST: list[str] = [
     "sessionize_events",
     "trailing_window_features",
     "embedding_centroids_by_label",
-    "assign_nearest_centroid",
     "agg_grouping_sets",
     "sample_weighted_topk",
     "feature_binning_ntile",
