@@ -53,3 +53,25 @@ def test_cluster_by_zorder_tightens_partition_envelopes(spark):
     # envelope must be far tighter than the full 31x31 domain
     avg_area = sum((r.sa + 1) * (r.sb + 1) for r in spans) / len(spans)
     assert avg_area <= 0.35 * 32 * 32  # z-order: ~64-point tiles, not slabs
+
+
+def test_chunk_documents_drops_pure_overlap_tail(spark):
+    from oracle_schema_copy_spark.operators import corpus
+
+    # 8 tokens, chunk=4, overlap=2 (stride 2): starts 0,2,4 are real;
+    # start 6 covers tokens 7-8 which chunk@4 already fully covered
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.chunk_id): r.n_tok
+        for r in corpus.chunk_documents(
+            docs, chunk_tokens=4, overlap=2
+        ).collect()
+    }
+    assert got == {
+        (1, 0): 4,  # a b c d
+        (1, 1): 4,  # c d e f
+        (1, 2): 4,  # e f g h  (start 6: "g h" = pure overlap -> dropped)
+        (2, 0): 3,  # short doc: one short chunk
+    }
