@@ -179,3 +179,31 @@ def test_foreachbatch_upsert_serving_table(spark):
         pd.testing.assert_frame_equal(got, expected)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Kill-and-resume durability: a second availableNow drain from the
+    SAME checkpoint must process only files that arrived after the first
+    drain — no reprocessing, no loss (the property that makes the file
+    sink exactly-once across restarts)."""
+    from pyspark.sql import functions as F
+
+    from oracle_schema_copy_spark.streaming import ops
+
+    src, out, ck = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.range(0, 100).withColumn("batch", F.lit(1)).coalesce(1).write.parquet(src)
+
+    def drain():
+        sdf = spark.readStream.schema("id LONG, batch INT").parquet(src)
+        ops.stream_to_parquet(sdf, out, ck)
+
+    drain()
+    assert spark.read.parquet(out).count() == 100
+    # new file lands; resume from the same checkpoint
+    spark.range(100, 150).withColumn("batch", F.lit(2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 150  # batch-1 rows NOT duplicated, batch-2 not lost
+    assert got.select("id").distinct().count() == 150
