@@ -106,6 +106,7 @@ _CHECK_FIRST: list[str] = [
     "mad_outlier_flags",
     "agg_approx_distinct_contract",
     "stream_static_enrich_live",
+    "winsorized_price_stats",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

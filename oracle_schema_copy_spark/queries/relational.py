@@ -1022,3 +1022,43 @@ def q_agg_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFram
             <= 0.05 * F.count_distinct("l_partkey").cast("double")
         ).alias("approx_within_5pct"),
     )
+
+
+@query(
+    "winsorized_price_stats",
+    """
+    WITH b AS (
+        SELECT percentile_cont(0.01) WITHIN GROUP (ORDER BY l_extendedprice) AS p01,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(round(least(greatest(l_extendedprice, b.p01), b.p99), 2)
+                    AS DECIMAL(14,2))), 2) AS DOUBLE) AS clipped_total
+    FROM lineitem, b
+    GROUP BY l_returnflag
+    """,
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to [P1, P99]) — the robust-sum curation step
+    that caps outlier influence. Exact interpolated percentiles from ONE
+    aggregate row broadcast into the scan (same 1x1 plan as
+    scalar_subquery_share); clipped values are rounded to the column's
+    2-dp grain BEFORE the exact decimal sum, so both engines sum
+    identical quantities regardless of summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")), 2
+    ).cast("decimal(14,2)")
+    return (
+        li.join(F.broadcast(bounds))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum2(clipped).alias("clipped_total"),
+        )
+    )

@@ -59,6 +59,7 @@ def audit(plan: str) -> dict:
 # All are bounded by construction (1 row, or queries × cells).
 INTENTIONAL_CROSS = {
     "scalar_subquery_share",  # 1x1 grand-total frame broadcast into groups
+    "winsorized_price_stats",  # 1x1 percentile-bounds frame broadcast into the scan
     "similarity_topk_bruteforce",
     "search_bm25_topk",
     "search_hybrid_rrf",
