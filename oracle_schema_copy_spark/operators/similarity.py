@@ -417,6 +417,7 @@ def lsh_banded_topk(
     dim: int = 64,
     max_bucket: int = 1000,
     scorer: str = "exact",
+    queries_are_corpus_subset: bool = False,
 ) -> DataFrame:
     """ANN top-k: candidates share >= 1 banded-LSH bucket with the query,
     scored exactly, ranked per query — the pruned counterpart of
@@ -438,20 +439,34 @@ def lsh_banded_topk(
     scores are rounded to 6 decimals and RANKED ON THE ROUNDED VALUE
     (neighbor-id tie-break) — |pairwise − sequential| < 1e-12 for 64-dim
     unit vectors, so the rounded score (and therefore the ranking) agrees
-    with a 6-decimal-rounded sequential oracle."""
+    with a 6-decimal-rounded sequential oracle.
+
+    ``queries_are_corpus_subset``: when the query batch is a filtered view
+    of the corpus (self-search — the dedup/recommendation case), the
+    query-side bucket keys are a FILTER of the corpus bucket table rather
+    than a second full set of plane projections — the (id, band, key)
+    frame is materialized once (it is |corpus| x bands ids-and-ints,
+    vectors excluded) and serves both sides, halving the projection
+    compute and compile."""
     cb = banded_bucket_keys(
         spread(corpus), id_col=id_col, vec_col=vec_col, bands=bands,
         planes_per_band=planes_per_band, dim=dim,
     )
+    if queries_are_corpus_subset:
+        cb = cb.localCheckpoint(eager=False)
+        qb = cb.join(
+            queries.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        ).select(F.col(id_col).alias("query_id"), F.col("bk").alias("qbk"))
+    else:
+        qb = banded_bucket_keys(
+            queries, id_col=id_col, vec_col=vec_col, bands=bands,
+            planes_per_band=planes_per_band, dim=dim,
+        ).select(F.col(id_col).alias("query_id"), F.col("bk").alias("qbk"))
     postings = (
         cb.groupBy("bk")
         .agg(F.collect_list(id_col).alias("ids"))
         .where(F.size("ids") <= max_bucket)
     )
-    qb = banded_bucket_keys(
-        queries, id_col=id_col, vec_col=vec_col, bands=bands,
-        planes_per_band=planes_per_band, dim=dim,
-    ).select(F.col(id_col).alias("query_id"), F.col("bk").alias("qbk"))
     cand = (
         postings.join(qb, postings["bk"] == qb["qbk"])
         .select("query_id", F.explode("ids").alias("neighbor_id"))

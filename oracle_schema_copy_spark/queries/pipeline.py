@@ -487,7 +487,7 @@ def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2,
-        max_bucket=1000,
+        max_bucket=1000, queries_are_corpus_subset=True,
     )
 
 
@@ -537,7 +537,7 @@ def q_similarity_topk_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFr
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2,
-        max_bucket=1000, scorer="vectorized",
+        max_bucket=1000, scorer="vectorized", queries_are_corpus_subset=True,
     )
 
 
