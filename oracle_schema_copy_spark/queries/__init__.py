@@ -107,6 +107,7 @@ _CHECK_FIRST: list[str] = [
     "agg_approx_distinct_contract",
     "stream_static_enrich_live",
     "winsorized_price_stats",
+    "cohort_retention_daily",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

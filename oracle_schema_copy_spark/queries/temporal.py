@@ -293,3 +293,40 @@ def q_regr_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "cohort_retention_daily",
+    """
+    WITH first AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+        FROM events GROUP BY 1),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events)
+    SELECT f.cohort,
+           CAST(datediff('day', f.cohort, a.day) AS BIGINT) AS offset_days,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day — the standard engagement decay analysis.
+    Two aggregations over one scan lineage (first-seen min, distinct
+    activity days) joined on the user key; the cohort frame is small and
+    broadcast. At 100 TB the distinct-day frame is the incremental daily
+    rollup, not a raw re-scan."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    act = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("day"), F.col("cohort")).cast("long").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
