@@ -108,6 +108,7 @@ _CHECK_FIRST: list[str] = [
     "stream_static_enrich_live",
     "winsorized_price_stats",
     "cohort_retention_daily",
+    "wau_rolling_7d",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -330,3 +330,37 @@ def q_cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "wau_rolling_7d",
+    """
+    WITH act AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events),
+    days AS (SELECT DISTINCT day FROM act)
+    SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def q_wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the windowed-distinct metric
+    window functions cannot express (COUNT(DISTINCT) is not a window
+    aggregate). Shape: the distinct (day, user) rollup — tiny relative to
+    raw events — joins a broadcast day grid on a bounded date-range
+    predicate, then one distinct-count per day. At 100 TB the rollup is
+    the maintained daily aggregate; the range join touches days x 7
+    copies of it, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    act = ev.select(day.alias("day"), "user_id").distinct()
+    days = act.select(F.col("day").alias("d")).distinct()
+    return (
+        act.join(
+            F.broadcast(days),
+            (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

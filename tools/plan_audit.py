@@ -60,6 +60,7 @@ def audit(plan: str) -> dict:
 INTENTIONAL_CROSS = {
     "scalar_subquery_share",  # 1x1 grand-total frame broadcast into groups
     "winsorized_price_stats",  # 1x1 percentile-bounds frame broadcast into the scan
+    "wau_rolling_7d",  # broadcast day-grid x daily rollup, bounded range predicate
     "similarity_topk_bruteforce",
     "search_bm25_topk",
     "search_hybrid_rrf",
