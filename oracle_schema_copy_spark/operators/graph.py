@@ -134,3 +134,65 @@ def pagerank_sql(
             GROUP BY e.dst) s ON s.node = n.node)"""
         )
     return "WITH " + ",\n    ".join(parts)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """(node, hops) for every node reachable from ``source`` within
+    ``max_hops`` — breadth-first traversal as a driver loop: each level is
+    one semi-join of the edge list against the frontier plus an anti-join
+    against the visited set, localCheckpointed so lineage stays flat.
+    Levels are exact (a node's hop count is the FIRST level that reaches
+    it), so the unrolled-CTE SQL twin matches exactly. The frontier/
+    visited frames are (node, hop) pairs — never the edge payload."""
+    spark = edges.sparkSession
+    F_ = F
+    visited = spark.createDataFrame([(source, 0)], ["node", "hops"]).localCheckpoint()
+    frontier = visited.select("node")
+    ed = edges.select(F_.col(src_col).alias("__s"), F_.col(dst_col).alias("__d"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            ed.join(frontier, ed["__s"] == frontier["node"], "left_semi")
+            .select(F_.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F_.lit(hop).alias("hops"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited.select("node", F_.col("hops").cast("long").alias("hops"))
+
+
+def bfs_hops_sql(edges_cte: str, source_literal: str, *, max_hops: int = 4) -> str:
+    """Unrolled-CTE twin of :func:`bfs_hops` over an ``edges(src, dst)``
+    CTE; ``source_literal`` is a quoted SQL literal for the start node."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        f"h0 AS (SELECT {source_literal} AS node)",
+        "v0 AS (SELECT node FROM h0)",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"""h{k} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN h{k - 1} f ON e.src = f.node
+        WHERE e.dst NOT IN (SELECT node FROM v{k - 1}))"""
+        )
+        parts.append(
+            f"v{k} AS (SELECT node FROM v{k - 1} UNION ALL SELECT node FROM h{k})"
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT node, CAST({k} AS BIGINT) AS hops FROM h{k}"
+        for k in range(0, max_hops + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({levels})"

@@ -109,6 +109,7 @@ _CHECK_FIRST: list[str] = [
     "winsorized_price_stats",
     "cohort_retention_daily",
     "wau_rolling_7d",
+    "graph_bfs_hops_user0",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

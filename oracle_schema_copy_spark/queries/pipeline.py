@@ -1501,3 +1501,27 @@ def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_schema_copy_spark.operators import quality
 
     return quality.mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+def _bfs_oracle() -> str:
+    from oracle_schema_copy_spark.operators import graph
+
+    return graph.bfs_hops_sql(_PAGERANK_EDGES_SQL, "'u:0'", max_hops=4)
+
+
+@query("graph_bfs_hops_user0", _bfs_oracle())
+def q_graph_bfs_hops_user0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop counts from user 0 through the bipartite
+    user <-> event-type graph — the iterative-traversal shape (frontier
+    semi-join + visited anti-join per level, localCheckpoint lineage
+    cuts). Hop levels are exact, so the unrolled-CTE oracle matches
+    without tolerance."""
+    from oracle_schema_copy_spark.operators import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.bfs_hops(edges, "u:0", max_hops=4)

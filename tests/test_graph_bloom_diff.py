@@ -60,3 +60,13 @@ def test_snapshot_diff_null_safe_comparison(spark):
     current = spark.createDataFrame([(1, None), (2, 5.0)], "id INT, v DOUBLE")
     got = {r.id: r.op for r in mutate.snapshot_diff(base, current, "id").collect()}
     assert got == {2: "update"}  # NULL == NULL must not read as a change
+
+
+def test_bfs_hops_levels_and_unreachable(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    got = {r.node: r.hops for r in graph.bfs_hops(edges, "a", max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d beyond max_hops; x/y unreachable
+    full = {r.node: r.hops for r in graph.bfs_hops(edges, "a", max_hops=9).collect()}
+    assert full == {"a": 0, "b": 1, "c": 2, "d": 3}  # early-exit on empty frontier
