@@ -110,6 +110,7 @@ _CHECK_FIRST: list[str] = [
     "cohort_retention_daily",
     "wau_rolling_7d",
     "graph_bfs_hops_user0",
+    "scalar_map_functions",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

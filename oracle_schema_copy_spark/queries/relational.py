@@ -1062,3 +1062,34 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum2(clipped).alias("clipped_total"),
         )
     )
+
+
+@query(
+    "scalar_map_functions",
+    """
+    SELECT key, value, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT 'type' AS key, event_type AS value FROM events
+        UNION ALL
+        SELECT 'kmod', CAST(CAST(props->>'$.k' AS BIGINT) % 5 AS VARCHAR) FROM events)
+    GROUP BY key, value
+    """,
+)
+def q_scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: build a map per row (create_map),
+    explode its entries, aggregate per (key, value) — the map construct/
+    flatten round-trip of the scalar function family. The oracle is the
+    semantic twin as a UNION of key-value pairs (DuckDB's map type isn't
+    needed to state the expected RESULT)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("kmod"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+    )
+    return (
+        ev.select(F.explode(m).alias("key", "value"))
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
