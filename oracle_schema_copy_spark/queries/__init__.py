@@ -111,6 +111,8 @@ _CHECK_FIRST: list[str] = [
     "wau_rolling_7d",
     "graph_bfs_hops_user0",
     "scalar_map_functions",
+    "agg_forecast_revenue_q6",
+    "join_promo_revenue_share_q14",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -1093,3 +1093,80 @@ def q_scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key", "value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "agg_forecast_revenue_q6",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_agg_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): every predicate reaches
+    the parquet scan as a pushed filter — the whole query is one
+    filtered scan plus a map-side-combined global aggregate; no shuffle
+    beyond the single final-merge row. Exact decimal products make the
+    sum engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        _dsum2(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "join_promo_revenue_share_q14",
+    """
+    SELECT round(
+        100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2))) ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+        AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q_join_promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): the part dimension is
+    broadcast against the date-pruned lineitem scan; conditional and
+    total revenue accumulate in ONE pass as exact decimals, with the
+    ratio taken in double at the end."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
