@@ -113,6 +113,7 @@ _CHECK_FIRST: list[str] = [
     "scalar_map_functions",
     "agg_forecast_revenue_q6",
     "join_promo_revenue_share_q14",
+    "join_top_supplier_revenue_q15",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

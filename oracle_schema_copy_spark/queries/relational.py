@@ -1170,3 +1170,48 @@ def q_join_promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "join_top_supplier_revenue_q15",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_rev, 2) AS DOUBLE) AS total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q_join_top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    equality against the scalar max — safe on EXACT decimal sums where a
+    double aggregate would make the tie test engine-dependent. The rev
+    frame is computed once and reused for both the ranking and the max
+    (Spark reuses the exchange under AQE)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["__mx"])
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+    )
