@@ -114,6 +114,9 @@ _CHECK_FIRST: list[str] = [
     "agg_forecast_revenue_q6",
     "join_promo_revenue_share_q14",
     "join_top_supplier_revenue_q15",
+    "agg_late_orders_by_priority_q4",
+    "join_anti_customers_without_orders",
+    "window_order_gap_stats",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -1215,3 +1215,98 @@ def q_join_top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFra
             F.round("total_rev", 2).cast("double").alias("total_rev"),
         )
     )
+
+
+@query(
+    "agg_late_orders_by_priority_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_late_orders_by_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders having at least
+    one line item shipped >60 days after the order date — a correlated
+    EXISTS planned as a LEFT SEMI join on the order key, with the date
+    comparison as the join residual; one count per priority after."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > F.date_add(F.col("o_orderdate"), 60)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain anti-join surface (NOT EXISTS): customers with no urgent
+    order — the complement of every semi-join in the walk/delete family,
+    registered explicitly (predicate chosen so the fixture yields a
+    non-degenerate result; the no-orders-at-all variant is empty here)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "window_order_gap_stats",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               datediff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+        FROM orders)
+    SELECT o_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_gap,
+           CAST(max(gap_days) AS BIGINT) AS max_gap,
+           round(avg(gap_days), 6) AS avg_gap
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def q_window_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer: a lag window (deterministic
+    tie-break on the key) feeding a second aggregation stage — the
+    window-then-agg composition pattern; gaps are exact integer day
+    differences, only the average needs rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap"),
+    )
