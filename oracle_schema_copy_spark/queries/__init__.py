@@ -117,6 +117,7 @@ _CHECK_FIRST: list[str] = [
     "agg_late_orders_by_priority_q4",
     "join_anti_customers_without_orders",
     "window_order_gap_stats",
+    "correlated_scalar_below_max",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -1310,3 +1310,30 @@ def q_window_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("long").alias("max_gap"),
         F.round(F.avg("gap_days"), 6).alias("avg_gap"),
     )
+
+
+@query(
+    "correlated_scalar_below_max",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice < (SELECT max(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_correlated_scalar_below_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: every order strictly
+    below its own customer's best order. Planned as a per-customer MAX
+    aggregate joined back on the correlation key — one shuffle each side
+    instead of a per-row subquery. MAX is an exact order statistic, so
+    the comparison is engine-stable (an AVG here would flip boundary rows
+    on last-ulp division differences)."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.groupBy(F.col("o_custkey").alias("__ck")).agg(
+        F.max("o_totalprice").alias("__mx")
+    )
+    return (
+        orders.join(mx, orders["o_custkey"] == mx["__ck"])
+        .filter(F.col("o_totalprice") < F.col("__mx"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
