@@ -168,6 +168,85 @@ def snapshot_diff(
     )
 
 
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_columns: str | list[str],
+    *,
+    effective_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    open_end: str = "9999-12-31",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: rows whose attributes
+    changed get their OPEN version closed (``valid_to`` = effective date)
+    and a NEW open version appended; unchanged and untouched rows pass
+    through. ``updates`` carries the business columns only (no validity
+    columns); ``current`` must contain exactly one open version per key.
+
+    Shape: one hash-partitioned join of the open slice against the
+    updates on the key (closed history never shuffles — it is filtered
+    out map-side and unioned back untouched), per-column null-safe change
+    detection as in :func:`snapshot_diff`. This is the plan MERGE INTO
+    produces for SCD2 on Delta, without the table-format dependency.
+    """
+    keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+    eff = F.lit(effective_date).cast("date")
+    data_cols = [c for c in updates.columns if c not in keys]
+    open_rows = current.filter(F.col(valid_to) == F.lit(open_end).cast("date"))
+    closed_rows = current.filter(F.col(valid_to) != F.lit(open_end).cast("date"))
+    u = updates.select(
+        *[F.col(k).alias(f"__uk_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+    )
+    cond = None
+    for k in keys:
+        e = open_rows[k].eqNullSafe(u[f"__uk_{k}"])
+        cond = e if cond is None else cond & e
+    joined = open_rows.join(u, cond, "left")
+    changed = None
+    for c in data_cols:
+        ne = ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        changed = ne if changed is None else changed | ne
+    matched = F.col(f"__uk_{keys[0]}").isNotNull()
+    is_changed = matched & changed
+    # open rows: closed if changed, passed through otherwise
+    kept = joined.select(
+        *current.columns,
+        is_changed.alias("__chg"),
+        *[F.col(f"__u_{c}") for c in data_cols],
+    )
+    survivors = kept.select(
+        *[
+            F.when(F.col("__chg"), eff).otherwise(F.col(valid_to)).alias(valid_to)
+            if c == valid_to
+            else F.col(c)
+            for c in current.columns
+        ]
+    )
+    new_versions = kept.filter("__chg").select(
+        *[
+            F.col(f"__u_{c}").alias(c) if c in data_cols else F.col(c)
+            for c in [x for x in current.columns if x not in (valid_from, valid_to)]
+        ],
+        eff.alias(valid_from),
+        F.lit(open_end).cast("date").alias(valid_to),
+    ).select(*current.columns)
+    # brand-new keys: first open version starts at the effective date
+    inserts = updates.join(
+        open_rows.select(*keys).distinct(), keys, "left_anti"
+    ).select(
+        *[x for x in current.columns if x not in (valid_from, valid_to)],
+        eff.alias(valid_from),
+        F.lit(open_end).cast("date").alias(valid_to),
+    ).select(*current.columns)
+    return (
+        closed_rows.unionByName(survivors)
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )
+
+
 def bulk_copy(source: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Full-table copy projection (the reference's explicit column list —
     ``generateColumnList``, ``CopyUtils.java:672-680`` — is Catalyst column

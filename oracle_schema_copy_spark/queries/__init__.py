@@ -118,6 +118,7 @@ _CHECK_FIRST: list[str] = [
     "join_anti_customers_without_orders",
     "window_order_gap_stats",
     "correlated_scalar_below_max",
+    "scd2_customer_dimension",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -661,3 +661,66 @@ def q_zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("max_s"),
         )
     )
+
+
+@query(
+    "scd2_customer_dimension",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               CAST('1995-01-01' AS DATE) AS valid_from,
+               CAST('9999-12-31' AS DATE) AS valid_to
+        FROM customer),
+    upd AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+                   AS c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 301 = 0),
+    changed AS (
+        SELECT c.c_custkey FROM cur c JOIN upd u USING (c_custkey)
+        WHERE c.c_name    IS DISTINCT FROM u.c_name
+           OR c.c_acctbal IS DISTINCT FROM u.c_acctbal)
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN CAST('2001-06-01' AS DATE)
+                ELSE c.valid_to END AS valid_to
+    FROM cur c LEFT JOIN changed ch ON ch.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_acctbal,
+           CAST('2001-06-01' AS DATE), CAST('9999-12-31' AS DATE)
+    FROM upd u JOIN changed ch ON ch.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_acctbal,
+           CAST('2001-06-01' AS DATE), CAST('9999-12-31' AS DATE)
+    FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+    """,
+)
+def q_scd2_customer_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge over the customer dimension:
+    changed keys (%11 acctbal bump) get their open version closed at the
+    effective date plus a new open version; re-keyed inserts (%301) start
+    a first version; everything else passes through. The operator's plan
+    joins only the OPEN slice against the updates (closed history never
+    shuffles) — the MERGE INTO plan Delta produces for SCD2, minus the
+    table-format dependency."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    current = cust.withColumn(
+        "valid_from", F.lit("1995-01-01").cast("date")
+    ).withColumn("valid_to", F.lit("9999-12-31").cast("date"))
+    updates = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 301 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    return mutate.scd2_merge(
+        current, updates, "c_custkey", effective_date="2001-06-01"
+    )

@@ -51,3 +51,31 @@ def test_bulk_copy_projection_prunes(spark, sf_dir):
     assert out.columns == ["c_custkey", "c_name"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "c_acctbal" not in plan  # column pruning reached the scan
+
+
+def test_scd2_merge_versions(spark):
+    from pyspark.sql import functions as F
+
+    from oracle_schema_copy_spark.operators import mutate
+
+    current = spark.createDataFrame(
+        [
+            (1, "a", "2000-01-01", "2001-01-01"),  # closed history
+            (1, "b", "2001-01-01", "9999-12-31"),  # open, will change
+            (2, "c", "2000-01-01", "9999-12-31"),  # open, unchanged
+        ],
+        ["id", "v", "valid_from", "valid_to"],
+    ).select(
+        "id", "v",
+        F.col("valid_from").cast("date"), F.col("valid_to").cast("date"),
+    )
+    updates = spark.createDataFrame([(1, "B"), (2, "c"), (3, "new")], ["id", "v"])
+    out = mutate.scd2_merge(current, updates, "id", effective_date="2002-06-01")
+    rows = {(r.id, r.v): (str(r.valid_from), str(r.valid_to)) for r in out.collect()}
+    assert rows == {
+        (1, "a"): ("2000-01-01", "2001-01-01"),  # history untouched
+        (1, "b"): ("2001-01-01", "2002-06-01"),  # closed at effective date
+        (1, "B"): ("2002-06-01", "9999-12-31"),  # new open version
+        (2, "c"): ("2000-01-01", "9999-12-31"),  # unchanged stays open
+        (3, "new"): ("2002-06-01", "9999-12-31"),  # first version for new key
+    }
