@@ -119,6 +119,8 @@ _CHECK_FIRST: list[str] = [
     "window_order_gap_stats",
     "correlated_scalar_below_max",
     "scd2_customer_dimension",
+    "session_event_paths",
+    "sql_text_revenue_report",
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",

@@ -1337,3 +1337,30 @@ def q_correlated_scalar_below_max(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("o_totalprice") < F.col("__mx"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "sql_text_revenue_report",
+    """
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    """,
+)
+def q_sql_text_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure SQL-text surface: temp views + ``spark.sql`` running the
+    IDENTICAL statement the DuckDB oracle runs — the entry path a
+    reference user migrating raw SQL takes. Catalyst plans it exactly as
+    the DataFrame twin (broadcast dims, one fact shuffle); the only
+    difference is the front-end."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    from oracle_schema_copy_spark.queries import REGISTRY
+
+    return spark.sql(REGISTRY["sql_text_revenue_report"].oracle)

@@ -364,3 +364,42 @@ def q_wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "session_event_paths",
+    """
+    WITH s AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY path
+    ORDER BY n DESC, path LIMIT 25
+    """,
+)
+def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top day-session event paths ('view>click>...'): ordered
+    per-session event-type concatenation (sorted struct collect — exact,
+    tie-broken on event_id) then a path histogram — the behavioral
+    sequence-mining primitive behind funnel discovery. Shuffle carries
+    one path string per session, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    s = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(path.alias("path"))
+    return (
+        s.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(25)
+    )
