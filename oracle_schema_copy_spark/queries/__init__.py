@@ -109,6 +109,7 @@ _CHECK_FIRST: list[str] = [
     "scd2_customer_dimension",
     "session_event_paths",
     "sql_text_revenue_report",
+    "text_unigram_logprob",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -1525,3 +1525,40 @@ def q_graph_bfs_hops_user0(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return graph.bfs_hops(edges, "u:0", max_hops=4)
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM freq)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(sum(ln(freq.n / total.tot)) / count(*), 6) AS avg_logprob
+    FROM tok JOIN freq USING (t) CROSS JOIN total
+    GROUP BY tok.doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram LM — the classic perplexity-proxy quality filter (gibberish
+    and boilerplate-free rare-token soup score low). The frequency table
+    is corpus-derived and broadcast; one explode + one broadcast join +
+    one aggregation. Every token occurs at least once (the LM is fit on
+    the same corpus), so no smoothing branch is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").cast("double").alias("tot"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                F.sum(F.log(F.col("n") / F.col("tot"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
