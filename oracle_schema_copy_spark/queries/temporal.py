@@ -403,3 +403,43 @@ def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(25)
     )
+
+
+@query(
+    "events_value_cusum",
+    """
+    WITH m AS (SELECT avg(value) AS mu FROM events),
+    dev AS (
+        SELECT user_id, ts, event_id, value - m.mu AS d
+        FROM events, m WHERE user_id < 8)
+    SELECT user_id, event_id,
+           round(sum(d) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+    FROM dev
+    """,
+)
+def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point signal per user: the running sum of deviations
+    from the global mean — a sustained drift shows as a ramp. One
+    broadcast scalar (the mean), one ordered window per user with a
+    deterministic tie-break; rounded at 6 dp on both engines (running
+    double sums accumulate in the same in-order sequence under an ordered
+    ROWS frame, so only the mean's last-ulp division differs)."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.agg(F.avg("value").alias("mu"))
+    dev = (
+        ev.filter(F.col("user_id") < 8)
+        .join(F.broadcast(mu))
+        .select(
+            "user_id", "ts", "event_id", (F.col("value") - F.col("mu")).alias("d")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dev.select(
+        "user_id", "event_id", F.round(F.sum("d").over(w), 6).alias("cusum")
+    )

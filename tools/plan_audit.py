@@ -61,6 +61,8 @@ INTENTIONAL_CROSS = {
     "scalar_subquery_share",  # 1x1 grand-total frame broadcast into groups
     "winsorized_price_stats",  # 1x1 percentile-bounds frame broadcast into the scan
     "wau_rolling_7d",  # broadcast day-grid x daily rollup, bounded range predicate
+    "text_unigram_logprob",  # 1x1 corpus-total frame broadcast into the token stream
+    "events_value_cusum",  # 1x1 global-mean frame broadcast into the scan
     "similarity_topk_bruteforce",
     "search_bm25_topk",
     "search_hybrid_rrf",
