@@ -111,6 +111,7 @@ _CHECK_FIRST: list[str] = [
     "sql_text_revenue_report",
     "text_unigram_logprob",
     "events_value_cusum",
+    "scalar_variant_functions",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

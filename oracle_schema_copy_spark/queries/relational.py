@@ -1364,3 +1364,35 @@ def q_sql_text_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_schema_copy_spark.queries import REGISTRY
 
     return spark.sql(REGISTRY["sql_text_revenue_report"].oracle)
+
+
+@query(
+    "scalar_variant_functions",
+    """
+    SELECT CAST(CAST(props->>'$.k' AS BIGINT) % 7 AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_scalar_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: ``parse_json`` to a binary variant
+    once, then typed ``variant_get`` extraction — the open-schema
+    semi-structured path that replaces per-access string re-parsing
+    (variant decode is O(1) per path on the encoded form, vs
+    get_json_object re-parsing the text per call). The oracle states the
+    same result through DuckDB's JSON operators."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("__v"))
+    k = F.variant_get(F.col("__v"), "$.k", "long")
+    return (
+        v.select(k.alias("__k"))
+        .groupBy((F.col("__k") % 7).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__k").alias("k_min"),
+            F.max("__k").alias("k_max"),
+        )
+    )
