@@ -112,6 +112,7 @@ _CHECK_FIRST: list[str] = [
     "text_unigram_logprob",
     "events_value_cusum",
     "scalar_variant_functions",
+    "lateral_top_orders_per_segment",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

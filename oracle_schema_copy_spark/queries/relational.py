@@ -1396,3 +1396,29 @@ def q_scalar_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__k").alias("k_max"),
         )
     )
+
+
+@query(
+    "lateral_top_orders_per_segment",
+    """
+    SELECT d.c_mktsegment, top.o_orderkey, top.o_totalprice
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) d,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = d.c_mktsegment
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2) top
+    """,
+)
+def q_lateral_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: the top-2 orders per market segment
+    written as a per-row subquery with ORDER BY/LIMIT — the SQL-standard
+    alternative to the rank-window formulation (Spark decorrelates it
+    into a domain join + limit per key; DuckDB executes the same text).
+    Deterministic tie-break on the order key."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    from oracle_schema_copy_spark.queries import REGISTRY
+
+    return spark.sql(REGISTRY["lateral_top_orders_per_segment"].oracle)
