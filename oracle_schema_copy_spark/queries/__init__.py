@@ -113,6 +113,8 @@ _CHECK_FIRST: list[str] = [
     "events_value_cusum",
     "scalar_variant_functions",
     "lateral_top_orders_per_segment",
+    "dedup_keep_best_per_cluster",
+    "embedding_int8_quantize_error",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

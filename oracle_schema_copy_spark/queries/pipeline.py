@@ -1562,3 +1562,107 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "dedup_keep_best_per_cluster",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_SQL_JACCARD_PAIRS_CAPPED}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst AS r
+        FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    everyone AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+    ranked AS (
+        SELECT component, doc_id, n_chars,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY component) AS nm
+        FROM everyone)
+    SELECT component, doc_id AS kept_doc, CAST(nm AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: near-dup clusters (connected components over the
+    Jaccard pair graph) reduced to ONE survivor each — the longest member,
+    ties to the smallest id; singleton docs survive as their own cluster.
+    Composition of three operators (pair generation -> components ->
+    windowed argmax) in one lineage; this is the row every curation
+    pipeline actually keeps."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = dedup.near_dup_components(pairs)
+    everyone = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("component")
+    return (
+        everyone.withColumn("rn", F.row_number().over(w))
+        .withColumn("nm", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("nm").cast("long").alias("n_members"),
+        )
+    )
+
+
+@query(
+    "embedding_int8_quantize_error",
+    """
+    WITH s AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS max_abs
+        FROM embeddings),
+    q AS (
+        SELECT e.vec_id, s.max_abs,
+               list_sum(list_transform(e.embedding,
+                   x -> abs(CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) * 127 / s.max_abs + 0.5)
+                          * s.max_abs / 127))) AS err_sum
+        FROM embeddings e JOIN s USING (vec_id)
+        WHERE s.max_abs > 0)
+    SELECT vec_id, round(max_abs, 6) AS max_abs,
+           round(err_sum / 64, 8) AS mean_abs_err
+    FROM q
+    """,
+)
+def q_embedding_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization profile: per-vector symmetric scale
+    (max_abs/127), each component quantized with exact floor(x+0.5)
+    rounding (identical on both engines, unlike round()'s half-up vs
+    half-even ambiguity), and the mean absolute reconstruction error —
+    the compression/recall dial every embedding store tunes. Per-row
+    arithmetic only; no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = "CAST(x AS DOUBLE)"
+    out = emb.selectExpr(
+        "vec_id",
+        f"array_max(transform(embedding, x -> abs({x}))) AS max_abs",
+        f"""aggregate(transform(embedding,
+            x -> abs({x} - floor({x} * 127 / array_max(transform(embedding, x -> abs({x}))) + 0.5D)
+                 * array_max(transform(embedding, x -> abs({x}))) / 127)),
+            0D, (acc, v) -> acc + v) AS err_sum""",
+    ).filter("max_abs > 0")
+    return out.selectExpr(
+        "vec_id",
+        "round(max_abs, 6) AS max_abs",
+        "round(err_sum / 64, 8) AS mean_abs_err",
+    )
