@@ -75,3 +75,44 @@ def test_chunk_documents_drops_pure_overlap_tail(spark):
         (1, 2): 4,  # e f g h  (start 6: "g h" = pure overlap -> dropped)
         (2, 0): 3,  # short doc: one short chunk
     }
+
+
+def test_zorder_layout_prunes_2d_predicates_in_parquet_stats(spark, tmp_path):
+    """The point of cluster_by_zorder: files written from z-ordered
+    partitions carry tight (a, b) min/max envelopes in their parquet
+    footers, so a 2-D box predicate can skip most files — where a
+    1-D hash layout leaves every file's b-range wide open."""
+    import glob
+
+    import itertools
+    import pyarrow.parquet as pq
+
+    rows = [(a, b) for a, b in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    zdir, hdir = str(tmp_path / "z"), str(tmp_path / "h")
+    integrity.cluster_by_zorder(df, "a", "b", bits=5, partitions=16).write.parquet(zdir)
+    df.repartition(16, "a").write.parquet(hdir)
+
+    def files_touched(d, lo=0, hi=7):
+        touched, total = 0, 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                total += 1
+                stats = {
+                    md.row_group(rg).column(i).path_in_schema:
+                        md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                sa, sb = stats["a"], stats["b"]
+                if sa.min <= hi and sa.max >= lo and sb.min <= hi and sb.max >= lo:
+                    touched += 1
+        return touched, total
+
+    zt, ztot = files_touched(zdir)
+    ht, htot = files_touched(hdir)
+    assert ztot >= 8 and htot >= 8  # enough granularity to mean anything
+    # z-order: the 8x8 box lives in a few tiles; hash-on-a: every file's
+    # b-range spans the domain, so pruning can only use the a slabs
+    assert zt < ht
+    assert zt <= ztot // 4
