@@ -115,6 +115,7 @@ _CHECK_FIRST: list[str] = [
     "lateral_top_orders_per_segment",
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",
+    "skyline_orders_price_date",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -1422,3 +1422,42 @@ def q_lateral_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
     from oracle_schema_copy_spark.queries import REGISTRY
 
     return spark.sql(REGISTRY["lateral_top_orders_per_segment"].oracle)
+
+
+@query(
+    "skyline_orders_price_date",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_totalprice > o.o_totalprice
+          AND o2.o_orderdate < o.o_orderdate)
+    """,
+)
+def q_skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto front over (maximize price, minimize date): an
+    order survives unless some other order is strictly better on BOTH
+    axes. The oracle states the O(n^2) NOT-EXISTS definition; the Spark
+    plan is the O(n log n) sweep — per-price-group min date, one ordered
+    window carrying the running min over STRICTLY higher price groups
+    (rowsBetween ... -1 over the distinct-price frame, so equal-price
+    peers never dominate each other), then a join back. One sort, no
+    self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_totalprice").agg(F.min("o_orderdate").alias("__gmin"))
+    w = (
+        Window.orderBy(F.desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g.withColumn("__runmin", F.min("__gmin").over(w)).select(
+        "o_totalprice", "__runmin"
+    )
+    return (
+        orders.join(g2, "o_totalprice")
+        .filter(
+            F.col("__runmin").isNull()
+            | (F.col("__runmin") >= F.col("o_orderdate"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
