@@ -1443,7 +1443,10 @@ def q_skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     window carrying the running min over STRICTLY higher price groups
     (rowsBetween ... -1 over the distinct-price frame, so equal-price
     peers never dominate each other), then a join back. One sort, no
-    self-join."""
+    self-join. The unpartitioned window runs on the DISTINCT-PRICE frame
+    only (not the fact rows); at 100 TB with ~billions of distinct prices
+    the sweep shards by price range with one boundary-min fixup pass —
+    the frame is (price, min_date) pairs either way, never orders."""
     orders = load_table(spark, sf_dir, "orders")
     g = orders.groupBy("o_totalprice").agg(F.min("o_orderdate").alias("__gmin"))
     w = (
