@@ -116,6 +116,7 @@ _CHECK_FIRST: list[str] = [
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",
     "skyline_orders_price_date",
+    "events_markov_transitions",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -443,3 +443,32 @@ def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.select(
         "user_id", "event_id", F.round(F.sum("d").over(w), 6).alias("cusum")
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (lag window with deterministic tie-break, then one map-side-combined
+    count per (prev, next) pair) — the behavioral-model fit that pairs
+    with the bigram and session-path operators. Shuffle carries |types|^2
+    rows after the window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
