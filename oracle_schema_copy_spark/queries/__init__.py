@@ -117,6 +117,8 @@ _CHECK_FIRST: list[str] = [
     "embedding_int8_quantize_error",
     "skyline_orders_price_date",
     "events_markov_transitions",
+    "events_time_weighted_avg",
+    "window_distribution_position",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

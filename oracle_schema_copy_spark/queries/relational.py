@@ -1464,3 +1464,29 @@ def q_skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "window_distribution_position",
+    """
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions (percent_rank, cume_dist)
+    per customer with a deterministic total order — both are exact small-
+    integer ratios (k/n), so the doubles agree bit-for-bit with no
+    rounding."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

@@ -472,3 +472,40 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+    WITH seq AS (
+        SELECT user_id, value,
+               CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS dt_us
+        FROM events WHERE user_id < 40
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(count(dt_us) AS BIGINT) AS n_intervals,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS time_weighted_avg
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (irregular samples: each value
+    weighted by how long it was current, last observation carries no
+    weight) — the hypertable `time_weight` aggregate. Interval widths are
+    exact integer microseconds from a lead window with deterministic
+    tie-break; only the final weighted mean needs rounding."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count("dt_us").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        ).alias("time_weighted_avg"),
+    )
