@@ -119,6 +119,8 @@ _CHECK_FIRST: list[str] = [
     "events_markov_transitions",
     "events_time_weighted_avg",
     "window_distribution_position",
+    "abc_classification_parts",
+    "rfm_customer_segments",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -1490,3 +1490,90 @@ def q_window_distribution_position(spark: SparkSession, sf_dir: str) -> DataFram
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "abc_classification_parts",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    run AS (
+        SELECT l_partkey, r,
+               sum(r) OVER (ORDER BY r DESC, l_partkey) AS cum
+        FROM rev)
+    SELECT run.l_partkey,
+           CAST(round(run.r, 2) AS DOUBLE) AS revenue,
+           CASE WHEN run.cum <= tot.t * 0.8 THEN 'A'
+                WHEN run.cum <= tot.t * 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM run, tot
+    """,
+)
+def q_abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: the running
+    cumulative share over a deterministic total order, cut at 80/95%.
+    Revenue and its running sum are EXACT decimals, and the thresholds
+    are decimal-times-literal comparisons — no float boundary can flip a
+    class between engines. Like the skyline, the window runs on the
+    per-part aggregate frame, never on line items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = rev.withColumn("cum", F.sum("r").over(w))
+    return run.join(F.broadcast(tot)).select(
+        "l_partkey",
+        F.round("r", 2).cast("double").alias("revenue"),
+        F.when(F.col("cum") <= F.col("t") * 0.8, "A")
+        .when(F.col("cum") <= F.col("t") * 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS freq,
+               sum(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer — three ntile windows over deterministic total orders (key
+    tie-break; monetary is an exact decimal so its sort order cannot
+    differ between engines). The per-customer base aggregate is one
+    map-side-combined pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("monetary"),
+    )
+    def quint(col):
+        return F.ntile(5).over(
+            Window.orderBy(F.desc(col), F.asc("o_custkey"))
+        ).cast("long")
+    return base.select(
+        "o_custkey",
+        quint("last_order").alias("r_score"),
+        quint("freq").alias("f_score"),
+        quint("monetary").alias("m_score"),
+    )

@@ -63,6 +63,7 @@ INTENTIONAL_CROSS = {
     "wau_rolling_7d",  # broadcast day-grid x daily rollup, bounded range predicate
     "text_unigram_logprob",  # 1x1 corpus-total frame broadcast into the token stream
     "events_value_cusum",  # 1x1 global-mean frame broadcast into the scan
+    "abc_classification_parts",  # 1x1 grand-total frame broadcast into the ranked frame
     "similarity_topk_bruteforce",
     "search_bm25_topk",
     "search_hybrid_rrf",
