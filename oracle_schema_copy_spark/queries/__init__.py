@@ -121,6 +121,7 @@ _CHECK_FIRST: list[str] = [
     "window_distribution_position",
     "abc_classification_parts",
     "rfm_customer_segments",
+    "dedup_rate_by_source",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

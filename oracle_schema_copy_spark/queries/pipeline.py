@@ -1666,3 +1666,60 @@ def q_embedding_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFra
         "round(max_abs, 6) AS max_abs",
         "round(err_sum / 64, 8) AS mean_abs_err",
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_SQL_JACCARD_PAIRS_CAPPED}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst AS r
+        FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    marked AS (
+        SELECT d.source,
+               CASE WHEN c.doc_id IS NOT NULL AND c.component <> d.doc_id
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM marked GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate per crawl source — the curation metric that
+    decides which source gets down-weighted: a doc counts as a duplicate
+    when it belongs to a near-dup cluster and is not the cluster's
+    canonical (min-id) survivor. Components join back to the document
+    dimension; one aggregate per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = dedup.near_dup_components(pairs)
+    marked = docs.select("doc_id", "source").join(comp, "doc_id", "left").select(
+        "source",
+        F.when(
+            F.col("component").isNotNull()
+            & (F.col("component") != F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.round(F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_rate"
+        ),
+    )
