@@ -122,6 +122,7 @@ _CHECK_FIRST: list[str] = [
     "abc_classification_parts",
     "rfm_customer_segments",
     "dedup_rate_by_source",
+    "yoy_revenue_growth",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -1577,3 +1577,36 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         quint("freq").alias("f_score"),
         quint("monetary").alias("m_score"),
     )
+
+
+@query(
+    "yoy_revenue_growth",
+    """
+    WITH yearly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+        FROM orders GROUP BY 1)
+    SELECT yr,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY yr) AS DOUBLE) - 1, 6) AS yoy_growth
+    FROM yearly
+    """,
+)
+def q_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: exact decimal yearly sums, one lag
+    window over the tiny yearly frame, ratio taken in double at the end
+    (first year's growth is NULL on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    w = Window.orderBy("yr")
+    return yearly.select(
+        "yr",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double") - 1,
+            6,
+        ).alias("yoy_growth"),
+    )
