@@ -123,6 +123,7 @@ _CHECK_FIRST: list[str] = [
     "rfm_customer_segments",
     "dedup_rate_by_source",
     "yoy_revenue_growth",
+    "copy_verify_end_to_end",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -724,3 +724,62 @@ def q_scd2_customer_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutate.scd2_merge(
         current, updates, "c_custkey", effective_date="2001-06-01"
     )
+
+
+def _copy_verify_oracle() -> str:
+    from oracle_schema_copy_spark.operators import integrity
+
+    cks = integrity.bucket_checksums_sql(
+        "orders", "o_orderkey", _checksum_cols(), buckets=64
+    )
+    return f"""
+    WITH a AS ({cks}), b AS ({cks})
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN a.n_rows <> b.n_rows
+                           OR a.checksum <> b.checksum THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched
+    FROM a JOIN b USING (bucket)
+    """
+
+
+@query("copy_verify_end_to_end", _copy_verify_oracle())
+def q_copy_verify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mission as one gated row: COPY a table through the
+    full operation-log pipeline (export -> manifest+parquet log -> replay
+    into a fresh warehouse), then PROVE the copy with merkle bucket
+    checksums of source vs replayed target. The oracle states the
+    invariant (64 buckets, 0 mismatches — on the SQL side a faithful copy
+    IS the identity); any corruption anywhere in the export/replay path
+    shows up as a nonzero mismatch count and a red row."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.operators import integrity
+    from oracle_schema_copy_spark.plans import oplog
+
+    base = f"{_SCRATCH}/copy_verify_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    with oplog.OperationLogWriter(f"{base}/log") as log:
+        log.insert("orders", orders)
+    wh = oplog.Warehouse(spark, f"{base}/wh")
+    oplog.replay(spark, f"{base}/log", wh)
+    copied = wh.read("orders")
+    a = integrity.bucket_checksums(orders, "o_orderkey", _checksum_cols(), buckets=64)
+    b = integrity.bucket_checksums(copied, "o_orderkey", _checksum_cols(), buckets=64)
+    bb = b.select(
+        F.col("bucket"),
+        F.col("n_rows").alias("__bn"),
+        F.col("checksum").alias("__bc"),
+    )
+    joined = a.join(bb, "bucket")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when(
+                (F.col("n_rows") != F.col("__bn"))
+                | (F.col("checksum") != F.col("__bc")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatched"),
+    )
