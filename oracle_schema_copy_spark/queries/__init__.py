@@ -48,6 +48,7 @@ def _load_all() -> None:
         relational,
         streaming,
         temporal,
+        tpch,
     )
 
 
@@ -124,6 +125,22 @@ _CHECK_FIRST: list[str] = [
     "dedup_rate_by_source",
     "yoy_revenue_growth",
     "copy_verify_end_to_end",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_values",
+    "tpch_q12_late_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_count_by_part",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_sales_opportunity",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite
