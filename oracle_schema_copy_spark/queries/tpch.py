@@ -519,15 +519,18 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(value_, 2) AS DOUBLE) AS part_value
     FROM val
     WHERE CAST(value_ AS DOUBLE) >
-          (SELECT CAST(sum(value_) AS DOUBLE) * 0.001 FROM val)
+          (SELECT 2 * CAST(sum(value_) AS DOUBLE) / count(*) FROM val)
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock values): per-part value vs a
-    scalar fraction-of-grand-total subquery. The grand total is the SUM
-    of the already-aggregated per-part frame (no second fact scan) and
-    is broadcast as a 1x1 frame into the filter. Sums stay exact decimal
-    until the final double comparison, identical on both engines."""
+    scalar threshold subquery. The threshold is 2x the AVERAGE part value
+    (TPC-H's fixed fraction of the grand total degenerates to an empty
+    result as the part count grows with SF; the multiple-of-average form
+    is scale-invariant), computed from the already-aggregated per-part
+    frame (no second fact scan) and broadcast as a 1x1 frame into the
+    filter. Sums stay exact decimal until the final double comparison,
+    identical on both engines."""
     sup0 = (
         load_table(spark, sf_dir, "supplier")
         .join(
@@ -544,7 +547,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value_"))
     )
-    thresh = val.agg((F.sum("value_").cast("double") * F.lit(0.001)).alias("__t"))
+    thresh = val.agg(
+        (F.lit(2) * F.sum("value_").cast("double") / F.count(F.lit(1))).alias("__t")
+    )
     return (
         val.join(F.broadcast(thresh))
         .filter(F.col("value_").cast("double") > F.col("__t"))
