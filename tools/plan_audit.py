@@ -59,6 +59,8 @@ def audit(plan: str) -> dict:
 # All are bounded by construction (1 row, or queries × cells).
 INTENTIONAL_CROSS = {
     "scalar_subquery_share",  # 1x1 grand-total frame broadcast into groups
+    "tpch_q11_important_values",  # 1x1 threshold frame broadcast into the filter
+    "tpch_q22_sales_opportunity",  # 1x1 average-balance frame broadcast into the scan
     "winsorized_price_stats",  # 1x1 percentile-bounds frame broadcast into the scan
     "wau_rolling_7d",  # broadcast day-grid x daily rollup, bounded range predicate
     "text_unigram_logprob",  # 1x1 corpus-total frame broadcast into the token stream
