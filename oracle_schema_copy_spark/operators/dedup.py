@@ -19,7 +19,7 @@ xxhash64 would be ~3x faster JVM-side and is the drop-in for production.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions.text import normalize, shingles, token_hash
@@ -136,6 +136,100 @@ def ngram_jaccard_pairs(
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs/PPJoin prefix filtering.
+
+    The candidate generator indexes only each document's PREFIX — its
+    rarest ``|d| - ceil(t*|d|) + 1`` shingles under a global
+    (document-frequency, shingle) total order — instead of every shingle
+    (``ngram_jaccard_pairs``) or hash bands (``minhash_lsh_pairs``).
+    Completeness is a theorem (Bayardo et al., WWW'07 "Scaling Up All
+    Pairs Similarity Search"; Xiao et al., WWW'08 PPJoin): two sets with
+    Jaccard >= t share at least ceil(t*max(|A|,|B|)) elements, so their
+    prefixes under ANY shared total order must intersect.  Unlike
+    MinHash-LSH the filter is LOSSLESS — output is exactly the
+    brute-force pair set — while indexing ~(1-t) of the postings, with
+    the rarest-first order making surviving posting lists short (a
+    boilerplate shingle shared by everyone sorts LAST and never enters
+    any prefix).
+
+    Plan: one aggregation for document frequencies (map-side combined),
+    one window per doc for the prefix rank (shuffles (id, shingle) pairs
+    once), prefix-only postings, a length-ratio filter
+    (t*max(|A|,|B|) <= min — Jaccard >= t is impossible otherwise) before
+    dedup, then the same candidates-only exact verify as the LSH path.
+    Thresholds are epsilon-relaxed (alpha = ceil(t*n - 1e-9)) so float
+    rounding can only LENGTHEN a prefix / keep an extra candidate —
+    never drop a true pair; the exact verify discards the surplus.
+
+    ``max_bucket`` guards a degenerate prefix posting exactly like the
+    LSH bucket guard; it cannot fire unless > max_bucket documents share
+    a shingle that is among the rarest for ALL of them.
+    """
+    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
+    ex = sets.select(
+        F.col(id_col).alias("id"),
+        F.size("shingle_set").alias("n_sh"),
+        F.explode_outer("shingle_set").alias("sh"),
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix_len = F.col("n_sh") - alpha + F.lit(1)
+    rank = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("sh").asc())
+    )
+    prefix = (
+        ex.join(dfreq, "sh")
+        .withColumn("__rk", rank)
+        .filter(F.col("__rk") <= prefix_len)
+        .select("id", "n_sh", "sh")
+    )
+    postings = (
+        prefix.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
+        .where((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    )
+    pair_arrays = ordered_pair_array(
+        F.col("items"),
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            x["n_sh"].alias("n_a"),
+            y["n_sh"].alias("n_b"),
+        ),
+    )
+    cands = (
+        postings.select(F.explode_outer(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .filter(
+            F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+            <= F.least("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    set_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa"))
+    set_b = sets.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sb"))
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cands.join(set_a, "id_a")
+        .join(set_b, "id_b")
+        .withColumn(
+            "jaccard", n_common / (F.size("__sa") + F.size("__sb") - n_common)
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -119,6 +119,38 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.normalized_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Twin of prefix_filter_jaccard_pairs: the prefix filter is LOSSLESS, so
+# the oracle is simply the brute-force exact-Jaccard pair set at t=0.3 —
+# the oracle literally cannot know the filter exists, which is the point.
+_SQL_JACCARD_PAIRS_T03 = f"""
+    WITH {_SQL_SHINGLES},
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(ss) AS n_sh FROM sh WHERE len(ss) > 0),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+"""
+
+
+@query("dedup_jaccard_prefix_filter", _SQL_JACCARD_PAIRS_T03)
+def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering: LOSSLESS candidate pruning that
+    indexes only each doc's rarest (1-t)-fraction of shingles — the
+    third, exact, scale path of the near-dup stack (vs the probabilistic
+    LSH one). The oracle is the brute-force pair set: any lost candidate
+    turns the row red."""
+    return dedup.prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.3
+    )
+
+
 @query("dedup_ngram_jaccard", _SQL_JACCARD_PAIRS_CAPPED, headline=True)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard >= 0.2 via explode +
