@@ -142,6 +142,8 @@ _CHECK_FIRST: list[str] = [
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_sales_opportunity",
     "dedup_jaccard_prefix_filter",
+    "agg_approx_percentile_contract",
+    "dq_constraint_checks",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

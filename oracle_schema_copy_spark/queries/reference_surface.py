@@ -783,3 +783,72 @@ def q_copy_verify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_mismatched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint validation (generalizes CopyUtils.java:44-46,
+# :907-917 count asserts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_constraint_checks",
+    """
+    SELECT 'orders_custkey_not_null' AS rule,
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(count(*) FILTER (o_totalprice IS NOT NULL
+                AND (o_totalprice < 0 OR o_totalprice > 1e9)) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk_customer', CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q_dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: five constraint families
+    (not-null / PK-unique / accepted-values / range / referential
+    integrity) over orders, each a (rule, n_violations) row. The four
+    single-table rules compile into ONE aggregate pass (sibling
+    conditional sums + count_distinct — one scan for N rules, where the
+    oracle's UNION ALL text implies four); the FK rule is an anti-join
+    count against the customer dimension. Generalizes the reference's
+    copy count-asserts (`CopyUtils.java:44-46`, `:907-917`) into the
+    dbt/Great-Expectations-style contract a 100 TB pipeline gates on."""
+    from oracle_schema_copy_spark.operators import constraints as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        dq.Rule("orders_custkey_not_null", "not_null", ("o_custkey",)),
+        dq.Rule("orders_orderkey_unique", "unique", ("o_orderkey",)),
+        dq.Rule(
+            "orders_status_accepted",
+            "accepted_values",
+            ("o_orderstatus",),
+            values=("O", "F", "P"),
+        ),
+        dq.Rule(
+            "orders_totalprice_positive",
+            "in_range",
+            ("o_totalprice",),
+            lo=0.0,
+            hi=1e9,
+        ),
+        dq.Rule(
+            "orders_custkey_fk_customer",
+            "foreign_key",
+            ("o_custkey",),
+            ref_column="c_custkey",
+        ),
+    ]
+    return dq.validate(orders, rules, dims={"orders_custkey_fk_customer": cust})

@@ -1025,6 +1025,39 @@ def q_agg_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "agg_approx_percentile_contract",
+    """
+    SELECT l_returnflag,
+           CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+                AS DOUBLE) AS exact_p50,
+           TRUE AS approx_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile (Greenwald-Khanna) epsilon contract, the
+    percentile twin of agg_approx_distinct_contract: the sketch value is
+    not portable across engines, so the gated columns are the exact
+    interpolated median plus a BOOLEAN asserting the approx median lands
+    inside the exact P45-P55 band — the oracle states TRUE
+    unconditionally, so sketch drift past the band turns the row red.
+    At 100 TB percentile_approx is the pass you run (mergeable
+    fixed-size sketch, no per-group full sort); the exact twin is the
+    auditor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", 0.5, 10_000)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2)
+        .cast("double")
+        .alias("exact_p50"),
+        (
+            (approx >= F.percentile("l_extendedprice", F.lit(0.45)))
+            & (approx <= F.percentile("l_extendedprice", F.lit(0.55)))
+        ).alias("approx_in_band"),
+    )
+
+
+@query(
     "winsorized_price_stats",
     """
     WITH b AS (
