@@ -1,0 +1,113 @@
+"""Physical-plan CONTRACTS for representative queries.
+
+tools/plan_audit.py reports plans for human review; these tests pin the
+load-bearing physical properties as hard assertions so a regression
+(lost pushdown, a broadcast degrading to shuffle, a window top-k losing
+the group-limit optimization, codegen dropping out) fails CI instead of
+silently shipping a 100x-at-scale slowdown. Each assertion names the
+property that matters at 100 TB, not the whole plan text."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+
+    def plan_of(name: str) -> str:
+        # formatted explain prints scans with UNtruncated PushedFilters /
+        # ReadSchema and tags operators with their codegen id; the raw
+        # executedPlan().toString() elides long field lists with "..."
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, SF).explain("formatted")
+        return buf.getvalue()
+
+    return plan_of
+
+
+def test_q6_filters_reach_the_scan(plans):
+    """TPC-H Q6: every predicate is pushed into the parquet scan — the
+    scan, not a post-scan Filter, eliminates non-qualifying row groups."""
+    p = plans("agg_forecast_revenue_q6")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p
+
+
+def test_q6_column_pruning(plans):
+    """Q6 reads 4 of lineitem's 11 columns; a full-width ReadSchema would
+    multiply scan bytes at 100 TB."""
+    p = plans("agg_forecast_revenue_q6")
+    scan_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in scan_schema and "l_returnflag" not in scan_schema
+
+
+def test_q14_part_dimension_broadcasts(plans):
+    """Q14: the part dimension joins as a broadcast hash join — a
+    sort-merge join here would shuffle the date-pruned fact for a
+    dimension that fits in memory."""
+    p = plans("join_promo_revenue_share_q14")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_per_group_has_group_limit(plans):
+    """rank<=k over a window must plan the WindowGroupLimit pushdown
+    (Spark 3.5+): each partition keeps a k-heap instead of fully sorting
+    every group before filtering."""
+    p = plans("topk_per_group_lineitems")
+    assert "WindowGroupLimit" in p
+
+
+def test_global_topk_never_fully_sorts(plans):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global
+    Sort: a total sort of a 100 TB fact to read 10 rows is the classic
+    scale failure."""
+    p = plans("tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q4_exists_plans_as_semi_join(plans):
+    """The correlated EXISTS must be a left-semi join (first match wins),
+    never an inner join + distinct over the multiplied rows."""
+    p = plans("agg_late_orders_by_priority_q4")
+    assert "LeftSemi" in p
+
+
+def test_anti_join_for_not_exists(plans):
+    """NOT EXISTS must plan as an anti join, not an outer-join +
+    null-filter (which materializes the full outer result)."""
+    p = plans("join_anti_customers_without_orders")
+    assert "LeftAnti" in p
+
+
+def test_keyed_scan_pushes_keys_not_collects(plans):
+    """The engine's keyed scan (reference S2: IN-list batches of 500,
+    `CopyUtils.java:393-425`) must plan as a distributed semi-join — no
+    driver-collected literal IN-list anywhere in the plan."""
+    p = plans("keyed_scan_orders")
+    assert "LeftSemi" in p
+    assert "In(o_custkey" not in p and " IN (" not in p
+
+
+def test_dedup_exact_shuffles_digest_not_text(plans):
+    """Exact dedup aggregates on a fixed-width digest: the exchange key
+    must be the md5 column, never the raw document text."""
+    p = plans("dedup_exact")
+    ex_lines = [
+        l for l in p.splitlines() if "hashpartitioning" in l and "Arguments" in l
+    ]
+    assert ex_lines and all(
+        "md5" in l or "__h" in l or "_groupingexpression" in l for l in ex_lines
+    )
+    assert all("text" not in l for l in ex_lines)
