@@ -142,6 +142,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def _prefix_frame(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """(id, n_sh, sh) rows for each doc's PREFIX — its rarest
+    ``|d| - ceil(t*|d|) + 1`` shingles under the global (document
+    frequency, shingle) total order. Epsilon-relaxed so float rounding
+    can only lengthen a prefix (over-generate candidates), never drop a
+    true pair."""
+    ex = sets.select(
+        F.col(id_col).alias("id"),
+        F.size("shingle_set").alias("n_sh"),
+        F.explode_outer("shingle_set").alias("sh"),
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix_len = F.col("n_sh") - alpha + F.lit(1)
+    rank = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("sh").asc())
+    )
+    return (
+        ex.join(dfreq, "sh")
+        .withColumn("__rk", rank)
+        .filter(F.col("__rk") <= prefix_len)
+        .select("id", "n_sh", "sh")
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -181,23 +206,7 @@ def prefix_filter_jaccard_pairs(
     a shingle that is among the rarest for ALL of them.
     """
     sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
-    ex = sets.select(
-        F.col(id_col).alias("id"),
-        F.size("shingle_set").alias("n_sh"),
-        F.explode_outer("shingle_set").alias("sh"),
-    )
-    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-    alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-    prefix_len = F.col("n_sh") - alpha + F.lit(1)
-    rank = F.row_number().over(
-        Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("sh").asc())
-    )
-    prefix = (
-        ex.join(dfreq, "sh")
-        .withColumn("__rk", rank)
-        .filter(F.col("__rk") <= prefix_len)
-        .select("id", "n_sh", "sh")
-    )
+    prefix = _prefix_frame(sets, id_col, threshold)
     postings = (
         prefix.groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
@@ -220,6 +229,94 @@ def prefix_filter_jaccard_pairs(
             <= F.least("n_a", "n_b")
         )
         .select("id_a", "id_b")
+        .distinct()
+    )
+    set_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa"))
+    set_b = sets.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sb"))
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cands.join(set_a, "id_a")
+        .join(set_b, "id_b")
+        .withColumn(
+            "jaccard", n_common / (F.size("__sa") + F.size("__sb") - n_common)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new: Column,
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_posting: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch: (new, new) and (new, old)
+    pairs at Jaccard >= t, never (old, old) — the daily-increment shape
+    of corpus dedup, where re-running the full pairwise pass over an
+    already-deduped corpus to admit 1% new documents is the classic
+    scale mistake.
+
+    Same lossless prefix filter as :func:`prefix_filter_jaccard_pairs`,
+    but candidates come from probing the NEW docs' prefixes against the
+    full corpus's prefix index (an equi-join on the shingle, pruned to
+    pairs with a new side by construction) instead of self-pairing every
+    posting list: candidate cost is O(|new| x posting length), so a 1%
+    batch costs ~1% of the full run. Completeness still holds — both
+    sides of any qualifying pair carry their full prefix, and the pair
+    shares a prefix shingle regardless of which side is new.  Document
+    frequencies are recomputed corpus-wide here; a production increment
+    maintains them as a running aggregate (same update shape as
+    incremental_agg_maintenance).
+
+    ``max_posting`` drops shingles whose CORPUS-side prefix posting
+    exceeds the cap — same boilerplate guard, same cannot-fire-at-test-SF
+    property as the other candidate generators.
+    """
+    sets = (
+        shingle_sets(df, id_col, text_col, n)
+        .join(spread(df).select(F.col(id_col), is_new.alias("__new")), id_col)
+        .localCheckpoint()
+    )
+    prefix = _prefix_frame(sets, id_col, threshold).join(
+        sets.select(F.col(id_col).alias("id"), "__new"), "id"
+    )
+    # corpus-side index: cap pathological postings BEFORE the probe join
+    posting_size = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    index = (
+        prefix.withColumn("__ps", posting_size)
+        .filter(F.col("__ps") <= max_posting)
+        .select(
+            F.col("id").alias("id_r"),
+            F.col("n_sh").alias("n_r"),
+            F.col("__new").alias("new_r"),
+            "sh",
+        )
+    )
+    probe = prefix.filter(F.col("__new")).select(
+        F.col("id").alias("id_p"), F.col("n_sh").alias("n_p"), "sh"
+    )
+    cands = (
+        probe.join(index, "sh")
+        .filter(
+            # ordered pair; when BOTH sides are new each pair appears from
+            # both probes — keep the (smaller, larger) orientation only
+            F.when(F.col("new_r"), F.col("id_p") < F.col("id_r")).otherwise(
+                F.col("id_p") != F.col("id_r")
+            )
+        )
+        .filter(
+            F.lit(threshold) * F.greatest("n_p", "n_r") - F.lit(1e-9)
+            <= F.least("n_p", "n_r")
+        )
+        .select(
+            F.least("id_p", "id_r").alias("id_a"),
+            F.greatest("id_p", "id_r").alias("id_b"),
+        )
         .distinct()
     )
     set_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa"))

@@ -144,6 +144,7 @@ _CHECK_FIRST: list[str] = [
     "dedup_jaccard_prefix_filter",
     "agg_approx_percentile_contract",
     "dq_constraint_checks",
+    "dedup_jaccard_incremental",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

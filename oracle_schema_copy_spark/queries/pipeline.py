@@ -151,6 +151,44 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Twin of incremental_jaccard_pairs: the brute-force pair set restricted
+# to pairs with a "new"-batch side (doc_id % 10 == 0 plays the new batch).
+_SQL_JACCARD_INCREMENTAL = f"""
+    WITH {_SQL_SHINGLES},
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(ss) AS n_sh FROM sh WHERE len(ss) > 0),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+      AND (id_a % 10 = 0 OR id_b % 10 = 0)
+"""
+
+
+@query("dedup_jaccard_incremental", _SQL_JACCARD_INCREMENTAL)
+def q_dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: pairs touching the new batch only (new-new
+    and new-old, never old-old) by probing the new docs' prefixes against
+    the corpus prefix index — the daily-increment scale path, candidate
+    cost O(|new| x posting), not corpus-quadratic. The oracle is the
+    brute-force pair set filtered to new-sided pairs, so a missed
+    cross-batch duplicate turns the row red."""
+    return dedup.incremental_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        F.col("doc_id") % 10 == 0,
+        n=3,
+        threshold=0.3,
+    )
+
+
 @query("dedup_ngram_jaccard", _SQL_JACCARD_PAIRS_CAPPED, headline=True)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard >= 0.2 via explode +
