@@ -99,3 +99,51 @@ def test_normalize_and_shingles_match_python_reference(spark, texts):
     for r in rows:
         assert r.norm == _py_normalize(texts[r.i])
         assert list(r.sh) == _py_shingles(texts[r.i])
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter losslessness: candidate pruning must be invisible in the
+# output (theorem-backed; this hunts implementation slips like an
+# off-by-one prefix length or a wrong global order)
+# ---------------------------------------------------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=10),
+        min_size=2,
+        max_size=25,
+    ),
+    st.sampled_from([0.2, 0.4, 0.6]),
+)
+@settings(max_examples=3, deadline=None)
+def test_prefix_filter_matches_bruteforce(spark, docs, threshold):
+    from oracle_schema_copy_spark.operators import dedup
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)], "doc_id long, text string"
+    )
+
+    def pairs(frame):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in frame.collect()
+        }
+
+    brute = pairs(
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=threshold)
+    )
+    pruned = pairs(
+        dedup.prefix_filter_jaccard_pairs(df, "doc_id", "text", threshold=threshold)
+    )
+    assert pruned == brute
+
+    is_new = F.col("doc_id") % 3 == 0
+    incr = pairs(
+        dedup.incremental_jaccard_pairs(
+            df, "doc_id", "text", is_new, threshold=threshold
+        )
+    )
+    assert incr == {p for p in brute if p[0] % 3 == 0 or p[1] % 3 == 0}
