@@ -1400,6 +1400,46 @@ def q_sql_text_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive_cte_bfs",
+    """
+    WITH RECURSIVE walk(node, hop) AS (
+        SELECT 'u:0' AS node, 0 AS hop
+        UNION ALL
+        SELECT DISTINCT e.dst AS node, w.hop + 1 AS hop
+        FROM walk w
+        JOIN (
+            SELECT 'u:' || CAST(user_id AS STRING) AS src,
+                   't:' || event_type AS dst
+            FROM events
+            UNION ALL
+            SELECT 't:' || event_type, 'u:' || CAST(user_id AS STRING)
+            FROM events
+        ) e ON e.src = w.node
+        WHERE w.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q_sql_recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE, SPARK-24497): BFS hop
+    counts from user 0 through the bipartite user<->event-type graph as
+    ONE SQL statement — the IDENTICAL text runs on both engines (same
+    migration-surface contract as sql_text_revenue_report). The
+    DISTINCT inside the recursive member dedups each level to at most
+    |nodes| rows, so path-count blowup (exponential in hops on a dense
+    bipartite graph) never materializes — the same per-level dedup the
+    DataFrame BFS (graph_bfs_hops_user0) does with frontier distinct;
+    min(hop) collapses levels to first-reach depth. Spark executes the
+    recursion as an iterative UnionLoop over the same join plan a
+    driver-loop BFS would build."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    from oracle_schema_copy_spark.queries import REGISTRY
+
+    return spark.sql(REGISTRY["sql_recursive_cte_bfs"].oracle)
+
+
+@query(
     "scalar_variant_functions",
     """
     SELECT CAST(CAST(props->>'$.k' AS BIGINT) % 7 AS BIGINT) AS k_bucket,
