@@ -852,3 +852,50 @@ def q_dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return dq.validate(orders, rules, dims={"orders_custkey_fk_customer": cust})
+
+
+@query(
+    "oplog_history_source",
+    """
+    SELECT CAST(0 AS BIGINT) AS seq, 'ddl' AS kind,
+           NULL AS table_name, 2 AS n_statements, CAST(0 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, 'insert', 'orders', 0,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 100 = 0)
+    UNION ALL
+    SELECT 2, 'delete', 'orders', 0,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 500 = 0)
+    """,
+)
+def q_oplog_history_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source (SPARK-44076) surface: the operation
+    log read back as a TABLE — ``spark.read.format("oplog_history")`` —
+    one row per op with footer-derived payload row counts (O(files), no
+    data pages scanned; one InputPartition per op). The oracle states
+    the expected history of the deterministic export: any drift in op
+    sequencing, payload routing, or the source's stats turns the row
+    red. File/byte columns are excluded from the gate — file count
+    legitimately follows upstream partitioning."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.plans import oplog
+    from oracle_schema_copy_spark.sources import pyds
+
+    base = f"{_SCRATCH}/oplog_history_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    with oplog.OperationLogWriter(f"{base}/log") as log:
+        log.ddl(["CREATE TABLE t (x INT)", "ALTER TABLE t ADD COLUMN y INT"])
+        log.insert("orders", orders.filter(F.col("o_orderkey") % 100 == 0))
+        log.delete(
+            "orders",
+            "o_orderkey",
+            orders.filter(F.col("o_orderkey") % 500 == 0).select("o_orderkey"),
+        )
+    pyds.register(spark)
+    return (
+        spark.read.format("oplog_history")
+        .load(f"{base}/log")
+        .select("seq", "kind", "table_name", "n_statements", "n_rows")
+    )
