@@ -14,6 +14,14 @@ session, so skewed users are the thing to watch (mitigate with a pre-agg
 on (user, coarse-time) when a single key dominates). The stateful
 ``applyInPandasWithState`` operator receives Arrow record batches per key
 group — vectorized, not row-at-a-time.
+
+Spark 4's successor API ``transformWithStateInPandas`` (composite state
+variables, timers, TTL) was evaluated and is environment-gated: its
+Python state server requires ``google.protobuf``, which this container
+does not ship (probe: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+ImportError google.protobuf). ``applyInPandasWithState`` carries the
+custom-stateful contract here; the processor-class port is mechanical
+once protobuf is present.
 """
 
 from __future__ import annotations
