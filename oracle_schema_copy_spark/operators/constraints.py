@@ -102,5 +102,6 @@ def validate(
         )
     for fk in fk_frames:
         out = fk if out is None else out.unionByName(fk)
-    assert out is not None, "no rules given"
+    if out is None:
+        raise ValueError("no rules given")
     return out

@@ -167,6 +167,35 @@ def _prefix_frame(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
     )
 
 
+def _verify_pairs(
+    sets: DataFrame, cands: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (id_a, id_b) pairs against the
+    full shingle sets — the shared final stage of every lossless
+    candidate generator (work is O(|candidates|), never pair-quadratic)."""
+    set_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa"))
+    set_b = sets.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sb"))
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        cands.join(set_a, "id_a")
+        .join(set_b, "id_b")
+        .withColumn(
+            "jaccard", n_common / (F.size("__sa") + F.size("__sb") - n_common)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _length_ratio_ok(threshold: float) -> Column:
+    """Jaccard >= t is impossible unless t*max(|A|,|B|) <= min(|A|,|B|);
+    epsilon-relaxed so a float boundary only keeps an extra candidate."""
+    return (
+        F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+        <= F.least("n_a", "n_b")
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -201,16 +230,32 @@ def prefix_filter_jaccard_pairs(
     rounding can only LENGTHEN a prefix / keep an extra candidate —
     never drop a true pair; the exact verify discards the surplus.
 
-    ``max_bucket`` guards a degenerate prefix posting exactly like the
-    LSH bucket guard; it cannot fire unless > max_bucket documents share
-    a shingle that is among the rarest for ALL of them.
+    ``max_bucket`` bounds a degenerate prefix posting (possible only when
+    > max_bucket documents share a shingle that is among the rarest for
+    ALL of them) — and it FAILS LOUDLY instead of silently dropping the
+    posting: a silent drop would lose true pairs and diverge from the
+    brute-force oracle at exactly the scale the test SFs cannot reach
+    (the repo's cap-mirroring convention). On a trip, raise the cap or
+    pre-dedup the boilerplate.
     """
     sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
     prefix = _prefix_frame(sets, id_col, threshold)
     postings = (
         prefix.groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
-        .where((F.size("items") > 1) & (F.size("items") <= max_bucket))
+        .where(F.size("items") > 1)
+        .withColumn(
+            "__cap",
+            F.assert_true(
+                F.size("items") <= max_bucket,
+                F.concat(
+                    F.lit("prefix posting over max_bucket for shingle "),
+                    F.col("sh"),
+                    F.lit(" — raise max_bucket or pre-dedup boilerplate"),
+                ),
+            ),
+        )
+        .drop("__cap")
     )
     pair_arrays = ordered_pair_array(
         F.col("items"),
@@ -224,25 +269,11 @@ def prefix_filter_jaccard_pairs(
     cands = (
         postings.select(F.explode_outer(pair_arrays).alias("p"))
         .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
-        .filter(
-            F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
-            <= F.least("n_a", "n_b")
-        )
+        .filter(_length_ratio_ok(threshold))
         .select("id_a", "id_b")
         .distinct()
     )
-    set_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa"))
-    set_b = sets.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sb"))
-    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
-    return (
-        cands.join(set_a, "id_a")
-        .join(set_b, "id_b")
-        .withColumn(
-            "jaccard", n_common / (F.size("__sa") + F.size("__sb") - n_common)
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs(sets, cands, id_col, threshold)
 
 
 def incremental_jaccard_pairs(
@@ -273,23 +304,36 @@ def incremental_jaccard_pairs(
     maintains them as a running aggregate (same update shape as
     incremental_agg_maintenance).
 
-    ``max_posting`` drops shingles whose CORPUS-side prefix posting
-    exceeds the cap — same boilerplate guard, same cannot-fire-at-test-SF
-    property as the other candidate generators.
+    ``max_posting`` bounds the CORPUS-side prefix posting per shingle,
+    failing LOUDLY like ``prefix_filter_jaccard_pairs``'s cap — a silent
+    drop would lose cross-batch duplicates and diverge from the oracle
+    at scale.
     """
+    # the new-flag branch is a narrow (id, bool) projection — no spread()
+    # fan-out, nothing wide crosses this join
     sets = (
         shingle_sets(df, id_col, text_col, n)
-        .join(spread(df).select(F.col(id_col), is_new.alias("__new")), id_col)
+        .join(df.select(F.col(id_col), is_new.alias("__new")), id_col)
         .localCheckpoint()
     )
     prefix = _prefix_frame(sets, id_col, threshold).join(
         sets.select(F.col(id_col).alias("id"), "__new"), "id"
     )
-    # corpus-side index: cap pathological postings BEFORE the probe join
+    # corpus-side index: the cap guard trips loudly BEFORE the probe join
     posting_size = F.count(F.lit(1)).over(Window.partitionBy("sh"))
     index = (
-        prefix.withColumn("__ps", posting_size)
-        .filter(F.col("__ps") <= max_posting)
+        prefix.withColumn(
+            "__cap",
+            F.assert_true(
+                posting_size <= max_posting,
+                F.concat(
+                    F.lit("prefix posting over max_posting for shingle "),
+                    F.col("sh"),
+                    F.lit(" — raise max_posting or pre-dedup boilerplate"),
+                ),
+            ),
+        )
+        .drop("__cap")
         .select(
             F.col("id").alias("id_r"),
             F.col("n_sh").alias("n_r"),
@@ -309,28 +353,20 @@ def incremental_jaccard_pairs(
                 F.col("id_p") != F.col("id_r")
             )
         )
-        .filter(
-            F.lit(threshold) * F.greatest("n_p", "n_r") - F.lit(1e-9)
-            <= F.least("n_p", "n_r")
+        .select(
+            F.col("id_p").alias("id_p"),
+            F.col("id_r").alias("id_r"),
+            F.col("n_p").alias("n_a"),
+            F.col("n_r").alias("n_b"),
         )
+        .filter(_length_ratio_ok(threshold))
         .select(
             F.least("id_p", "id_r").alias("id_a"),
             F.greatest("id_p", "id_r").alias("id_b"),
         )
         .distinct()
     )
-    set_a = sets.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa"))
-    set_b = sets.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sb"))
-    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
-    return (
-        cands.join(set_a, "id_a")
-        .join(set_b, "id_b")
-        .withColumn(
-            "jaccard", n_common / (F.size("__sa") + F.size("__sb") - n_common)
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs(sets.drop("__new"), cands, id_col, threshold)
 
 
 def _exploded_shingle_hashes(

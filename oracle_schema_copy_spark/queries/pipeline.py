@@ -151,24 +151,13 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# Twin of incremental_jaccard_pairs: the brute-force pair set restricted
-# to pairs with a "new"-batch side (doc_id % 10 == 0 plays the new batch).
-_SQL_JACCARD_INCREMENTAL = f"""
-    WITH {_SQL_SHINGLES},
-    ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-    sizes AS (SELECT doc_id, len(ss) AS n_sh FROM sh WHERE len(ss) > 0),
-    common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
-      AND (id_a % 10 = 0 OR id_b % 10 = 0)
-"""
+# Twin of incremental_jaccard_pairs: the SAME brute-force pair set as the
+# prefix-filter oracle, restricted to pairs with a "new"-batch side
+# (doc_id % 10 == 0 plays the new batch) — derived, not duplicated, so the
+# two oracles cannot drift apart.
+_SQL_JACCARD_INCREMENTAL = (
+    _SQL_JACCARD_PAIRS_T03 + "      AND (id_a % 10 = 0 OR id_b % 10 = 0)\n"
+)
 
 
 @query("dedup_jaccard_incremental", _SQL_JACCARD_INCREMENTAL)

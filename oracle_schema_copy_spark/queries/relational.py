@@ -1270,7 +1270,7 @@ def q_agg_late_orders_by_priority_q4(spark: SparkSession, sf_dir: str) -> DataFr
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
-        li["l_shipdate"] > F.date_add(F.col("o_orderdate"), 60)
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     return (
         orders.join(li, cond, "left_semi")

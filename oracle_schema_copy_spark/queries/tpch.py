@@ -600,7 +600,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders,
             (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
         )
         .groupBy("l_linestatus")
         .agg(
@@ -822,7 +822,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l.l_quantity BETWEEN 1 AND 11)
        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
            AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 20 AND 30)
     """,
 )
@@ -836,7 +836,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
-        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").between(1, 30)
@@ -844,7 +844,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual = (
         ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30))
+        | ((F.col("p_brand") == "Brand#24") & F.col("l_quantity").between(20, 30))
     )
     return (
         li.join(
@@ -906,7 +906,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders_f.select("o_orderkey", "o_orderdate"),
             (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
