@@ -244,8 +244,10 @@ def prefix_filter_jaccard_pairs(
         prefix.groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
         .where(F.size("items") > 1)
-        .withColumn(
-            "__cap",
+        # the guard must be LOAD-BEARING or Catalyst prunes it as an
+        # unused projection: assert_true returns NULL when it passes, so
+        # this filter keeps every row while forcing the check to run
+        .where(
             F.assert_true(
                 F.size("items") <= max_bucket,
                 F.concat(
@@ -253,9 +255,8 @@ def prefix_filter_jaccard_pairs(
                     F.col("sh"),
                     F.lit(" — raise max_bucket or pre-dedup boilerplate"),
                 ),
-            ),
+            ).isNull()
         )
-        .drop("__cap")
     )
     pair_arrays = ordered_pair_array(
         F.col("items"),
@@ -322,18 +323,22 @@ def incremental_jaccard_pairs(
     # corpus-side index: the cap guard trips loudly BEFORE the probe join
     posting_size = F.count(F.lit(1)).over(Window.partitionBy("sh"))
     index = (
-        prefix.withColumn(
-            "__cap",
+        # load-bearing guard (see prefix_filter_jaccard_pairs): the filter
+        # keeps every row (assert_true yields NULL on pass) but cannot be
+        # pruned away like an unused projection would be; the window count
+        # must materialize as a column first — window expressions are not
+        # legal inside WHERE
+        prefix.withColumn("__ps", posting_size)
+        .where(
             F.assert_true(
-                posting_size <= max_posting,
+                F.col("__ps") <= max_posting,
                 F.concat(
                     F.lit("prefix posting over max_posting for shingle "),
                     F.col("sh"),
                     F.lit(" — raise max_posting or pre-dedup boilerplate"),
                 ),
-            ),
+            ).isNull()
         )
-        .drop("__cap")
         .select(
             F.col("id").alias("id_r"),
             F.col("n_sh").alias("n_r"),
