@@ -1028,8 +1028,9 @@ def q_agg_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFram
     "agg_approx_percentile_contract",
     """
     SELECT l_returnflag,
-           CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
-                AS DOUBLE) AS exact_p50,
+           CAST(round(200 * percentile_cont(0.5)
+                      WITHIN GROUP (ORDER BY l_extendedprice)) AS BIGINT)
+               AS exact_p50_halfcents,
            TRUE AS approx_in_band
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1038,18 +1039,22 @@ def q_agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFr
     """Approximate-quantile (Greenwald-Khanna) epsilon contract, the
     percentile twin of agg_approx_distinct_contract: the sketch value is
     not portable across engines, so the gated columns are the exact
-    interpolated median plus a BOOLEAN asserting the approx median lands
-    inside the exact P45-P55 band — the oracle states TRUE
-    unconditionally, so sketch drift past the band turns the row red.
-    At 100 TB percentile_approx is the pass you run (mergeable
-    fixed-size sketch, no per-group full sort); the exact twin is the
-    auditor."""
+    median plus a BOOLEAN asserting the approx median lands inside the
+    exact P45-P55 band — the oracle states TRUE unconditionally, so
+    sketch drift past the band turns the row red. The median is gated in
+    HALF-CENTS: an even-count interpolated median of 2-dp data is
+    (a+b)/2, whose last-ulp differs between the engines' interpolation
+    formulas and flips round(x, 2) at the .005 boundary (seen at
+    sf0.001); 200x the median is an exact integer (100a + 100b), so
+    integer rounding absorbs the ulp. At 100 TB percentile_approx is the
+    pass you run (mergeable fixed-size sketch, no per-group full sort);
+    the exact twin is the auditor."""
     li = load_table(spark, sf_dir, "lineitem")
     approx = F.percentile_approx("l_extendedprice", 0.5, 10_000)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2)
-        .cast("double")
-        .alias("exact_p50"),
+        F.round(F.lit(200) * F.percentile("l_extendedprice", F.lit(0.5)), 0)
+        .cast("bigint")
+        .alias("exact_p50_halfcents"),
         (
             (approx >= F.percentile("l_extendedprice", F.lit(0.45)))
             & (approx <= F.percentile("l_extendedprice", F.lit(0.55)))
