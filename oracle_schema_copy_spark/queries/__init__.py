@@ -147,6 +147,7 @@ _CHECK_FIRST: list[str] = [
     "dedup_jaccard_incremental",
     "sql_recursive_cte_bfs",
     "oplog_history_source",
+    "text_repeated_spans",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -119,6 +119,38 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.normalized_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@query(
+    "text_repeated_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    w AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 15),
+                      s -> md5(array_to_string(t[s:s+15], ' ')))) AS h
+        FROM toks WHERE len(t) >= 16),
+    c AS (SELECT h, count(*) AS cnt FROM w GROUP BY h)
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM w JOIN c USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022): fraction of
+    each document's 16-token sliding windows whose hash recurs anywhere
+    in the corpus. Window hashing is per-row expression work; the one
+    shuffle carries fixed-width hashes, never text. The input a
+    drop-duplicated-spans rewrite consumes."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.repeated_spans(
+        load_table(spark, sf_dir, "documents"), span_tokens=16
+    )
+
+
 # Twin of prefix_filter_jaccard_pairs: the prefix filter is LOSSLESS, so
 # the oracle is simply the brute-force exact-Jaccard pair set at t=0.3 —
 # the oracle literally cannot know the filter exists, which is the point.
