@@ -148,6 +148,7 @@ _CHECK_FIRST: list[str] = [
     "sql_recursive_cte_bfs",
     "oplog_history_source",
     "text_repeated_spans",
+    "minhash_merge_contract",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

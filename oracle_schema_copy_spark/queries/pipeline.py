@@ -277,6 +277,61 @@ def _simhash_sql() -> str:
     """
 
 
+_MINHASH_MERGE_SQL = (
+    f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+        SELECT doc_id, {_minhash_sig_sql()}
+        FROM sh WHERE len(ss) > 0)
+    SELECT d.source,
+    """
+    + ",\n           ".join(
+        f"CAST(min(mh{i}) AS BIGINT) AS mh{i}" for i in range(16)
+    )
+    + """,
+           TRUE AS merged_equals_direct
+    FROM sig JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+)
+
+
+@query("minhash_merge_contract", _MINHASH_MERGE_SQL)
+def q_minhash_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY contract — the property that makes MinHash
+    distributable at 100 TB: signatures aggregated per source, then
+    min-merged across sources, must equal the signature computed over
+    the whole corpus in one pass (elementwise min is associative and
+    commutative, so partial sketches combine exactly — same algebra HLL
+    registers use). The gated rows are the per-source signatures (DuckDB
+    recomputes them from the same md5-derived permutations) plus a
+    BOOLEAN the Spark side computes by ACTUALLY merging: the oracle
+    states TRUE, so any nonassociative drift turns the row red."""
+    from functools import reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    per_src = (
+        sigs.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            *[F.min(f"mh{i}").cast("bigint").alias(f"mh{i}") for i in range(16)]
+        )
+    )
+    merged = per_src.agg(*[F.min(f"mh{i}").alias(f"__m{i}") for i in range(16)])
+    direct = sigs.agg(*[F.min(f"mh{i}").alias(f"__d{i}") for i in range(16)])
+    eq = (
+        merged.join(F.broadcast(direct))
+        .select(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(f"__m{i}") == F.col(f"__d{i}") for i in range(16)],
+            ).alias("merged_equals_direct")
+        )
+    )
+    return per_src.join(F.broadcast(eq))
+
+
 @query(
     "dedup_simhash_signatures",
     _simhash_sql() + "SELECT doc_id, simhash FROM sig",
