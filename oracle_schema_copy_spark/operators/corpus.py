@@ -355,10 +355,18 @@ def repeated_spans(
         f"transform(sequence(1, size({toks}) - {span_tokens - 1}), "
         f"s -> md5(array_join(slice({toks}, s, {span_tokens}), ' ')))"
     )
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # size()>0 filter containing the whole window-hash expression and push
+    # it below spread()'s exchange (see ngram_jaccard_pairs); the length
+    # pre-filter already guarantees non-empty span arrays. localCheckpoint
+    # because the hash stream feeds TWO consumers (the counts aggregate
+    # and the join probe) — without it the corpus re-tokenizes and
+    # re-hashes once per consumer.
     ex = (
         spread(docs)
         .filter(F.size(F.split(F.col(text_col), " ")) >= span_tokens)
-        .select(F.col(id_col), F.explode(F.expr(spans)).alias("__h"))
+        .select(F.col(id_col), F.explode_outer(F.expr(spans)).alias("__h"))
+        .localCheckpoint()
     )
     counts = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
     dup = F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))

@@ -464,29 +464,10 @@ def minhash_lsh_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    # Exact-Jaccard verify on the CANDIDATE PAIRS ONLY: join each pair's two
-    # shingle sets and intersect inline. Work is O(|candidates|), never the
-    # corpus-quadratic pair space — that's the whole point of the LSH
-    # pre-filter. Two shuffle joins on doc id (AQE broadcasts the candidate
-    # side when it's small); sets are distinct arrays, so intersect/union
-    # arithmetic matches ngram_jaccard_pairs exactly.
-    set_a = sets.select(
-        F.col(id_col).alias("id_a"), F.col("shingle_set").alias("__sa")
-    )
-    set_b = sets.select(
-        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("__sb")
-    )
-    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
-    return (
-        cands.join(set_a, "id_a")
-        .join(set_b, "id_b")
-        .withColumn(
-            "jaccard",
-            n_common / (F.size("__sa") + F.size("__sb") - n_common),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # Exact-Jaccard verify on the CANDIDATE PAIRS ONLY — work is
+    # O(|candidates|), never the corpus-quadratic pair space; that's the
+    # whole point of the LSH pre-filter.
+    return _verify_pairs(sets, cands, id_col, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

@@ -310,7 +310,9 @@ def q_minhash_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    # three consumers (per_src twice via merged, direct) — materialize the
+    # signatures once instead of re-parsing the corpus per plan branch
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text").localCheckpoint()
     per_src = (
         sigs.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
