@@ -111,3 +111,20 @@ def test_dedup_exact_shuffles_digest_not_text(plans):
         "md5" in l or "__h" in l or "_groupingexpression" in l for l in ex_lines
     )
     assert all("text" not in l for l in ex_lines)
+
+
+def test_q18_single_lineitem_scan(plans):
+    """Q18's docstring claims the IN-subquery HAVING set and the output
+    measure come from ONE aggregation — i.e. lineitem is scanned once,
+    where the SQL form reads it twice (subquery + outer join)."""
+    p = plans("tpch_q18_large_volume_customers")
+    assert p.count("lineitem.parquet") == 1
+
+
+def test_prefix_filter_guard_not_pruned(plans):
+    """The max_bucket guard must survive optimization: it was once
+    attached as a dropped column and silently pruned by Catalyst (dead
+    code) — the plan must still contain the assert_true expression."""
+    p = plans("dedup_jaccard_prefix_filter")
+    # assert_true lowers to `if (cond) true else isnull(raise_error(...))`
+    assert "raise_error" in p and "max_bucket" in p
