@@ -149,6 +149,9 @@ _CHECK_FIRST: list[str] = [
     "oplog_history_source",
     "text_repeated_spans",
     "minhash_merge_contract",
+    "stats_benford_digits",
+    "stats_entropy_by_source",
+    "stats_mutual_information",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite

@@ -1688,3 +1688,143 @@ def q_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profiling family: distribution-shape diagnostics a warehouse
+# copy validates beyond row counts (generalizing the reference's
+# count-only asserts, like the DQ constraint rules do for row-level checks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_benford_digits",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE) / t.tot, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM d, t
+    GROUP BY digit, t.tot
+    """,
+)
+def q_stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit profile of order totals — the classic
+    fabricated-data screen: observed first-significant-digit frequencies
+    against log10(1 + 1/d). One aggregation over an integer digit key;
+    the 1x1 total broadcasts into the frequency projection. floor()
+    before the BIGINT cast on BOTH engines — a bare double->bigint cast
+    truncates in Spark but rounds in DuckDB."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("__tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias(
+                "observed_freq"
+            ),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+                "benford_expected"
+            ),
+        )
+    )
+
+
+@query(
+    "stats_entropy_by_source",
+    """
+    WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY 1)
+    SELECT c.source, CAST(count(*) AS BIGINT) AS n_langs,
+           round(sum(-(CAST(n AS DOUBLE) / t.tot)
+                     * log2(CAST(n AS DOUBLE) / t.tot)), 6) AS lang_entropy_bits
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    """,
+)
+def q_stats_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each crawl source's language mix — the
+    diversity/balance diagnostic of a corpus mixture (0 bits = monolingual
+    source; log2(k) = uniform over k languages). Exact counts first (one
+    shuffle on (source, lang) — never rows), then the entropy arithmetic
+    over the tiny count frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("__n"))
+    t = c.groupBy("source").agg(F.sum("__n").cast("double").alias("__tot"))
+    p = F.col("__n").cast("double") / F.col("__tot")
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(F.sum(-p * F.log2(p)), 6).alias("lang_entropy_bits"),
+        )
+    )
+
+
+@query(
+    "stats_mutual_information",
+    """
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS DOUBLE) AS nxy
+        FROM orders GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+    mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY 1),
+    my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM joint) AS BIGINT) AS n_cells,
+           round(sum((nxy / tot.n)
+                     * log2((nxy * tot.n) / (mx.nx * my.ny))), 6) AS mi_bits
+    FROM joint JOIN mx USING (x) JOIN my USING (y), tot
+    """,
+)
+def q_stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and status in bits —
+    the categorical-association diagnostic (0 = independent columns; a
+    copy that scrambles one column relative to the other shifts it).
+    One count aggregation builds the contingency table; marginals and
+    the MI sum are arithmetic over the tiny (x, y) count frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    joint = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__nxy"))
+    )
+    tot = orders.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    mx = joint.groupBy("x").agg(F.sum("__nxy").alias("__nx"))
+    my = joint.groupBy("y").agg(F.sum("__nxy").alias("__ny"))
+    cells = joint.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    mi = (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .join(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("__nxy") / F.col("__n"))
+                    * F.log2(
+                        (F.col("__nxy") * F.col("__n"))
+                        / (F.col("__nx") * F.col("__ny"))
+                    )
+                ),
+                6,
+            ).alias("mi_bits")
+        )
+    )
+    return cells.join(F.broadcast(mi))
