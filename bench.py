@@ -1,4 +1,6 @@
-"""Benchmark harness: runs the engine's headline queries at
+"""Benchmark harness: runs a query set (``SPARK_GRAFT_BENCH_SET``:
+``headline`` default — what the round driver records — or ``tpch`` for
+the complete TPC-H shape surface, recorded as BENCH_r*_tpch.json) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
