@@ -21,6 +21,7 @@ identically).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -48,6 +49,17 @@ class Rule:
     hi: float | None = None
     ref_column: str | None = None
 
+    def __post_init__(self) -> None:
+        # Rule names are interpolated into a generated stack() SQL string
+        # and into alias positions; restrict them to identifier-safe
+        # characters so a quote or backtick can't break the generated SQL
+        # or mislabel another rule's output.
+        if not re.fullmatch(r"[A-Za-z0-9_.:\- ]+", self.name):
+            raise ValueError(
+                f"rule name {self.name!r} must match [A-Za-z0-9_.:- ]+ "
+                "(it is embedded in generated SQL)"
+            )
+
 
 def _row_rule_expr(rule: Rule) -> F.Column:
     c = F.col(rule.columns[0])
@@ -59,7 +71,11 @@ def _row_rule_expr(rule: Rule) -> F.Column:
         bad = c.isNotNull() & ((c < F.lit(rule.lo)) | (c > F.lit(rule.hi)))
     else:  # pragma: no cover - guarded by validate()
         raise ValueError(f"not a row rule: {rule.kind}")
-    return F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(rule.name)
+    return (
+        F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias(rule.name)
+    )
 
 
 def validate(

@@ -54,66 +54,21 @@ def _load_all() -> None:
 
 # Checking order for external verifiers that iterate queries() under a
 # query-count or time budget (the round driver records the first ~50):
-# FIRST holds (b) brand-new queries — no driver row exists for them at
-# all — then (a) queries fixed/rewritten since their last recorded driver
-# check (stale green rows, but re-verified by the committed local mimic
-# runs at sf0.01 AND sf0.1), then (c) queries whose most recent driver
-# row is a round old.  The TAIL holds queries green in the immediately previous
-# round's gate with unchanged implementations, so a budget cutoff costs
-# the least fresh information.  Names absent from both lists keep
-# registry (insertion) order in the middle.
+# FIRST holds, in order, (n) brand-new round-5 queries — no driver row
+# exists for them at all — then (u) the 38 queries that were never seen
+# by ANY round driver through r4 (exactly REGISTRY − ∪CORRECTNESS_r01..r04;
+# they are green in the committed sf0.1 artifact and the r4 judge's own
+# sf0.001/sf0.01 re-runs, but lack a hard-gate driver row — VERDICT r4
+# ask #1), then (a) queries modified since their last recorded driver
+# check.  The TAIL holds queries green in a previous round's driver gate
+# with unchanged implementations, so a budget cutoff costs the least
+# fresh information.  Names absent from both lists keep registry
+# (insertion) order in the middle — that middle includes the 50 names
+# the r4 driver just recorded green.
 _CHECK_FIRST: list[str] = [
-    # (b) new in r4
-    "similarity_topk_lsh_vectorized",
-    "copy_tree_lineitem_composite",
-    "oplog_atomic_replay_orders",
-    "dedup_components_star",
-    "text_tfidf_top_terms",
-    "text_oov_rate",
-    "corpus_mixture_rates",
-    "sample_mix_by_source",
-    "similarity_topk_ivf_nprobe",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "funnel_view_click_error",
-    "multimodal_resize_stub",
-    "graph_pagerank_user_type",
-    "text_bigram_counts",
-    "embedding_dim_stats",
-    "join_bloom_pruned_semi",
-    "histogram_price_buckets",
-    "snapshot_diff_orders",
-    "events_rollup_cascade",
-    "integrity_bucket_checksums",
-    "zorder_locality_profile",
-    "incremental_agg_maintenance",
-    "scalar_subquery_share",
-    "stats_column_profile",
-    "chunk_documents_overlap",
-    "gapfill_locf_hourly",
-    "regr_value_by_hour",
-    "mad_outlier_flags",
-    "agg_approx_distinct_contract",
-    "stream_static_enrich_live",
-    "winsorized_price_stats",
-    "cohort_retention_daily",
-    "wau_rolling_7d",
-    "graph_bfs_hops_user0",
-    "scalar_map_functions",
-    "agg_forecast_revenue_q6",
-    "join_promo_revenue_share_q14",
-    "join_top_supplier_revenue_q15",
-    "agg_late_orders_by_priority_q4",
-    "join_anti_customers_without_orders",
-    "window_order_gap_stats",
-    "correlated_scalar_below_max",
-    "scd2_customer_dimension",
-    "session_event_paths",
-    "sql_text_revenue_report",
-    "text_unigram_logprob",
-    "events_value_cusum",
-    "scalar_variant_functions",
-    "lateral_top_orders_per_segment",
+    # (n) new in r5 — names are appended here in the same commit that
+    # registers the query (the ghost check below raises otherwise)
+    # (u) never driver-checked through r4 (VERDICT r4 §missing #1)
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",
     "skyline_orders_price_date",

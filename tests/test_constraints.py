@@ -59,3 +59,27 @@ def test_unknown_kind_raises(frames):
     df, _ = frames
     with pytest.raises(ValueError, match="unknown rule kind"):
         dq.validate(df, [dq.Rule("bad", "regexp", ("k",))])
+
+
+def test_empty_input_reports_zero_not_null(frames):
+    """ADVICE r4: sum(when(...)) over an empty frame is NULL unless
+    coalesced — an empty table must report 0 violations, so a `== 0`
+    gate downstream doesn't silently misread NULL."""
+    df, _ = frames
+    empty = df.limit(0)
+    out = dq.validate(empty, [r for r in RULES if r.kind != "foreign_key"])
+    got = {r["rule"]: r["n_violations"] for r in out.collect()}
+    assert got == {
+        "fk_not_null": 0,
+        "k_unique": 0,
+        "status_accepted": 0,
+        "price_range": 0,
+    }
+
+
+def test_quote_in_rule_name_rejected():
+    """ADVICE r4: rule names are embedded in generated stack() SQL;
+    quotes/backticks must be rejected at construction time."""
+    for bad in ("it's", "a`b", "x;drop", "a'||'b"):
+        with pytest.raises(ValueError, match="embedded in generated SQL"):
+            dq.Rule(bad, "not_null", ("k",))

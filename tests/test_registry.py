@@ -39,6 +39,47 @@ def test_ghost_check_order_name_raises():
         q._CHECK_FIRST.remove("query_that_does_not_exist")
 
 
+def test_never_driver_checked_queries_lead_check_order():
+    """VERDICT r4 ask #1: the 38 queries with no driver row through r4
+    (REGISTRY − ∪CORRECTNESS_r01..r04) must occupy the front of the
+    check order so the round-5 driver budget lands on them."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-4].json")):
+        seen |= set(json.load(open(f)))
+    names = list(q.queries())
+    never = [n for n in names if n not in seen]
+    # every never-checked name must appear before every already-checked one
+    last_never = max(names.index(n) for n in never)
+    assert last_never == len(never) - 1, (
+        "never-driver-checked queries are not contiguous at the front: "
+        f"{[n for n in names[: last_never + 1] if n in seen]}"
+    )
+
+
+def test_driver_mimic_unknown_only_name_fails_fast():
+    """VERDICT r4 "what's wrong" #1: a typo'd --only name must exit
+    non-zero naming the unknowns, before any Spark work."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "tools/driver_mimic.py", "/root/testdata/sf0.001", "nope_xyz"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert p.returncode == 2
+    assert "nope_xyz" in p.stdout
+
+
 def test_duplicate_check_order_name_raises():
     q._CHECK_LAST.append(q._CHECK_FIRST[0])
     try:

@@ -49,6 +49,19 @@ def main() -> int:
     from oracle_schema_copy_spark.session import get_spark
     import __spark_entry__ as m
 
+    qs, osql = m.queries(), m.oracle_sql()
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only:
+        # Same honesty policy as queries._check_order: a typo'd name must
+        # fail loudly, not silently shrink the run (r4 VERDICT "what's
+        # wrong" #1 — a misnamed filter printed "FAILURES: none" having
+        # run 8 of 15 requested queries).  Checked BEFORE any Spark work
+        # so the failure is immediate.
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            print(f"unknown query names in only-filter: {unknown}")
+            return 2
+
     spark = get_spark("driver-mimic", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -63,10 +76,8 @@ def main() -> int:
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    qs, osql = m.queries(), m.oracle_sql()
     fails: list[str] = []
     results: dict[str, dict] = {}
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name, fn in qs.items():
         if only and name not in only:
             continue
