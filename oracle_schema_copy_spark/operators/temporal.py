@@ -87,11 +87,18 @@ def asof_join(
     # final __q tie-break: several quotes at the SAME (key, ts) would
     # otherwise be carried nondeterministically (partition-order luck).
     # Ordering by the quote struct makes the carried row the MAX quote
-    # tuple (in quote_cols order) — deterministic on any partitioning.
-    # Only disambiguates among equal-(ts, tag) QUOTE rows: probes sort
-    # apart via __tag and their __q is NULL. SQL ASOF oracles are equally
-    # arbitrary on such ties; the fixtures contain none (a tie would
-    # surface as a value mismatch in the driver compare).
+    # tuple (in quote_cols order) — deterministic on any partitioning,
+    # and part of the operator CONTRACT: lead quote_cols with a unique id
+    # to pin a specific row. Only disambiguates among equal-(ts, tag)
+    # QUOTE rows: probes sort apart via __tag and their __q is NULL (and
+    # tied probes all see the same quote prefix — quotes sort strictly
+    # before/after every equal-ts probe via __tag, so the row frame's
+    # last non-null __q is identical across them). The rule is SQL-
+    # expressible (row_number over q.ts DESC then quote_cols DESC, keep
+    # rn=1), so oracles can mirror it exactly on tie-bearing data — see
+    # the asof_join_planted_ties query and tests/test_temporal.py's
+    # planted-tie case; native SQL ASOF JOIN picks ties arbitrarily and
+    # is only used as oracle on tie-free inputs.
     w = (
         Window.partitionBy(key)
         .orderBy(ts_order, "__tag", "__q")

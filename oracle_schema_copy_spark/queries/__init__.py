@@ -68,6 +68,7 @@ def _load_all() -> None:
 _CHECK_FIRST: list[str] = [
     # (n) new in r5 — names are appended here in the same commit that
     # registers the query (the ghost check below raises otherwise)
+    "asof_join_planted_ties",
     # (u) never driver-checked through r4 (VERDICT r4 §missing #1)
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",

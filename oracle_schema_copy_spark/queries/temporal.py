@@ -44,6 +44,48 @@ def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_planted_ties",
+    """
+    WITH p AS (
+        SELECT user_id, date_trunc('hour', ts) AS ts, event_id
+        FROM events WHERE event_type = 'error'),
+    q AS (
+        SELECT user_id, date_trunc('hour', ts) AS ts, event_id, value
+        FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT p.user_id, p.ts, p.event_id,
+               q.event_id AS q_event_id, q.ts AS q_ts, q.value AS q_value,
+               row_number() OVER (
+                   PARTITION BY p.user_id, p.ts, p.event_id
+                   ORDER BY q.ts DESC, q.event_id DESC) AS rn
+        FROM p JOIN q ON p.user_id = q.user_id AND q.ts <= p.ts)
+    SELECT user_id, ts, event_id, q_event_id, q_ts, q_value
+    FROM j WHERE rn = 1
+    """,
+)
+def q_asof_join_planted_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on DELIBERATELY tie-bearing data: truncating both sides'
+    timestamps to the hour collides many quotes onto the same (user, ts),
+    so this query exercises the operator's documented tie rule (carry the
+    MAX quote tuple in quote_cols order — here the max event_id among the
+    latest-hour clicks) instead of relying on tie-free fixtures
+    (r4 VERDICT "what's wrong" #2). The oracle mirrors the rule exactly
+    with a row_number window (native ASOF JOIN picks ties arbitrarily, so
+    it cannot oracle this input). Same single shuffle+sort plan as
+    asof_join_last_click."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("ts"), "event_id"
+    )
+    quotes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("ts"), "event_id", "value"
+    )
+    return temporal.asof_join(
+        probes, quotes, key="user_id", ts="ts", quote_cols=["event_id", "ts", "value"]
+    )
+
+
+@query(
     "range_join_error_views",
     """
     SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_nearby_views

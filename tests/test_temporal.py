@@ -70,6 +70,71 @@ def test_asof_join_null_quote_attribute_stays_null(spark):
     assert (rows2[0].q_value, rows2[0].q_event_id) == (None, 900)
 
 
+def test_asof_join_planted_ties_follow_contract(spark):
+    """Planted (key, ts) collisions on BOTH sides (r4 VERDICT #2): among
+    quotes tied at the matching ts the MAX quote tuple in quote_cols
+    order must be carried, on every repartitioning; tied probes must each
+    keep their own row and receive the same quote. Verified against a
+    DuckDB oracle expressing the same tie rule (row_number over q.ts
+    DESC, then quote_cols DESC)."""
+    import duckdb
+
+    probe_rows = [
+        (1, _ts(10), 100),
+        (1, _ts(10), 101),  # probe-side tie: same (key, ts), distinct id
+        (1, _ts(30), 102),
+        (2, _ts(10), 103),
+    ]
+    quote_rows = [
+        (1, _ts(10), 900, 1.0),
+        (1, _ts(10), 902, 2.0),  # quote-side tie at ts=10: max id 902 wins
+        (1, _ts(10), 901, 9.0),
+        (1, _ts(20), 800, 3.0),  # later ts beats any tied earlier group
+        (2, _ts(10), 910, 4.0),
+        (2, _ts(10), 911, 5.0),
+    ]
+    probes = spark.createDataFrame(probe_rows, ["user_id", "ts", "event_id"])
+    quotes = spark.createDataFrame(
+        quote_rows, ["user_id", "ts", "event_id", "value"]
+    )
+    expected = {100: 902, 101: 902, 102: 800, 103: 911}
+
+    for nparts in (1, 7):
+        out = temporal.asof_join(
+            probes.repartition(nparts),
+            quotes.repartition(nparts),
+            key="user_id",
+            ts="ts",
+            quote_cols=["event_id", "ts", "value"],
+        )
+        got = {r.event_id: r.q_event_id for r in out.collect()}
+        assert got == expected, f"nparts={nparts}: {got}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(user_id BIGINT, ts TIMESTAMP, event_id BIGINT)")
+    con.execute(
+        "CREATE TABLE q(user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO p VALUES (?,?,?)", probe_rows)
+    con.executemany("INSERT INTO q VALUES (?,?,?,?)", quote_rows)
+    oracle = {
+        r[0]: r[1]
+        for r in con.sql(
+            """
+            WITH j AS (
+                SELECT p.event_id, q.event_id AS q_event_id,
+                       row_number() OVER (
+                           PARTITION BY p.user_id, p.ts, p.event_id
+                           ORDER BY q.ts DESC, q.event_id DESC, q.value DESC
+                       ) AS rn
+                FROM p JOIN q ON p.user_id = q.user_id AND q.ts <= p.ts)
+            SELECT event_id, q_event_id FROM j WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    assert oracle == expected
+
+
 def test_range_join_binned_equals_naive_inequality_join(spark, sf_dir):
     """The binned equi-join must reproduce the naive range join exactly,
     including matches that straddle bin boundaries."""
