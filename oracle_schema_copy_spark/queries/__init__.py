@@ -69,6 +69,7 @@ _CHECK_FIRST: list[str] = [
     # (n) new in r5 — names are appended here in the same commit that
     # registers the query (the ghost check below raises otherwise)
     "asof_join_planted_ties",
+    "udtf_token_runs",
     # (u) never driver-checked through r4 (VERDICT r4 §missing #1)
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",

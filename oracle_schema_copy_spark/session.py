@@ -25,6 +25,8 @@ def tuning_confs(cpus: int) -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(max(cpus, 8)),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python UDTF output rides Arrow too (functions/udtfs.py)
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.session.timeZone": "UTC",
         # dim tables (region/nation/customer at test SFs) stay broadcast-able
