@@ -447,7 +447,22 @@ def lsh_banded_topk(
     than a second full set of plane projections — the (id, band, key)
     frame is materialized once (it is |corpus| x bands ids-and-ints,
     vectors excluded) and serves both sides, halving the projection
-    compute and compile."""
+    compute and compile.
+
+    R5 re-audit (negative result, kept deliberately): the residual
+    bench median-over-min was suspected to be janino recompiles of the
+    unrolled dot per rebuilt query. Measured via the CodegenMetrics
+    compile counter: the codegen cache HITS across rebuilds in one JVM
+    (compile count constant after the first execution — Spark keys the
+    cache on generated source with comments stripped, and the source is
+    exprId-stable). An interleaved A/B of three shapes at sf0.1
+    (local[8], 3 reps each) gave end-to-end exec of ~1.1s for THIS shape
+    (checkpoint + semi-join qb), ~1.8s checkpointing but projecting the
+    query side directly, ~2.8s with no materialization at all — the
+    ``localCheckpoint(eager=False)`` costs ~0.6s of driver-side physical
+    planning per build but repays it >2x at execution even at 36k rows,
+    because the bucket table computes once and AQE plans downstream
+    stages against its known size. The r4 topology stands."""
     cb = banded_bucket_keys(
         spread(corpus), id_col=id_col, vec_col=vec_col, bands=bands,
         planes_per_band=planes_per_band, dim=dim,
