@@ -70,6 +70,7 @@ _CHECK_FIRST: list[str] = [
     # registers the query (the ghost check below raises otherwise)
     "asof_join_planted_ties",
     "udtf_token_runs",
+    "tpch_q20_potential_promotion",
     # (u) never driver-checked through r4 (VERDICT r4 §missing #1)
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",

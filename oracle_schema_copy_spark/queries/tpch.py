@@ -984,3 +984,80 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted: no partsupp/availqty — a
+# supplier's "available" quantity of a part is its all-time shipped
+# quantity from lineitem, and the promotion-year demand is its 1996
+# shipments; the nested IN-subquery chain of the original is preserved)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    """
+    WITH sp AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               sum(l.l_quantity) AS total_qty,
+               sum(CASE WHEN l.l_shipdate >= DATE '1996-01-01'
+                         AND l.l_shipdate <  DATE '1997-01-01'
+                        THEN l.l_quantity ELSE 0 END) AS qty_1996
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+        GROUP BY l.l_partkey, l.l_suppkey)
+    SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM sp
+                          WHERE qty_1996 > 0
+                            AND total_qty > 2 * qty_1996)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion) — the last missing
+    TPC-H query shape (r4 bench covered 21 of 22). Plan: the part
+    name-prefix filter SEMI-joins into the lineitem scan (broadcast — a
+    name-filtered part list is always small), ONE grouped aggregation
+    computes both the all-time and the 1996 quantities per (part,
+    supplier) with conditional sums (the original's correlated scalar
+    subquery, decorrelated), and the qualifying supplier keys SEMI-join
+    into the nation-filtered supplier dim. Quantities are whole-number
+    doubles, so the 2x comparison is exact on both engines. At scale the
+    only shuffle is the (partkey, suppkey) aggregation; everything else
+    broadcasts."""
+    part_small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    sp = (
+        li.join(F.broadcast(part_small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_1996"
+            ),
+        )
+        .filter((F.col("qty_1996") > 0) & (F.col("total_qty") > 2 * F.col("qty_1996")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        sup.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+        )
+        .join(sp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
