@@ -71,6 +71,7 @@ _CHECK_FIRST: list[str] = [
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",
+    "partition_pruned_rollup",
     # (u) never driver-checked through r4 (VERDICT r4 §missing #1)
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",

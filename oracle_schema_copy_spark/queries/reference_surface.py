@@ -398,6 +398,46 @@ def q_ddl_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "partition_pruned_rollup",
+    """
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY 1, 2
+    """,
+)
+def q_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partition pruning end-to-end: events written
+    partitioned by event_type, read back with a partition-column
+    predicate (only the matching DIRECTORIES are planned — see
+    tests/test_partitioned.py for the PartitionFilters plan pin and the
+    dynamic-overwrite semantics), then an hourly rollup. The oracle runs
+    the same rollup on the unpartitioned source — identical rows prove
+    the layout round-trips losslessly, including the partition column
+    rehydrated from directory names. At 100 TB this layout is what makes
+    an event_type- or date-scoped query touch 1/Nth of the store."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.sources import partitioned
+
+    base = f"{_SCRATCH}/part_events_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    partitioned.write_partitioned(ev, base, ["event_type"])
+    back = partitioned.read_partitioned(spark, base).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return back.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+@query(
     "oplog_roundtrip_orders",
     """
     WITH upserted AS (
