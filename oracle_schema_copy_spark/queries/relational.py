@@ -1778,6 +1778,64 @@ def q_stats_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_zipf_bigram_slope",
+    """
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    f AS (SELECT bigram, count(*) AS freq FROM bg GROUP BY 1),
+    top AS (SELECT bigram, freq FROM f ORDER BY freq DESC, bigram LIMIT 1000),
+    r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, bigram) AS rank
+          FROM top)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(log(CAST(freq AS DOUBLE)),
+                            log(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_r2(log(CAST(freq AS DOUBLE)),
+                         log(CAST(rank AS DOUBLE))), 6) AS fit_r2
+    FROM r
+    """,
+)
+def q_stats_zipf_bigram_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over corpus bigrams: the log-log slope and
+    R² of the top-1000 terms — the distributional-health screen for a
+    training corpus (natural text sits near slope -1; template/boilerplate
+    corpora flatten it, near-duplicate floods steepen it). Scale shape:
+    the rank is NOT a global window over the vocabulary — the top-1000
+    cut runs as a distributed TakeOrderedAndProject (sort+limit), and the
+    row_number window only orders those 1000 survivors on one partition.
+    The regression itself is regr_slope/regr_r2, identical built-ins on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) > 1 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    f = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = f.orderBy(F.desc("freq"), F.asc("bigram")).limit(1000)
+    r = top.select(
+        F.log(F.col("freq").cast("double")).alias("__lf"),
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("bigram")))
+            .cast("double")
+        ).alias("__lr"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.expr("regr_slope(__lf, __lr)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(__lf, __lr)"), 6).alias("fit_r2"),
+    )
+
+
+@query(
     "stats_mutual_information",
     """
     WITH joint AS (
