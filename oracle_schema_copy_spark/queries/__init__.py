@@ -73,6 +73,7 @@ _CHECK_FIRST: list[str] = [
     "tpch_q20_potential_promotion",
     "partition_pruned_rollup",
     "stats_zipf_bigram_slope",
+    "mor_read_orders",
     # (u) never driver-checked through r4 (VERDICT r4 §missing #1)
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",

@@ -438,6 +438,48 @@ def q_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mor_read_orders",
+    """
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT * FROM orders
+    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT * FROM upd
+    """,
+)
+def q_mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read mutation log (sources/mor.py): base orders + one
+    delete batch (keys %13) + one upsert batch (%7, doubled price) read
+    back through the documented contract — base minus deleted minus
+    updated keys, union updates, upsert visible even where %91 overlaps
+    the delete. Mutations cost O(|mutation|) writes, never a base
+    rewrite; the anti-joins broadcast the small key sets. The oracle is
+    the contract in SQL."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.sources.mor import MergeOnReadTable
+
+    base = f"{_SCRATCH}/mor_orders_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    t = MergeOnReadTable(spark, base, ["o_orderkey"])
+    t.write_base(orders)
+    t.delete_keys(
+        orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    return t.read()
+
+
+@query(
     "oplog_roundtrip_orders",
     """
     WITH upserted AS (
