@@ -196,3 +196,100 @@ def bfs_hops_sql(edges_cte: str, source_literal: str, *, max_hops: int = 4) -> s
         for k in range(0, max_hops + 1)
     )
     return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({levels})"
+
+
+def triangle_counts(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation — the
+    classic communication-optimal topology (Suri & Vassilvitskii's MR
+    node-iterator++): orient every undirected edge from its lower
+    (degree, id) endpoint to the higher, enumerate wedges only at the LOW
+    endpoint, and close each wedge with a hash join back to the oriented
+    edge list. Orientation bounds every node's out-degree by O(sqrt(m)),
+    so wedge fan-out — the term that kills naive triangle join plans on
+    hub nodes — stays O(m^1.5) worst-case with NO cap knob needed; the
+    plan is two equi-joins and one explode, vectors/payloads never move.
+
+    Input edges may be directed/duplicated; they are canonicalized to
+    distinct undirected (a < b) pairs first. Returns (node, n_triangles)
+    for nodes in at least one triangle; counts are exact integers so the
+    SQL twin (:func:`triangle_counts_sql`) matches bit-for-bit.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ed = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("degb")).otherwise(F.col("dega")).alias("hideg"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(
+        F.col("lo"), F.col("hi").alias("v"), F.col("hideg").alias("dv")
+    )
+    e2 = oriented.select(
+        F.col("lo"), F.col("hi").alias("w"), F.col("hideg").alias("dw")
+    )
+    wedges = e1.join(e2, "lo").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi").select("lo", "v", "w")
+    return (
+        tri.select(F.explode(F.array("lo", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(edges_cte: str) -> str:
+    """ANSI-SQL twin of :func:`triangle_counts` over an ``edges(src, dst)``
+    CTE: identical canonicalization, (degree, id) orientation, wedge
+    enumeration at the low endpoint and closing semi-join, so the exact
+    integer counts agree with Spark bit-for-bit."""
+    return f"""WITH raw AS ({edges_cte}),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS lo,
+               CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS hi,
+               CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS hideg
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b),
+    tri AS (
+        SELECT e1.lo, e1.hi AS v, e2.hi AS w
+        FROM oriented e1
+        JOIN oriented e2 ON e1.lo = e2.lo
+         AND (e1.hideg, e1.hi) < (e2.hideg, e2.hi)
+        WHERE EXISTS (SELECT 1 FROM oriented c
+                      WHERE c.lo = e1.hi AND c.hi = e2.hi)),
+    pernode AS (
+        SELECT lo AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pernode GROUP BY node"""

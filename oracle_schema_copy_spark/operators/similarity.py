@@ -328,6 +328,28 @@ def lsh_bucket_candidates(
     return _posting_pairs(postings)
 
 
+def recommended_planes_per_band(
+    n_corpus: int, *, max_bucket: int = 1000, target_fill: float = 0.25
+) -> int:
+    """The banded-LSH scale knob, made first-class (sf1 scale-audit
+    lesson): smallest r such that the EXPECTED uniform bucket load
+    ``n_corpus / 2**r`` stays at or below ``target_fill * max_bucket``.
+
+    At the sf1 audit (20k vectors, r=2 → 4 buckets/band) every one of the
+    32 buckets blew past max_bucket=1000 and the degenerate-bucket guard
+    dropped 100% of signature rows — correct (the SQL twin mirrors the
+    cap) but useless. Bucket count must grow with the corpus: r=2 is a
+    test-scale setting, and this function is the documented "tune r up as
+    the corpus grows" rule as code. target_fill=0.25 leaves 4x headroom
+    for non-uniform (clustered) density before the cap re-engages; truly
+    degenerate regions (identical vectors) are exactly what the cap is
+    FOR and still get dropped."""
+    import math
+
+    target = max(1.0, target_fill * max_bucket)
+    return max(1, math.ceil(math.log2(max(2.0, n_corpus / target))))
+
+
 def lsh_banded_candidates(
     df: DataFrame,
     *,

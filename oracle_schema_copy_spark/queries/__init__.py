@@ -68,6 +68,7 @@ def _load_all() -> None:
 _CHECK_FIRST: list[str] = [
     # (n) new in r5 — names are appended here in the same commit that
     # registers the query (the ghost check below raises otherwise)
+    "graph_triangle_counts",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

@@ -1911,3 +1911,38 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (round-5 additions)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_SQL = """SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+
+
+def _triangle_oracle() -> str:
+    from oracle_schema_copy_spark.operators import graph
+
+    return graph.triangle_counts_sql(_COPURCHASE_EDGES_SQL)
+
+
+@query("graph_triangle_counts", _triangle_oracle())
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the part co-purchase graph (two parts
+    are adjacent when some order contains both — per-order fan-out is
+    bounded by the ~7-lineitem order size, so edge generation is linear).
+    Degree-ordered orientation keeps wedge enumeration O(m^1.5) with no
+    hub cap needed; counts are exact integers, matching the unrolled SQL
+    twin bit-for-bit. Reference tie-in: the FK-graph layer
+    (CopyTreeUtils.groovy) walks the schema DAG; this is the data-graph
+    analytics shape that layer never needed, built on the same edge-list
+    DataFrame contract as pagerank/bfs_hops."""
+    from oracle_schema_copy_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "__ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return graph.triangle_counts(edges)

@@ -147,3 +147,40 @@ def test_prefix_filter_matches_bruteforce(spark, docs, threshold):
         )
     )
     assert incr == {p for p in brute if p[0] % 3 == 0 or p[1] % 3 == 0}
+
+
+# ---------------------------------------------------------------------------
+# banded-LSH scale knob (sf1 scale-audit lesson)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10_000_000_000),
+    max_bucket=st.integers(min_value=4, max_value=100_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_recommended_planes_per_band_bounds_expected_load(n, max_bucket):
+    """The chosen r keeps the expected uniform bucket load within
+    target_fill * max_bucket, and r-1 would not (minimality), so the
+    knob neither under- nor over-partitions the signature space."""
+    from oracle_schema_copy_spark.operators.similarity import (
+        recommended_planes_per_band,
+    )
+
+    r = recommended_planes_per_band(n, max_bucket=max_bucket)
+    target = max(1.0, 0.25 * max_bucket)
+    assert r >= 1
+    assert n / 2**r <= target
+    if r > 1:
+        assert n / 2 ** (r - 1) > target
+
+
+def test_recommended_planes_per_band_sf1_audit_case():
+    """The exact degenerate case the sf1 audit measured: 20k vectors at
+    r=2 blew every bucket past the cap; the recommendation (r=7 -> 128
+    buckets/band, expected load ~156 < 250) restores useful buckets."""
+    from oracle_schema_copy_spark.operators.similarity import (
+        recommended_planes_per_band,
+    )
+
+    assert recommended_planes_per_band(20_000, max_bucket=1000) == 7

@@ -85,6 +85,10 @@ def prefix_posting_stats(spark, sf_dir: str, *, n=3, threshold=0.3, max_bucket=1
 
 
 def lsh_bucket_stats(spark, sf_dir: str, *, bands=8, planes_per_band=2, max_bucket=1000):
+    """Bucket-size distribution for a given r (planes_per_band). Run once
+    at the test-scale r=2 (expected to degenerate at sf1 — that finding is
+    the point) and once at recommended_planes_per_band(n) to show the
+    documented knob restores useful buckets at this scale."""
     from oracle_schema_copy_spark.operators import similarity
     from oracle_schema_copy_spark.sources.tables import load_table
 
@@ -104,6 +108,7 @@ def lsh_bucket_stats(spark, sf_dir: str, *, bands=8, planes_per_band=2, max_buck
     ).first()
     n_corpus = emb.count()
     return {
+        "planes_per_band": planes_per_band,
         "n_buckets": row["n_buckets"],
         "max_bucket_size": row["max_bucket_seen"],
         "cap": max_bucket,
@@ -202,11 +207,24 @@ def main() -> int:
         "prefix_filter_guard": prefix_posting_stats(spark, sf_dir),
         "banded_lsh_guard": lsh_bucket_stats(spark, sf_dir),
         "minhash_band_buckets": minhash_band_stats(spark, sf_dir),
-        "aqe": [
-            aqe_flip_check(spark, sf_dir, "tpch_q9_product_profit"),
-            aqe_flip_check(spark, sf_dir, "join_salted_skew"),
-        ],
     }
+    # remediation proof: the documented "raise r with the corpus" rule,
+    # now first-class (similarity.recommended_planes_per_band), applied at
+    # THIS corpus size — buckets must come back under the cap
+    from oracle_schema_copy_spark.operators.similarity import (
+        recommended_planes_per_band,
+    )
+
+    r_reco = recommended_planes_per_band(
+        report["banded_lsh_guard"]["corpus_rows"], max_bucket=1000
+    )
+    report["banded_lsh_guard_remediated"] = lsh_bucket_stats(
+        spark, sf_dir, planes_per_band=r_reco
+    )
+    report["aqe"] = [
+        aqe_flip_check(spark, sf_dir, "tpch_q9_product_profit"),
+        aqe_flip_check(spark, sf_dir, "join_salted_skew"),
+    ]
     body = json.dumps(report, indent=2)
     print(body)
     with open(out_md, "w") as f:
