@@ -763,3 +763,67 @@ def embedding_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_cluster_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    threshold: float = 0.45,
+    dim: int | None = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): route
+    every vector to its nearest centroid, compare pairs ONLY within a
+    cluster, and keep the min-id survivor of each near-dup pair.
+
+    This is the pruning that makes embedding dedup feasible at corpus
+    scale: the O(n^2) pair space of embedding_cosine_pairs becomes
+    sum(c_k^2) over cluster sizes — with k centroids grown with the
+    corpus, clusters stay small and the within-cluster pair join is an
+    equi-join on the assigned cell (one shuffle on the cluster id;
+    Catalyst plans it like any key join, AQE splits a skewed mega-cluster).
+    Per SemDeDup the pruning is intra-cluster only: a near-dup pair that
+    straddles a cluster boundary is deliberately not seen — that recall
+    trade is the published algorithm, not an implementation shortcut.
+
+    Returns one row per vector: (id, cluster, kept) where kept=false iff
+    a smaller-id same-cluster neighbor scores >= threshold (pairwise, not
+    transitive closure — also per the paper, which drops all but one
+    member of each pairwise-similar set within a cluster). Deterministic:
+    assignment ties break on the smallest centroid id, scoring is the
+    sequential-double dot, so a SQL twin matches exactly.
+    """
+    from oracle_schema_copy_spark.operators.similarity import (
+        _exact_dot,
+        assign_nearest_centroid,
+    )
+
+    assigned = assign_nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col,
+        group_col=group_col, dim=dim,
+    ).select(id_col, "assigned")
+    v = spread(emb.select(id_col, vec_col)).join(assigned, id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("assigned"), F.col(vec_col).alias("__va")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("assigned"), F.col(vec_col).alias("__vb")
+    )
+    dropped = (
+        a.join(b, "assigned")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_exact_dot("__va", "__vb", dim) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        v.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("assigned").alias("cluster"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

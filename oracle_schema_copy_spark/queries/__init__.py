@@ -69,6 +69,7 @@ _CHECK_FIRST: list[str] = [
     # (n) new in r5 — names are appended here in the same commit that
     # registers the query (the ghost check below raises otherwise)
     "graph_triangle_counts",
+    "dedup_semantic_clusters",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

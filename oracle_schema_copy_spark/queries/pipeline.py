@@ -1946,3 +1946,50 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "__ok").where(F.col("src") < F.col("dst")).select("src", "dst")
     return graph.triangle_counts(edges)
+
+
+@query(
+    "dedup_semantic_clusters",
+    f"""
+    WITH cents AS (
+        SELECT label, k - 1 AS pos,
+               round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY label, k),
+    cvec AS (
+        SELECT label, array_agg(centroid ORDER BY pos) AS cv
+        FROM cents GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, c.label AS assigned,
+               {_sql_dot('e.embedding', 'c.cv')} AS d
+        FROM embeddings e CROSS JOIN cvec c),
+    ranked AS (
+        SELECT vec_id, assigned,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, assigned) AS rk
+        FROM scored),
+    v AS (
+        SELECT e.vec_id, r.assigned, e.embedding
+        FROM embeddings e JOIN ranked r ON r.vec_id = e.vec_id AND r.rk = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a JOIN v b ON a.assigned = b.assigned AND a.vec_id < b.vec_id
+        WHERE {_sql_dot('a.embedding', 'b.embedding')} >= 0.45)
+    SELECT v.vec_id, v.assigned AS cluster,
+           v.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM v
+    """,
+)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): nearest-centroid routing, then
+    near-dup pruning WITHIN each cluster only — sum(c_k^2) pair work
+    instead of n^2, expressed as one equi-join on the assigned cell. The
+    label centroids stand in for the k-means codebook exactly as in the
+    IVF queries; kept=false iff a smaller-id same-cluster neighbor dots
+    >= 0.45. Pairwise (non-transitive) per the paper."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    return dedup.semantic_cluster_dedup(
+        emb, cents, id_col="vec_id", vec_col="embedding",
+        group_col="label", threshold=0.45,
+    )
