@@ -70,6 +70,7 @@ _CHECK_FIRST: list[str] = [
     # registers the query (the ghost check below raises otherwise)
     "graph_triangle_counts",
     "dedup_semantic_clusters",
+    "sketch_cms_heavy_hitters",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

@@ -1993,3 +1993,63 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, cents, id_col="vec_id", vec_col="embedding",
         group_col="label", threshold=0.45,
     )
+
+
+def _cms_oracle(depth: int = 4, width: int = 1024) -> str:
+    from oracle_schema_copy_spark.operators.sketches import cms_bucket_sql
+
+    grid_arms = "\n        UNION ALL ".join(
+        f"SELECT {j} AS j, {cms_bucket_sql('tok', j, width)} AS bucket FROM toks"
+        for j in range(depth)
+    )
+    probe_arms = "\n        UNION ALL ".join(
+        f"SELECT tok, {j} AS j, {cms_bucket_sql('tok', j, width)} AS bucket FROM exact"
+        for j in range(depth)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    exact AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+        FROM toks GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20),
+    grid AS (
+        SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({grid_arms})
+        GROUP BY j, bucket),
+    probes AS ({probe_arms}),
+    est AS (
+        SELECT p.tok, min(g.cnt) AS cms_estimate
+        FROM probes p JOIN grid g ON g.j = p.j AND g.bucket = p.bucket
+        GROUP BY p.tok)
+    SELECT e.tok, e.exact_n, s.cms_estimate,
+           CAST(s.cms_estimate - e.exact_n AS BIGINT) AS overcount
+    FROM exact e JOIN est s ON s.tok = e.tok
+    """
+
+
+@query("sketch_cms_heavy_hitters", _cms_oracle())
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters with the exact-verify contract: the top-20
+    exact tokens joined against their sketch estimates. Structural CMS
+    invariant on display: overcount >= 0 always (min over depth counters
+    never undercounts), bounded by collisions at width=1024. The sketch
+    is depth x width rows whatever the corpus size and merges across
+    sources by counter addition — the fixed-memory frequency summary a
+    100 TB token stream needs (operators/sketches.py)."""
+    from oracle_schema_copy_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tf.tokens(F.col("text"))).alias("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    sk = sketches.cms_sketch(toks, "tok", depth=4, width=1024)
+    est = sketches.cms_estimate(sk, exact.select("tok"), "tok", depth=4, width=1024)
+    return exact.join(est, "tok").select(
+        "tok",
+        "exact_n",
+        F.col("estimate").alias("cms_estimate"),
+        (F.col("estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
