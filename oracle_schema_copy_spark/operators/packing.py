@@ -57,3 +57,40 @@ def pack_sequences(
         )
         .drop("__cum_before")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = md5-bucket of the
+    id, position = a SECOND independent md5 draw — so reading shards in
+    position order is a reproducible global pseudo-shuffle of the corpus
+    (the property a training data-loader needs: any engine, any input
+    partitioning, same epoch order).
+
+    Adds (shard, pos) to the input rows. The write plan at scale is
+    ``df.repartition(n_shards, 'shard')
+    .sortWithinPartitions('shard', 'pos')`` + ``partitionBy('shard')``
+    (``maxRecordsPerFile`` for chunking) — one shuffle, no global sort.
+    ``shard`` must LEAD the sort: a partitioned write requires rows
+    ordered by the partition columns and inserts its own NON-STABLE sort
+    on them when they are not already the sort prefix, silently
+    destroying the epoch order (caught by
+    tests/test_pipeline_ops.py::test_shard_assignment_writer_plan).
+    This helper keeps the assignment separate so the manifest/
+    verification queries and the writer share one definition."""
+    sid = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    pos = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}-pos:"), F.col(id_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("shard", sid % n_shards).withColumn("pos", pos)

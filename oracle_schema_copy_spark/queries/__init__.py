@@ -71,6 +71,7 @@ _CHECK_FIRST: list[str] = [
     "graph_triangle_counts",
     "dedup_semantic_clusters",
     "sketch_cms_heavy_hitters",
+    "train_shard_manifest",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

@@ -2053,3 +2053,40 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("estimate").alias("cms_estimate"),
         (F.col("estimate") - F.col("exact_n")).cast("long").alias("overcount"),
     )
+
+
+@query(
+    "train_shard_manifest",
+    """
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 16 AS shard,
+               CAST(('0x' || substr(md5('shard-pos:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS pos
+        FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(pos) AS BIGINT) AS pos_checksum,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM s GROUP BY shard
+    """,
+)
+def q_train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: the verification summary a shard writer
+    emits — per-shard document count, char mass, an order-free position
+    checksum (sum of the md5-derived positions) and the first epoch-order
+    position. shard/pos come from packing.shard_assignment, the
+    reproducible global pseudo-shuffle (two independent md5 draws per
+    id): any engine recomputes the same manifest from the same ids, which
+    is how a 100 TB shard write is audited without re-reading payloads."""
+    from oracle_schema_copy_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = packing.shard_assignment(docs, id_col="doc_id", n_shards=16)
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("pos").cast("long").alias("pos_checksum"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

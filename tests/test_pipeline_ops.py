@@ -149,3 +149,36 @@ def test_weighted_hash_sample_properties(spark):
     # heavier weights are favored: the top-20 mean weight beats the corpus mean
     mean_sel = sum(r.w for r in out) / len(out)
     assert mean_sel > 301.0  # corpus mean ~= 300
+
+
+def test_shard_assignment_writer_plan(spark, tmp_path):
+    """The documented shard-write plan is real: repartition on shard +
+    sortWithinPartitions(pos) produces one file per shard whose rows are
+    already in epoch order, and the assignment is reproducible (pure
+    function of the id)."""
+    from oracle_schema_copy_spark.operators.packing import shard_assignment
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    s = shard_assignment(df, id_col="doc_id", n_shards=4)
+    out = str(tmp_path / "shards")
+    (
+        # shard leads the sort: the partitioned write's required ordering
+        # is then already satisfied, so no non-stable re-sort is inserted
+        s.repartition(4, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # every shard's file order IS epoch order (pos ascending per file)
+    for shard in range(4):
+        rows = [
+            r["pos"]
+            for r in spark.read.parquet(f"{out}/shard={shard}").collect()
+        ]
+        assert rows == sorted(rows) and rows
+    # reproducible: recomputing the assignment gives identical (shard, pos)
+    again = shard_assignment(df, id_col="doc_id", n_shards=4)
+    assert s.exceptAll(again).isEmpty() and again.exceptAll(s).isEmpty()
