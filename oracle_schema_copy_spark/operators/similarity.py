@@ -530,3 +530,53 @@ def lsh_banded_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def kmeans_iterations(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str = "label",
+    iterations: int = 2,
+    dim: int | None = 64,
+) -> DataFrame:
+    """Lloyd's k-means as a driver loop over the two existing primitives:
+    ``group_centroids`` (update step) and ``assign_nearest_centroid``
+    (assignment step), seeded from an existing coarse grouping column.
+    This is the iterative-ML-training shape: per iteration, one
+    posexplode aggregation (shuffle carries k x dim doubles) plus one
+    broadcast-codebook scan (map-side argmax — ONE row per vector reaches
+    the shuffle); assignments are localCheckpointed so the plan does not
+    grow with the iteration count, exactly like graph.pagerank.
+
+    Determinism contract: centroids are rounded to 6 decimals BEFORE the
+    next assignment (the published group_centroids behavior), dots are
+    sequential-double, assignment ties break on the smallest cluster id —
+    so an unrolled-CTE SQL twin reproduces every iteration exactly.
+
+    Returns the final codebook joined with its population:
+    (cluster, pos, centroid, n_assigned)."""
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), F.col(seed_col).alias("__cluster")
+    )
+    for _ in range(iterations):
+        cents = group_centroids(
+            assigned, group_col="__cluster", vec_col=vec_col
+        )
+        assigned = (
+            assign_nearest_centroid(
+                emb, cents, id_col=id_col, vec_col=vec_col,
+                group_col="__cluster", dim=dim,
+            )
+            .select(id_col, F.col("assigned").alias("__cluster"))
+            .join(emb.select(id_col, vec_col), id_col)
+            .localCheckpoint(eager=False)
+        )
+    final_cents = group_centroids(assigned, group_col="__cluster", vec_col=vec_col)
+    sizes = assigned.groupBy("__cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned")
+    )
+    return final_cents.join(sizes, "__cluster").select(
+        F.col("__cluster").alias("cluster"), "pos", "centroid", "n_assigned"
+    )

@@ -72,6 +72,8 @@ _CHECK_FIRST: list[str] = [
     "dedup_semantic_clusters",
     "sketch_cms_heavy_hitters",
     "train_shard_manifest",
+    "kmeans_two_iterations",
+    "stream_cms_sketch_live",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

@@ -2090,3 +2090,75 @@ def q_train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("pos_checksum"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+def _kmeans_oracle(iterations: int = 2) -> str:
+    """Unrolled-CTE twin of similarity.kmeans_iterations: per iteration a
+    centroid update (round 6) and a broadcast-codebook re-assignment
+    (ties to the smallest cluster id), exactly the published
+    group_centroids / assign_nearest_centroid semantics."""
+    parts = [
+        """a0 AS (SELECT vec_id, label AS cluster FROM embeddings)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""c{i} AS (
+        SELECT a{i}.cluster, k - 1 AS pos,
+               round(avg(CAST(e.embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings e JOIN a{i} USING (vec_id),
+             unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY a{i}.cluster, k)"""
+        )
+        parts.append(
+            f"""cv{i} AS (
+        SELECT cluster, array_agg(centroid ORDER BY pos) AS cv
+        FROM c{i} GROUP BY cluster)"""
+        )
+        parts.append(
+            f"""a{i + 1} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_dot('e.embedding', 'c.cv')} DESC,
+                                c.cluster) AS rk
+            FROM embeddings e CROSS JOIN cv{i} c)
+        WHERE rk = 1)"""
+        )
+    n = iterations
+    parts.append(
+        f"""cfin AS (
+        SELECT a{n}.cluster, k - 1 AS pos,
+               round(avg(CAST(e.embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings e JOIN a{n} USING (vec_id),
+             unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY a{n}.cluster, k)"""
+    )
+    parts.append(
+        f"""sizes AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_assigned
+        FROM a{n} GROUP BY cluster)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT cfin.cluster, CAST(cfin.pos AS BIGINT) AS pos,
+           cfin.centroid, sizes.n_assigned
+    FROM cfin JOIN sizes USING (cluster)"""
+    )
+
+
+@query("kmeans_two_iterations", _kmeans_oracle(2))
+def q_kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations seeded from the label column — the iterative
+    ML-training shape (driver loop, localCheckpoint lineage cuts, one
+    k x dim centroid shuffle + one broadcast-codebook scan per
+    iteration). Centroids round to 6 decimals before each re-assignment
+    and ties break on the smallest cluster id, so the unrolled-CTE twin
+    reproduces every iteration exactly. Returns the final codebook with
+    cluster populations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_iterations(
+        emb, id_col="vec_id", vec_col="embedding", seed_col="label", iterations=2
+    )

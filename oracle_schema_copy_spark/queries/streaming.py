@@ -197,3 +197,41 @@ def q_stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops.static_enrich(ops.events_stream(spark, sf_dir), dim),
         output_mode="append",
     )
+
+
+def _stream_cms_oracle(depth: int = 4, width: int = 256) -> str:
+    from oracle_schema_copy_spark.operators.sketches import cms_bucket_sql
+
+    key = "CAST(user_id AS VARCHAR)"
+    arms = "\n        UNION ALL ".join(
+        f'SELECT {j} AS "row", {cms_bucket_sql(key, j, width)} AS bucket FROM events'
+        for j in range(depth)
+    )
+    return f"""
+    SELECT "row", bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({arms})
+    GROUP BY "row", bucket
+    """
+
+
+@query("stream_cms_sketch_live", _stream_cms_oracle())
+def q_stream_cms_sketch_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming count-min sketch: the sketch build IS a streaming
+    aggregation — explode each event's depth probe coordinates, groupBy
+    (row, bucket) in complete mode. This is the canonical BOUNDED-STATE
+    streaming summary: per-key streaming counts hold state proportional
+    to the live key set, while the sketch's state is a fixed depth x
+    width counter grid however many distinct users the stream ever sees —
+    the frequency/heavy-hitter summary an unbounded 100 TB stream needs.
+    Drained with availableNow; the oracle is the identical md5-derived
+    grid computed in batch (counter linearity makes the incremental and
+    one-shot grids equal by construction — the same algebra
+    sketch_cms_heavy_hitters verifies for batch merges)."""
+    from oracle_schema_copy_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    ev = ops.events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    grid = sketches.cms_sketch(ev, "k", depth=4, width=256)
+    return ops.run_stream_to_df(grid, output_mode="complete")

@@ -75,6 +75,7 @@ INTENTIONAL_CROSS = {
     "text_tfidf_top_terms",
     "assign_nearest_centroid",
     "dedup_semantic_clusters",  # same broadcast codebook scoring as assign_nearest_centroid
+    "kmeans_two_iterations",  # same broadcast codebook scoring, once per iteration
     "stats_benford_digits",  # 1x1 total-count frame broadcast into digit shares
     "stats_mutual_information",  # 1x1 grand-total frame broadcast into cell probs
     "minhash_merge_contract",  # 1x1 merged-sketch frame vs 1x1 corpus sketch
