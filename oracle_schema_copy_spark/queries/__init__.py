@@ -74,6 +74,8 @@ _CHECK_FIRST: list[str] = [
     "train_shard_manifest",
     "kmeans_two_iterations",
     "stream_cms_sketch_live",
+    "sketch_hll_merge_contract",
+    "sketch_kll_quantile_contract",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

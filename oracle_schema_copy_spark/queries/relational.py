@@ -1886,3 +1886,100 @@ def q_stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cells.join(F.broadcast(mi))
+
+
+@query(
+    "sketch_hll_merge_contract",
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+           TRUE AS merged_within_5pct,
+           TRUE AS global_within_5pct
+    FROM lineitem
+    """,
+)
+def q_sketch_hll_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL mergeability contract (Spark 4 datasketches
+    surface): per-returnflag HLL sketches of l_partkey union-merged with
+    hll_union_agg, and one global sketch, must BOTH estimate within 5% of
+    exact NDV. The merge property is what distributes a 100 TB NDV:
+    per-partition sketches + a tiny register merge, no global distinct
+    expand. Measured nuance, documented rather than hidden: the union
+    path re-targets registers through the datasketches union gadget, so
+    merged and single-pass estimates are NOT bit-equal (sf0.01: 1991
+    merged vs 2023 global vs 2000 exact) — the contract is the epsilon
+    band, same as agg_approx_distinct_contract. Booleans are TRUE in the
+    oracle; drift past the band turns the row red."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    per = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m_est")
+    )
+    glob = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("g_est"),
+        F.count_distinct("l_partkey").alias("exact_nd"),
+    )
+    exact_d = F.col("exact_nd").cast("double")
+    return glob.crossJoin(merged).select(
+        F.col("exact_nd").cast("long").alias("exact_nd"),
+        (F.abs(F.col("m_est").cast("double") - exact_d) <= 0.05 * exact_d).alias(
+            "merged_within_5pct"
+        ),
+        (F.abs(F.col("g_est").cast("double") - exact_d) <= 0.05 * exact_d).alias(
+            "global_within_5pct"
+        ),
+    )
+
+
+@query(
+    "sketch_kll_quantile_contract",
+    """
+    SELECT CAST(round(100 * percentile_cont(0.45)
+                      WITHIN GROUP (ORDER BY l_extendedprice)) AS BIGINT)
+               AS exact_p45_cents,
+           CAST(round(100 * percentile_cont(0.55)
+                      WITHIN GROUP (ORDER BY l_extendedprice)) AS BIGINT)
+               AS exact_p55_cents,
+           TRUE AS merged_median_in_band
+    FROM lineitem
+    """,
+)
+def q_sketch_kll_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch mergeability contract: per-returnflag KLL
+    sketches over integer price cents, merged with kll_sketch_merge, must
+    put the merged median inside the exact P45-P55 band. KLL's rank error
+    at the default k is ~1% (randomized compaction — hence a band
+    contract, not equality); the merge property is what distributes a
+    100 TB quantile: per-partition sketches + one tiny merge, no global
+    sort. Oracle states the band bounds exactly and the boolean TRUE."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_bigint("cents").alias("sk")
+    )
+    # kll_sketch_merge_bigint is a BINARY merge, not an aggregate: fold
+    # the collected per-group sketches with the aggregate() HOF (first
+    # sketch seeds the accumulator)
+    merged = per.agg(F.collect_list("sk").alias("sks")).select(
+        F.kll_sketch_get_quantile_bigint(
+            F.aggregate(
+                F.slice(F.col("sks"), 2, 1_000_000),
+                F.element_at(F.col("sks"), 1),
+                lambda acc, s: F.kll_sketch_merge_bigint(acc, s),
+            ),
+            F.lit(0.5),
+        ).alias("m_p50")
+    )
+    bands = li.agg(
+        F.round(F.expr("percentile(cents, 0.45D)")).cast("long").alias("exact_p45_cents"),
+        F.round(F.expr("percentile(cents, 0.55D)")).cast("long").alias("exact_p55_cents"),
+    )
+    return bands.crossJoin(merged).select(
+        "exact_p45_cents",
+        "exact_p55_cents",
+        (
+            (F.col("m_p50") >= F.col("exact_p45_cents"))
+            & (F.col("m_p50") <= F.col("exact_p55_cents"))
+        ).alias("merged_median_in_band"),
+    )

@@ -76,6 +76,8 @@ INTENTIONAL_CROSS = {
     "assign_nearest_centroid",
     "dedup_semantic_clusters",  # same broadcast codebook scoring as assign_nearest_centroid
     "kmeans_two_iterations",  # same broadcast codebook scoring, once per iteration
+    "sketch_hll_merge_contract",  # 1x1 global-sketch frame x 1x1 merged-sketch frame
+    "sketch_kll_quantile_contract",  # 1x1 exact-band frame x 1x1 merged-sketch frame
     "stats_benford_digits",  # 1x1 total-count frame broadcast into digit shares
     "stats_mutual_information",  # 1x1 grand-total frame broadcast into cell probs
     "minhash_merge_contract",  # 1x1 merged-sketch frame vs 1x1 corpus sketch
