@@ -76,6 +76,8 @@ _CHECK_FIRST: list[str] = [
     "stream_cms_sketch_live",
     "sketch_hll_merge_contract",
     "sketch_kll_quantile_contract",
+    "sketch_theta_setops_contract",
+    "sql_scripting_threshold_loop",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

@@ -1983,3 +1983,126 @@ def q_sketch_kll_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("m_p50") <= F.col("exact_p55_cents"))
         ).alias("merged_median_in_band"),
     )
+
+
+@query(
+    "sketch_theta_setops_contract",
+    """
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+    c96 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31')
+    SELECT CAST((SELECT count(*) FROM (SELECT * FROM c95 UNION SELECT * FROM c96)) AS BIGINT)
+               AS exact_union,
+           CAST((SELECT count(*) FROM c95 WHERE o_custkey IN (SELECT o_custkey FROM c96)) AS BIGINT)
+               AS exact_intersect,
+           CAST((SELECT count(*) FROM c95 WHERE o_custkey NOT IN (SELECT o_custkey FROM c96)) AS BIGINT)
+               AS exact_difference,
+           TRUE AS union_within_5pct,
+           TRUE AS intersect_within_5pct,
+           TRUE AS difference_within_5pct
+    """,
+)
+def q_sketch_theta_setops_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA contract (Spark 4 datasketches surface):
+    unlike HLL, theta sketches support intersection and difference, not
+    just union — the sketch family for 'how many 1995 customers also
+    ordered in 1996' over 100 TB without a distinct self-join. Two
+    per-year sketches of o_custkey; theta_union / theta_intersection /
+    theta_difference estimates must each land within 5% of the exact set
+    cardinalities (at this sample-free sketch size estimates are exact;
+    the band keeps the contract honest if defaults change). Oracle states
+    the exact counts and three TRUEs."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    sk95 = o.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+    ).agg(F.expr("theta_sketch_agg(o_custkey)").alias("s95"))
+    sk96 = o.filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+    ).agg(F.expr("theta_sketch_agg(o_custkey)").alias("s96"))
+    ex95 = o.filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31")).select(
+        F.col("o_custkey")
+    ).distinct()
+    ex96 = o.filter(F.col("o_orderdate").between("1996-01-01", "1996-12-31")).select(
+        F.col("o_custkey")
+    ).distinct()
+    exact = (
+        ex95.unionAll(ex96).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            ex95.join(ex96, "o_custkey", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_intersect")
+            )
+        )
+        .crossJoin(
+            ex95.join(ex96, "o_custkey", "left_anti").agg(
+                F.count(F.lit(1)).alias("exact_difference")
+            )
+        )
+    )
+    est = sk95.crossJoin(sk96).select(
+        F.expr("theta_sketch_estimate(theta_union(s95, s96))").alias("e_u"),
+        F.expr("theta_sketch_estimate(theta_intersection(s95, s96))").alias("e_i"),
+        F.expr("theta_sketch_estimate(theta_difference(s95, s96))").alias("e_d"),
+    )
+
+    def band(est_col, exact_col):
+        e = F.col(exact_col).cast("double")
+        return F.abs(F.col(est_col).cast("double") - e) <= 0.05 * e
+
+    return exact.crossJoin(est).select(
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersect").cast("long").alias("exact_intersect"),
+        F.col("exact_difference").cast("long").alias("exact_difference"),
+        band("e_u", "exact_union").alias("union_within_5pct"),
+        band("e_i", "exact_intersect").alias("intersect_within_5pct"),
+        band("e_d", "exact_difference").alias("difference_within_5pct"),
+    )
+
+
+@query(
+    "sql_scripting_threshold_loop",
+    """
+    WITH rev AS (
+        SELECT o_custkey, CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY o_custkey),
+    tot AS (SELECT count(*) // 10 AS k FROM rev),
+    ks AS (SELECT CAST(100000 * (1::BIGINT << i) AS BIGINT) AS t
+           FROM generate_series(0, 40) AS g(i)),
+    counts AS (SELECT t, (SELECT count(*) FROM rev WHERE revenue_cents > t) AS n FROM ks),
+    fin AS (SELECT min(t) AS t FROM counts, tot WHERE n <= tot.k)
+    SELECT r.o_custkey, r.revenue_cents, fin.t AS threshold_cents
+    FROM rev r, fin WHERE r.revenue_cents > fin.t
+    """,
+)
+def q_sql_scripting_threshold_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4): a procedural WHILE loop — double a revenue
+    threshold until at most 10% of customers clear it — run as ONE
+    scripted SQL statement (DECLARE / WHILE / SET), the migration path
+    for stored-procedure logic. All arithmetic is integer cents, the
+    doubling sequence is powers of two, and the stop count is an integer
+    floor division, so the DuckDB twin finds the identical fixpoint
+    declaratively (min t in the doubling grid whose survivor count <=
+    n_customers DIV 10; the count is monotone in t). The 10%-of-customers
+    stop makes the survivor set non-empty at every fixture scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t BIGINT DEFAULT 100000;
+          DECLARE k BIGINT;
+          SET k = (SELECT count(DISTINCT o_custkey) DIV 10 FROM __script_orders);
+          WHILE (SELECT count(*) FROM (
+                     SELECT o_custkey FROM __script_orders
+                     GROUP BY o_custkey
+                     HAVING CAST(round(100 * sum(o_totalprice)) AS BIGINT) > t)
+                ) > k DO
+            SET t = t * 2;
+          END WHILE;
+          SELECT o_custkey,
+                 CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents,
+                 t AS threshold_cents
+          FROM __script_orders GROUP BY o_custkey
+          HAVING CAST(round(100 * sum(o_totalprice)) AS BIGINT) > t;
+        END
+        """
+    )
