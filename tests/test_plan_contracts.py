@@ -128,3 +128,32 @@ def test_prefix_filter_guard_not_pruned(plans):
     p = plans("dedup_jaccard_prefix_filter")
     # assert_true lowers to `if (cond) true else isnull(raise_error(...))`
     assert "raise_error" in p and "max_bucket" in p
+
+
+def test_triangle_counting_has_no_nested_loop(plans):
+    """Degree-ordered triangle counting must plan every join as a hash/
+    sort-merge equi-join — the orientation precondition exists precisely
+    so no stage falls back to a nested-loop pair expansion."""
+    p = plans("graph_triangle_counts")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the wedge-closing step stays a semi-join: triangles are counted,
+    # closing edges are never materialized per wedge
+    assert "LeftSemi" in p
+
+
+def test_cms_heavy_hitters_broadcasts_the_grid(plans):
+    """Point-querying the count-min grid must broadcast the (depth x
+    width) sketch — shuffling probe rows against a 4096-row frame would
+    invert the design."""
+    p = plans("sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_shard_manifest_is_one_agg_pass(plans):
+    """The shard manifest is a pure aggregation: no join anywhere — both
+    hash draws are per-row expressions over one documents scan."""
+    p = plans("train_shard_manifest")
+    assert "Join" not in p
+    # formatted explain lists the single scan twice: tree node + detail
+    assert p.count("Scan parquet") == 2
