@@ -78,6 +78,7 @@ _CHECK_FIRST: list[str] = [
     "sketch_kll_quantile_contract",
     "sketch_theta_setops_contract",
     "sql_scripting_threshold_loop",
+    "curation_shard_capstone",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

@@ -2162,3 +2162,66 @@ def q_kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_iterations(
         emb, id_col="vec_id", vec_col="embedding", seed_col="label", iterations=2
     )
+
+
+@query(
+    "curation_shard_capstone",
+    f"""
+    WITH dropped AS (
+        SELECT DISTINCT id_b AS doc_id FROM ({_SQL_JACCARD_PAIRS_T03})),
+    kept AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (least(length(text) / 500.0, 1.0) * 0.4
+                + least(len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_EN}))) / len(string_split(text, ' ')) * 4, 1.0) * 0.4)
+                + (1.0 - least(length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) / length(text) * 5, 1.0)) * 0.2 AS quality
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    sharded AS (
+        SELECT doc_id, n_tokens,
+               CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                    AS BIGINT) % 16 AS shard,
+               CAST(('0x' || substr(md5('shard-pos:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS pos
+        FROM kept WHERE quality >= 0.5)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(pos) AS BIGINT) AS pos_checksum
+    FROM sharded GROUP BY shard
+    """,
+)
+def q_curation_shard_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation capstone — the full write-side story in one plan:
+    LOSSLESS prefix-filter near-dup pruning (pairwise min-id survivor,
+    the SemDeDup drop rule applied to the exact-Jaccard pair set), the
+    quality gate, then reproducible shard assignment and the per-shard
+    audit manifest a training data-loader consumes. Shuffle inventory:
+    the prefix posting join, one anti-join against the dropped set
+    (broadcast-able — dropped docs are a small fraction), one groupBy on
+    shard. Every stage is the already-gated operator; this row proves
+    they COMPOSE."""
+    from oracle_schema_copy_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    t = F.col("text")
+    kept = (
+        docs.join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            tf.token_count(t).alias("n_tokens"),
+            tf.quality_score(t).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.5)
+    )
+    sharded = packing.shard_assignment(
+        kept.select("doc_id", "n_tokens"), id_col="doc_id", n_shards=16
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("pos").cast("long").alias("pos_checksum"),
+    )
