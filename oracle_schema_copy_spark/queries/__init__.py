@@ -79,6 +79,8 @@ _CHECK_FIRST: list[str] = [
     "sketch_theta_setops_contract",
     "sql_scripting_threshold_loop",
     "curation_shard_capstone",
+    "sql_parameterized_group_by_all",
+    "sketch_approx_topk_contract",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

@@ -2106,3 +2106,66 @@ def q_sql_scripting_threshold_loop(spark: SparkSession, sf_dir: str) -> DataFram
         END
         """
     )
+
+
+@query(
+    "sql_parameterized_group_by_all",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_sql_parameterized_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL ergonomics surface: a PARAMETERIZED query — table name
+    bound through the injection-safe IDENTIFIER() clause, the date
+    through a named :param — using GROUP BY ALL / ORDER BY ALL. This is
+    the templated-SQL migration path (no string interpolation anywhere);
+    the oracle is the identical query with bindings inlined and grouping
+    spelled out."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :cutoff
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"tbl": "__param_orders", "cutoff": "1995-01-01"},
+    )
+
+
+@query(
+    "sketch_approx_topk_contract",
+    """
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-k sketch (Spark 4 approx_top_k family) gated at full
+    strength: per-user-parity shards each ACCUMULATE a top-k state,
+    COMBINE merges the states, ESTIMATE reads out (item, count) pairs.
+    With k >= NDV (5 event types, k=10) the sketch is EXACT, so the
+    merged estimate must equal the plain histogram value-for-value — the
+    strongest possible mergeability gate, same spirit as
+    minhash_merge_contract. At scale this is how per-partition top-k
+    states combine into a corpus trending list without a global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("__shard")
+    )
+    acc = ev.groupBy("__shard").agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("st")
+    )
+    est = acc.agg(F.expr("approx_top_k_combine(st, 10)").alias("c")).select(
+        F.explode(F.expr("approx_top_k_estimate(c, 10)")).alias("e")
+    )
+    return est.select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("n")
+    )
