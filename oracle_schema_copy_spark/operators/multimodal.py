@@ -183,3 +183,35 @@ def resize_stub(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def extract_features_arrow(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features`: identical stub
+    decode, but the batch iterator stays in pyarrow RecordBatch form —
+    no pandas materialization per batch. For decode-style workloads the
+    payload bytes go straight from Arrow buffers into the codec and the
+    features come back as an Arrow array, skipping the pandas object
+    boxing entirely — the lower-overhead production path when the UDF
+    body does not need pandas semantics. Output is bit-identical to the
+    pandas path (pytest-pinned)."""
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payloads = batch.column(batch.schema.get_field_index(payload_col))
+            decoded = [_fake_decode(p.as_py()) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array([d[0] for d in decoded], pa.int32()),
+                    pa.array([d[1] for d in decoded], pa.int32()),
+                    pa.array([d[2] for d in decoded], pa.int32()),
+                    pa.array([d[3] for d in decoded], pa.list_(pa.float32())),
+                ],
+                names=["doc_id", "width", "height", "n_channels", "features"],
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(run, FEATURE_SCHEMA)

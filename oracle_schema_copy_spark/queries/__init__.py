@@ -81,6 +81,7 @@ _CHECK_FIRST: list[str] = [
     "curation_shard_capstone",
     "sql_parameterized_group_by_all",
     "sketch_approx_topk_contract",
+    "multimodal_feature_extract_arrow",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",
