@@ -82,6 +82,8 @@ _CHECK_FIRST: list[str] = [
     "sql_parameterized_group_by_all",
     "sketch_approx_topk_contract",
     "multimodal_feature_extract_arrow",
+    "join_bucketed_no_shuffle",
+    "observe_pipeline_metrics",
     "asof_join_planted_ties",
     "udtf_token_runs",
     "tpch_q20_potential_promotion",

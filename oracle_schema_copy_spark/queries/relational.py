@@ -2169,3 +2169,112 @@ def q_sketch_approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     return est.select(
         F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("n")
     )
+
+
+@query(
+    "join_bucketed_no_shuffle",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(100 * sum(l.l_extendedprice)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing as a first-class gated query (not just a pytest): both
+    fact tables are written bucketed by the join key into the same bucket
+    count, and the fact-fact join then requires NO shuffle exchange — the
+    scan layout already satisfies the join's distribution. The query
+    EXECUTES that claim inline: with broadcast disabled it asserts the
+    joined plan contains no Exchange (loud failure if a Spark upgrade or
+    layout change ever re-introduces the shuffle), then returns the
+    priority rollup. At 100 TB this is the difference between shuffling
+    both fact tables per join and shuffling neither, amortized over every
+    downstream join on the same key."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # managed-table trap: a FRESH session's catalog does not know the
+    # table, but its warehouse directory survives from a prior session
+    # and saveAsTable then refuses the location. Drop both the catalog
+    # entry and any stale directory before (re)writing.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("__bkt_orders", "__bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (
+        orders.write
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("__bkt_orders")
+    )
+    (
+        li.write
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("__bkt_lineitem")
+    )
+    bo, bl = spark.table("__bkt_orders"), spark.table("__bkt_lineitem")
+    joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join re-introduced a shuffle:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(100 * F.sum("l_extendedprice")).cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "observe_pipeline_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_pass,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    """,
+)
+def q_observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API — production pipeline health metrics collected
+    ON the data flow, not by a second scan: df.observe() attaches
+    accumulator-style aggregates that materialize as a side effect of the
+    ONE action the pipeline already runs. At 100 TB the alternative is
+    re-scanning the corpus for row counts and gate rates; observe() gets
+    them for free. The observed metrics are returned as the result frame,
+    gated against a plain aggregate twin."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("curation_metrics")
+    flowed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars") >= 200).cast("long")).alias("n_len_pass"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    flowed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_docs"]),
+                int(m["n_len_pass"]),
+                int(m["sum_tokens"]),
+                int(m["min_doc_id"]),
+                int(m["max_doc_id"]),
+            )
+        ],
+        "n_docs long, n_len_pass long, sum_tokens long, min_doc_id long, max_doc_id long",
+    )
