@@ -66,31 +66,9 @@ def _load_all() -> None:
 # (insertion) order in the middle — that middle includes the 50 names
 # the r4 driver just recorded green.
 _CHECK_FIRST: list[str] = [
-    # (n) new in r5 — names are appended here in the same commit that
-    # registers the query (the ghost check below raises otherwise)
-    "graph_triangle_counts",
-    "dedup_semantic_clusters",
-    "sketch_cms_heavy_hitters",
-    "train_shard_manifest",
-    "kmeans_two_iterations",
-    "stream_cms_sketch_live",
-    "sketch_hll_merge_contract",
-    "sketch_kll_quantile_contract",
-    "sketch_theta_setops_contract",
-    "sql_scripting_threshold_loop",
-    "curation_shard_capstone",
-    "sql_parameterized_group_by_all",
-    "sketch_approx_topk_contract",
-    "multimodal_feature_extract_arrow",
-    "join_bucketed_no_shuffle",
-    "observe_pipeline_metrics",
-    "asof_join_planted_ties",
-    "udtf_token_runs",
-    "tpch_q20_potential_promotion",
-    "partition_pruned_rollup",
-    "stats_zipf_bigram_slope",
-    "mor_read_orders",
-    # (u) never driver-checked through r4 (VERDICT r4 §missing #1)
+    # (u) never driver-checked through r4 — VERDICT r4 "next round" #1
+    # names these families EXPLICITLY for round 5's ~50-row driver
+    # budget, so they lead the order
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",
     "skyline_orders_price_date",
@@ -129,6 +107,30 @@ _CHECK_FIRST: list[str] = [
     "stats_benford_digits",
     "stats_entropy_by_source",
     "stats_mutual_information",
+    # (n) new in round 5 — zero driver rows anywhere yet; builder-side
+    # evidence is sf0.01 mimic + the sf0.1 full-registry artifact
+    "graph_triangle_counts",
+    "dedup_semantic_clusters",
+    "sketch_cms_heavy_hitters",
+    "train_shard_manifest",
+    "kmeans_two_iterations",
+    "stream_cms_sketch_live",
+    "sketch_hll_merge_contract",
+    "sketch_kll_quantile_contract",
+    "sketch_theta_setops_contract",
+    "sql_scripting_threshold_loop",
+    "curation_shard_capstone",
+    "sql_parameterized_group_by_all",
+    "sketch_approx_topk_contract",
+    "multimodal_feature_extract_arrow",
+    "join_bucketed_no_shuffle",
+    "observe_pipeline_metrics",
+    "asof_join_planted_ties",
+    "udtf_token_runs",
+    "tpch_q20_potential_promotion",
+    "partition_pruned_rollup",
+    "stats_zipf_bigram_slope",
+    "mor_read_orders",
     # (a) modified since last driver check
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite
