@@ -109,6 +109,7 @@ _CHECK_FIRST: list[str] = [
     "stats_mutual_information",
     # (n) new in round 5 — zero driver rows anywhere yet; builder-side
     # evidence is sf0.01 mimic + the sf0.1 full-registry artifact
+    "stats_ks_drift_by_source",
     "graph_triangle_counts",
     "dedup_semantic_clusters",
     "sketch_cms_heavy_hitters",

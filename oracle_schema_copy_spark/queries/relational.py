@@ -2278,3 +2278,98 @@ def q_observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_docs long, n_len_pass long, sum_tokens long, min_doc_id long, max_doc_id long",
     )
+
+
+@query(
+    "stats_ks_drift_by_source",
+    """
+    WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+    cnt AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, n_chars),
+    grid AS (
+        SELECT s.source, s.n_src, vals.v, COALESCE(cnt.c, 0) AS c
+        FROM srcs s CROSS JOIN vals
+        LEFT JOIN cnt ON cnt.source = s.source AND cnt.v = vals.v),
+    cum AS (
+        SELECT source, n_src, v,
+               sum(c) OVER (PARTITION BY source ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS c_src
+        FROM grid),
+    gcum AS (
+        SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c_all
+        FROM (SELECT vals.v, COALESCE(t.c, 0) AS c FROM vals
+              LEFT JOIN (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                         FROM documents GROUP BY n_chars) t ON t.v = vals.v)),
+    diffs AS (
+        SELECT cum.source, cum.n_src, tot.n_tot - cum.n_src AS n_rest,
+               abs(cum.c_src * (tot.n_tot - cum.n_src)
+                   - (gcum.c_all - cum.c_src) * cum.n_src) AS d
+        FROM cum JOIN gcum ON gcum.v = cum.v, tot)
+    SELECT source, CAST(n_src AS BIGINT) AS n_src, CAST(n_rest AS BIGINT) AS n_rest,
+           CAST(max(d) AS BIGINT) AS ks_numerator,
+           round(CAST(max(d) AS DOUBLE) / (n_src * n_rest), 9) AS ks
+    FROM diffs GROUP BY source, n_src, n_rest
+    """,
+)
+def q_stats_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: the exact two-sample Kolmogorov-
+    Smirnov statistic of each source's document-length distribution
+    against the REST of the corpus — the screen that catches a crawl
+    source whose content shifted even when its row counts look normal.
+    Exact by construction: ECDFs are compared cross-multiplied
+    (|c_src*n_rest - c_rest*n_src|, an INTEGER), so the max is exact and
+    the final single division is IEEE-identical on both engines. Shape:
+    one count aggregation, a (sources x distinct-lengths) broadcast grid
+    (bounded — length domain, not corpus size), one cumulative window per
+    source."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_tot = docs.count()
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(cnt, ["source", "v"], "left")
+        .select("source", "n_src", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_src = (
+        Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source", "n_src", "v", F.sum("c").over(w_src).alias("c_src")
+    )
+    gl = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gcum = (
+        vals.join(gl, "v", "left")
+        .select("v", F.coalesce("c", F.lit(0)).alias("c"))
+        .select("v", F.sum("c").over(w_all).alias("c_all"))
+    )
+    diffs = cum.join(gcum, "v").select(
+        "source",
+        "n_src",
+        (F.lit(n_tot) - F.col("n_src")).alias("n_rest"),
+        F.abs(
+            F.col("c_src") * (F.lit(n_tot) - F.col("n_src"))
+            - (F.col("c_all") - F.col("c_src")) * F.col("n_src")
+        ).alias("d"),
+    )
+    return diffs.groupBy("source", "n_src", "n_rest").agg(
+        F.max("d").cast("long").alias("ks_numerator"),
+        F.round(
+            F.max("d").cast("double") / (F.col("n_src") * F.col("n_rest")), 9
+        ).alias("ks"),
+    ).select(
+        "source",
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        "ks_numerator",
+        "ks",
+    )

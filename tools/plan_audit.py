@@ -79,6 +79,7 @@ INTENTIONAL_CROSS = {
     "sketch_hll_merge_contract",  # 1x1 global-sketch frame x 1x1 merged-sketch frame
     "sketch_kll_quantile_contract",  # 1x1 exact-band frame x 1x1 merged-sketch frame
     "sketch_theta_setops_contract",  # 1x1 sketch frames crossed into one contract row
+    "stats_ks_drift_by_source",  # sources x distinct-lengths broadcast grid (bounded domain)
     "stats_benford_digits",  # 1x1 total-count frame broadcast into digit shares
     "stats_mutual_information",  # 1x1 grand-total frame broadcast into cell probs
     "minhash_merge_contract",  # 1x1 merged-sketch frame vs 1x1 corpus sketch
