@@ -731,6 +731,7 @@ def embedding_lsh_pairs(
     planes_per_band: int = 2,
     max_bucket: int = 1000,
     dim: int | None = 64,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane LSH + exact re-score
     — the pruned scale path for embedding_cosine_pairs.
@@ -753,6 +754,7 @@ def embedding_lsh_pairs(
         bands=bands,
         planes_per_band=planes_per_band,
         max_bucket=max_bucket,
+        plane_stride=plane_stride,
     )
     vec_a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vec_b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -328,6 +328,35 @@ def lsh_bucket_candidates(
     return _posting_pairs(postings)
 
 
+# Plane-grid stride for the ADAPTIVE banded-LSH queries: plane (band b,
+# slot j) is always hyperplanes(bands * LSH_R_MAX)[b * LSH_R_MAX + j],
+# independent of the runtime planes_per_band — so the static SQL twin can
+# embed the full grid once and gate slots on a runtime-computed r, while
+# Spark only projects the r slots it needs. r_max=12 supports corpora up
+# to (max_bucket/4) * 2^12 = ~1M vectors at max_bucket=1000; raise it (in
+# BOTH engines) beyond that.
+LSH_R_MAX = 12
+
+
+def auto_planes_per_band(
+    n_corpus: int, *, max_bucket: int = 1000, r_max: int = LSH_R_MAX
+) -> int:
+    """Integer-exact planes-per-band for a corpus of ``n_corpus`` vectors:
+    the smallest r in [1, r_max] with ``(max_bucket // 4) * 2**r >=
+    n_corpus`` (expected uniform bucket load <= max_bucket/4, the same
+    25%-fill rule as :func:`recommended_planes_per_band` but in pure
+    integer arithmetic so a SQL engine reproduces it bit-for-bit:
+    ``min(r) FROM generate_series(1, r_max) WHERE target * (1 << r) >=
+    count(*)``). This is the count->r map the registered banded-LSH
+    queries wire in (sf1 scale-audit: the former fixed r=2 dropped 100%
+    of signature rows at 20k vectors and returned zero candidates)."""
+    target = max(1, max_bucket // 4)
+    for r in range(1, r_max + 1):
+        if target * (1 << r) >= n_corpus:
+            return r
+    return r_max
+
+
 def recommended_planes_per_band(
     n_corpus: int, *, max_bucket: int = 1000, target_fill: float = 0.25
 ) -> int:
@@ -359,6 +388,7 @@ def lsh_banded_candidates(
     planes_per_band: int = 2,
     dim: int = 64,
     max_bucket: int = 1000,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """Banded random-hyperplane LSH candidates — the ANN scale path.
 
@@ -377,7 +407,7 @@ def lsh_banded_candidates(
     """
     buckets = banded_bucket_keys(
         spread(df), id_col=id_col, vec_col=vec_col, bands=bands,
-        planes_per_band=planes_per_band, dim=dim,
+        planes_per_band=planes_per_band, dim=dim, plane_stride=plane_stride,
     )
     postings = (
         buckets.groupBy("bk")
@@ -395,10 +425,19 @@ def banded_bucket_keys(
     bands: int = 8,
     planes_per_band: int = 2,
     dim: int = 64,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """(id, bk=(band, key)) rows: one banded-LSH bucket key per band per
     vector — the shared candidate-generation primitive for pair dedup and
     ANN search. Per-row projections then one explode; no shuffle.
+
+    ``plane_stride``: spacing of each band's planes inside the md5-seeded
+    plane sequence — plane (b, j) is ``hyperplanes(bands * stride)[b *
+    stride + j]``. Default (None) packs bands contiguously
+    (stride=planes_per_band); the adaptive queries pass
+    ``stride=LSH_R_MAX`` so the plane assigned to slot (b, j) never moves
+    when the corpus-derived r changes, letting a static SQL twin embed
+    one grid for every runtime r.
 
     The B*r plane-sign bits are computed in a PROJECTION below the
     explode, one named column per plane: inlining all 16 unrolled plane
@@ -407,12 +446,17 @@ def banded_bucket_keys(
     (observed: ``CodeGenerator: failed to compile ... grows beyond 64
     KB``). As separate projection expressions they codegen-split per
     column and the stage stays compiled."""
-    planes = hyperplanes(bands * planes_per_band, dim)
+    stride = planes_per_band if plane_stride is None else plane_stride
+    if stride < planes_per_band:
+        raise ValueError(
+            f"plane_stride {stride} < planes_per_band {planes_per_band}"
+        )
+    planes = hyperplanes(bands * stride, dim)
     # two selectExpr calls — 2 py4j round-trips total; the same projection
     # built with Column operators measured ~1.4s of driver time per call
     # (3,500+ py4j round-trips; CLAUDE.md generated-expression lesson)
     bit_exprs = [
-        f"(CASE WHEN {plane_dot_sql(vec_col, planes[b * planes_per_band + j])} > 0"
+        f"(CASE WHEN {plane_dot_sql(vec_col, planes[b * stride + j])} > 0"
         f" THEN {1 << j} ELSE 0 END) AS __bit_{b}_{j}"
         for b in range(bands)
         for j in range(planes_per_band)
@@ -440,6 +484,7 @@ def lsh_banded_topk(
     max_bucket: int = 1000,
     scorer: str = "exact",
     queries_are_corpus_subset: bool = False,
+    plane_stride: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share >= 1 banded-LSH bucket with the query,
     scored exactly, ranked per query — the pruned counterpart of
@@ -487,7 +532,7 @@ def lsh_banded_topk(
     stages against its known size. The r4 topology stands."""
     cb = banded_bucket_keys(
         spread(corpus), id_col=id_col, vec_col=vec_col, bands=bands,
-        planes_per_band=planes_per_band, dim=dim,
+        planes_per_band=planes_per_band, dim=dim, plane_stride=plane_stride,
     )
     if queries_are_corpus_subset:
         cb = cb.localCheckpoint(eager=False)
@@ -497,7 +542,7 @@ def lsh_banded_topk(
     else:
         qb = banded_bucket_keys(
             queries, id_col=id_col, vec_col=vec_col, bands=bands,
-            planes_per_band=planes_per_band, dim=dim,
+            planes_per_band=planes_per_band, dim=dim, plane_stride=plane_stride,
         ).select(F.col(id_col).alias("query_id"), F.col("bk").alias("qbk"))
     postings = (
         cb.groupBy("bk")

@@ -445,22 +445,41 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_components_star(pairs)
 
 
-def _banded_lsh_sql(bands: int = 8, planes_per_band: int = 2) -> str:
-    """DuckDB twin of similarity.lsh_banded_candidates: same md5-seeded
-    hyperplane literals, same band/key packing."""
-    planes = similarity.hyperplanes(bands * planes_per_band, 64)
+def _banded_lsh_sql(bands: int = 8, max_bucket: int = 1000) -> str:
+    """DuckDB twin of similarity.lsh_banded_candidates with the ADAPTIVE
+    planes-per-band wired in: same md5-seeded hyperplane grid (plane
+    (b, j) at index b * LSH_R_MAX + j — stable across r), same band/key
+    packing, and the same integer count->r map as
+    similarity.auto_planes_per_band (smallest r in [1, r_max] with
+    (max_bucket // 4) * 2**r >= count(*) — pure-integer comparisons, so
+    both engines derive the SAME r from the same parquet). Bits for slots
+    j >= r are CASE-gated to 0; DuckDB evaluates CASE branches lazily, so
+    unused plane dots are never computed. The sf1 scale audit motivated
+    this: a fixed r=2 at 20k vectors put every one of the 32 buckets over
+    max_bucket and the degenerate-bucket cap dropped 100% of signature
+    rows — ANN returned zero candidates (SCALE_sf1.md, VERDICT r5 #1)."""
+    r_max = similarity.LSH_R_MAX
+    target = max(1, max_bucket // 4)
+    planes = similarity.hyperplanes(bands * r_max, 64)
     lits = ["[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in planes]
     keys = []
     for b in range(bands):
-        terms = " + ".join(
-            f"(CASE WHEN {_sql_dot('embedding', lits[b * planes_per_band + j])} > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-            for j in range(planes_per_band)
-        )
-        keys.append(f"({terms}) AS k{b}")
+        terms = []
+        for j in range(r_max):
+            bit = (
+                f"(CASE WHEN {_sql_dot('embedding', lits[b * r_max + j])} > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+            # slot 0 is always live (r >= 1); higher slots gate on prm.r
+            terms.append(bit if j == 0 else f"(CASE WHEN {j} < prm.r THEN {bit} ELSE 0 END)")
+        keys.append(f"({' + '.join(terms)}) AS k{b}")
     case = " ".join(f"WHEN {b} THEN k{b}" for b in range(bands))
     return f"""
-    sig AS (SELECT vec_id, {', '.join(keys)} FROM embeddings),
+    prm AS (
+        SELECT coalesce(min(t.r), {r_max}) AS r
+        FROM generate_series(1, {r_max}) AS t(r)
+        WHERE {target} * (1 << t.r) >= (SELECT count(*) FROM embeddings)),
+    sig AS (SELECT vec_id, {', '.join(keys)} FROM embeddings, prm),
     buckets AS (
         SELECT vec_id, band, CASE band {case} END AS key
         FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
@@ -469,8 +488,16 @@ def _banded_lsh_sql(bands: int = 8, planes_per_band: int = 2) -> str:
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-        JOIN vbsz ON vbsz.band = a.band AND vbsz.key = a.key AND vbsz.c <= 1000)
+        JOIN vbsz ON vbsz.band = a.band AND vbsz.key = a.key AND vbsz.c <= {max_bucket})
     """
+
+
+def _auto_lsh_r(emb) -> int:
+    """The Spark-side half of the wired count->r map: one count() job at
+    query-build time (parquet row-group metadata count — cheap), then the
+    integer rule auto_planes_per_band. MUST stay the mirror of the prm
+    CTE in _banded_lsh_sql."""
+    return similarity.auto_planes_per_band(emb.count(), max_bucket=1000)
 
 
 @query(
@@ -485,18 +512,21 @@ def _banded_lsh_sql(bands: int = 8, planes_per_band: int = 2) -> str:
     """,
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane-LSH embedding dedup (8 bands x 2 planes) with
-    exact dot-product re-score on candidates only — the pruned scale path
-    for dedup_embedding_cosine. The oracle mirrors the exact same plane
-    literals and band packing, so the candidate sets (and therefore the
-    verified pairs) agree bit-for-bit."""
+    """Banded hyperplane-LSH embedding dedup (8 bands, ADAPTIVE planes
+    per band from the corpus count) with exact dot-product re-score on
+    candidates only — the pruned scale path for dedup_embedding_cosine.
+    The oracle mirrors the exact same plane grid, band packing, and
+    integer count->r rule, so the candidate sets (and therefore the
+    verified pairs) agree bit-for-bit at every scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_lsh_pairs(
-        load_table(spark, sf_dir, "embeddings"),
+        emb,
         "vec_id",
         "embedding",
         threshold=0.45,
         bands=8,
-        planes_per_band=2,
+        planes_per_band=_auto_lsh_r(emb),
+        plane_stride=similarity.LSH_R_MAX,
     )
 
 
@@ -626,15 +656,17 @@ def q_similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 for 20 query vectors through banded-LSH buckets + exact
     re-score — the pruned scale path for similarity_topk_bruteforce. The
-    oracle mirrors the same plane literals, band packing, candidate join
-    and max_bucket cap, so ranks agree exactly. planes_per_band trades
-    signature cost
-    against candidate pruning: at the test corpus size r=2 measured
-    faster end-to-end (signature hashing dominates); at millions of
-    vectors raise r so buckets stay small — pruning then dominates."""
+    oracle mirrors the same plane grid, band packing, candidate join
+    and max_bucket cap, so ranks agree exactly. planes_per_band is now
+    ADAPTIVE (auto_planes_per_band from the corpus count, mirrored by the
+    prm CTE in the SQL twin): the sf1 audit showed a fixed test-scale r=2
+    drops 100% of signature rows at 20k vectors (every bucket over cap)
+    and returns zero candidates; the wired rule keeps expected bucket
+    load at max_bucket/4 as the corpus grows."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2,
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8,
+        planes_per_band=_auto_lsh_r(emb), plane_stride=similarity.LSH_R_MAX,
         max_bucket=1000, queries_are_corpus_subset=True,
     )
 
@@ -684,7 +716,8 @@ def q_similarity_topk_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFr
     per-dot number above, not the headline delta."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8, planes_per_band=2,
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8,
+        planes_per_band=_auto_lsh_r(emb), plane_stride=similarity.LSH_R_MAX,
         max_bucket=1000, scorer="vectorized", queries_are_corpus_subset=True,
     )
 

@@ -184,3 +184,51 @@ def test_recommended_planes_per_band_sf1_audit_case():
     )
 
     assert recommended_planes_per_band(20_000, max_bucket=1000) == 7
+
+
+def test_auto_planes_per_band_is_integer_twin_of_recommended():
+    """auto_planes_per_band (the WIRED map — pure integer so a SQL engine
+    reproduces it exactly) equals the float recommendation at the
+    registered max_bucket for every corpus size under the grid cap."""
+    from oracle_schema_copy_spark.operators.similarity import (
+        LSH_R_MAX,
+        auto_planes_per_band,
+        recommended_planes_per_band,
+    )
+
+    cap = 250 * (1 << LSH_R_MAX)
+    sweep = [0, 1, 2, 199, 200, 249, 250, 251, 500, 501, 1999, 2000, 2001,
+             16_000, 20_000, 36_000, 250_000, cap - 1, cap]
+    for n in sweep:
+        r = auto_planes_per_band(n)
+        assert 1 <= r <= LSH_R_MAX
+        if n >= 1:
+            assert r == recommended_planes_per_band(n, max_bucket=1000)
+    # the two corpus sizes the registered queries actually see
+    # (VERDICT r5 #1 done-criterion: wired r at two corpus sizes)
+    assert auto_planes_per_band(200) == 1      # ~sf0.01 embeddings
+    assert auto_planes_per_band(20_000) == 7   # the sf1 audit case
+
+
+def test_wired_lsh_r_agrees_with_sql_twin():
+    """The prm CTE inside the SHIPPED _banded_lsh_sql derives the same r
+    from a table of n rows as the Spark-side auto_planes_per_band — the
+    bit-exactness of the adaptive queries rests on this agreement."""
+    import duckdb
+
+    from oracle_schema_copy_spark.operators.similarity import (
+        auto_planes_per_band,
+    )
+    from oracle_schema_copy_spark.queries.pipeline import _banded_lsh_sql
+
+    sql = _banded_lsh_sql()
+    for n in (200, 20_000):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings AS SELECT t.i AS vec_id, "
+            "list_transform(generate_series(1, 64), k -> 0.1) AS embedding "
+            f"FROM generate_series(1, {n}) AS t(i)"
+        )
+        (r,) = con.execute(f"WITH {sql} SELECT r FROM prm").fetchone()
+        con.close()
+        assert r == auto_planes_per_band(n), n
