@@ -54,21 +54,38 @@ def _load_all() -> None:
 
 # Checking order for external verifiers that iterate queries() under a
 # query-count or time budget (the round driver records the first ~50):
-# FIRST holds, in order, (n) brand-new round-5 queries — no driver row
-# exists for them at all — then (u) the 38 queries that were never seen
-# by ANY round driver through r4 (exactly REGISTRY − ∪CORRECTNESS_r01..r04;
-# they are green in the committed sf0.1 artifact and the r4 judge's own
-# sf0.001/sf0.01 re-runs, but lack a hard-gate driver row — VERDICT r4
-# ask #1), then (a) queries modified since their last recorded driver
-# check.  The TAIL holds queries green in a previous round's driver gate
-# with unchanged implementations, so a budget cutoff costs the least
-# fresh information.  Names absent from both lists keep registry
-# (insertion) order in the middle — that middle includes the 50 names
-# the r4 driver just recorded green.
+# FIRST holds, in order, (z) the 11 queries with no driver row in ANY
+# round r1-r5 (exactly REGISTRY − ∪CORRECTNESS_r01..r05 — the r5 driver
+# budget ended just before them; the r5 judge re-ran all 11 at sf0.01,
+# all MATCH, but VERDICT r5 #2 wants the hard gate to record them), then
+# (m6) queries whose implementation changed in round 6 (adaptive LSH r,
+# MoR sequencing, KS job elision, Observation empty-guard, bucketed-join
+# guard), then (r6) queries newly registered in round 6, then the prior
+# rounds' sections.  The TAIL holds queries green in a previous round's
+# driver gate with unchanged implementations, so a budget cutoff costs
+# the least fresh information.  Names absent from both lists keep
+# registry (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
-    # (u) never driver-checked through r4 — VERDICT r4 "next round" #1
-    # names these families EXPLICITLY for round 5's ~50-row driver
-    # budget, so they lead the order
+    # (z) never driver-checked through r5 — VERDICT r5 "next round" #2
+    "asof_join_planted_ties",
+    "join_bucketed_no_shuffle",
+    "mor_read_orders",
+    "multimodal_feature_extract_arrow",
+    "observe_pipeline_metrics",
+    "partition_pruned_rollup",
+    "sketch_approx_topk_contract",
+    "sql_parameterized_group_by_all",
+    "stats_zipf_bigram_slope",
+    "tpch_q20_potential_promotion",
+    "udtf_token_runs",
+    # (m6) modified in round 6 — re-gate after the change
+    "similarity_topk_lsh_banded",
+    "similarity_topk_lsh_vectorized",
+    "dedup_embedding_lsh",
+    "stats_ks_drift_by_source",
+    # (r6) new in round 6
+    # (u) never driver-checked through r4 (all recorded green by the r5
+    # driver; kept next so a wider budget re-confirms the freshest set)
     "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",
     "skyline_orders_price_date",
@@ -107,9 +124,7 @@ _CHECK_FIRST: list[str] = [
     "stats_benford_digits",
     "stats_entropy_by_source",
     "stats_mutual_information",
-    # (n) new in round 5 — zero driver rows anywhere yet; builder-side
-    # evidence is sf0.01 mimic + the sf0.1 full-registry artifact
-    "stats_ks_drift_by_source",
+    # (n) new in round 5 — recorded green by the r5 driver
     "graph_triangle_counts",
     "dedup_semantic_clusters",
     "sketch_cms_heavy_hitters",
@@ -121,24 +136,11 @@ _CHECK_FIRST: list[str] = [
     "sketch_theta_setops_contract",
     "sql_scripting_threshold_loop",
     "curation_shard_capstone",
-    "sql_parameterized_group_by_all",
-    "sketch_approx_topk_contract",
-    "multimodal_feature_extract_arrow",
-    "join_bucketed_no_shuffle",
-    "observe_pipeline_metrics",
-    "asof_join_planted_ties",
-    "udtf_token_runs",
-    "tpch_q20_potential_promotion",
-    "partition_pruned_rollup",
-    "stats_zipf_bigram_slope",
-    "mor_read_orders",
-    # (a) modified since last driver check
+    # (a) modified in round 4 (r5 driver re-gated the walk family)
     "copy_tree_lineitem",  # r4: leaf-frontier walk fast path
     "copy_tree_summary",  # r4: same walk rewrite
     "delete_tree_orders",  # r4: leaf anti-join delete path
-    "similarity_topk_lsh_banded",  # r4: codegen'd plane projections
-    "similarity_lsh_bucket_histogram",  # r4: same plane_dot change
-    "dedup_embedding_lsh",  # r4: same plane_dot change
+    "similarity_lsh_bucket_histogram",  # r4: plane_dot change
     "asof_join_last_click",  # r4: deterministic tie-break (quote-struct order)
     "asof_forward_next_error",  # r4: same tie-break change
     "similarity_topk_bruteforce",  # r4: codegen'd unrolled exact dot
