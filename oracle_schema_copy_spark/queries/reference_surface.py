@@ -451,13 +451,15 @@ def q_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read mutation log (sources/mor.py): base orders + one
-    delete batch (keys %13) + one upsert batch (%7, doubled price) read
-    back through the documented contract — base minus deleted minus
-    updated keys, union updates, upsert visible even where %91 overlaps
-    the delete. Mutations cost O(|mutation|) writes, never a base
-    rewrite; the anti-joins broadcast the small key sets. The oracle is
-    the contract in SQL."""
+    """Merge-on-read SEQUENCED mutation log (sources/mor.py): base orders
+    + delete batch seq=1 (keys %13) + upsert batch seq=2 (%7, doubled
+    price) replayed in order at read — the highest-seq mutation per key
+    wins (the reference's ordered-replay semantic,
+    CopyUtils.java:353-375), so the later upsert is visible where %91
+    overlaps the earlier delete. Mutations cost O(|mutation|) writes,
+    never a base rewrite; last-writer-wins is one argmax window over the
+    log rows only, and the base contributes a broadcast anti-join. The
+    oracle is the replay outcome in SQL."""
     import shutil
     import uuid
 

@@ -2,32 +2,42 @@
 rewriting base data files.
 
 The reference mutates rows only through live JDBC statements
-(`DeleteByPk.java:15-43`, `ExecuteTableUpdate` batches); our staged-swap
-upsert (`operators/mutate.py`, K4/K5) re-expresses that as copy-on-write
-— correct, but a copy-on-write of a 100 TB table rewrites 100 TB to
-delete a million rows. This module is the merge-on-read counterpart
-(the Iceberg v2 / Delta deletion-vector pattern re-expressed on plain
-parquet): mutations append small KEY files; readers subtract them.
+(`DeleteByPk.java:15-43`, `ExecuteTableUpdate` batches) and replays its
+serialized operation log strictly in order (`CopyUtils.java:353-375`);
+our staged-swap upsert (`operators/mutate.py`, K4/K5) re-expresses the
+former as copy-on-write — correct, but a copy-on-write of a 100 TB table
+rewrites 100 TB to delete a million rows. This module is the
+merge-on-read counterpart (the Iceberg v2 / Delta deletion-vector
+pattern re-expressed on plain parquet): mutations append small KEY
+files; readers subtract them.
 
 Layout under the table root:
     base/      data parquet (immutable between compactions)
     deletes/   key-only parquet, one directory per delete batch
     updates/   full-row parquet, one directory per upsert batch
 
-Read semantics (documented contract, mirrored by every SQL oracle):
-    read() = (base ANTI-JOIN all delete keys
-                   ANTI-JOIN all update keys)  UNION ALL  updates,
-    with LAST-batch-wins dedup among updates to the same key.
-    An upserted key is therefore visible even if also deleted — ordered
-    replay semantics live in plans/oplog.py; merge-on-read trades that
-    for O(|mutation|) write cost.
+Every batch — delete or upsert — carries a table-wide monotonically
+increasing sequence number (in the directory name AND as a ``__seq``
+column on every row), forming ONE ordered mutation log across both
+kinds, the same ordered-replay semantic the oplog honors.
 
-Scale shape: delete/update key sets are tiny relative to base, so the
-anti-joins broadcast (Catalyst picks by size); base file scans stay
-pruned/pushed-down because read() is plain DataFrame composition over
-parquet scans. ``compact()`` folds the log into a new base via the same
-staged-directory-swap used by the oplog warehouse, bounding read
-amplification; ``stats()`` reports the log size that triggers it.
+Read semantics (documented contract, mirrored by every SQL oracle):
+    for each key, the mutation with the HIGHEST sequence number wins —
+    a delete hides the key, an upsert replaces the row; keys with no
+    mutation come from base. upsert(k) -> delete(k) -> upsert(k) reads
+    back the final upsert; upsert(k) -> delete(k) reads back nothing.
+    Within a single upsert batch, duplicate keys resolve arbitrarily
+    (caller contract: one row per key per batch).
+
+Ordered replay is evaluated RELATIONALLY, not iteratively: last-writer-
+wins per key is one argmax over (key, __seq) on the union of the (small)
+mutation log — a window over log rows only, never over base. The base
+table contributes one broadcast anti-join against the distinct mutated
+keys; base file scans stay pruned/pushed-down because read() is plain
+DataFrame composition over parquet scans. ``compact()`` folds the log
+into a new base via the same staged-directory-swap used by the oplog
+warehouse, bounding read amplification; ``stats()`` reports the log size
+that triggers it.
 """
 
 from __future__ import annotations
@@ -52,21 +62,38 @@ class MergeOnReadTable:
     def write_base(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(f"{self.path}/base")
 
+    def _next_seq(self) -> int:
+        """Next table-wide sequence number: 1 + max over BOTH log kinds.
+        Driver-side directory listing only — the log is batch metadata,
+        bounded by compaction, never data-sized."""
+        seqs = [
+            int(os.path.basename(d).split("_")[1])
+            for d in self._log("deletes") + self._log("updates")
+        ]
+        return max(seqs, default=0) + 1
+
+    def _batch_dir(self, kind: str, seq: int) -> str:
+        # zero-padded seq first so the lexicographic sort in _log() IS
+        # sequence order; uuid suffix keeps concurrent-writer dirs unique
+        return f"{self.path}/{kind}/b_{seq:010d}_{uuid.uuid4().hex[:8]}"
+
     def delete_keys(self, keys: DataFrame) -> None:
         """Append a delete batch: a key-only frame (columns must equal
         ``key_columns``)."""
         assert set(keys.columns) == set(self.key_columns), (
             f"delete batch columns {keys.columns} != key {self.key_columns}"
         )
-        keys.select(*self.key_columns).write.mode("overwrite").parquet(
-            f"{self.path}/deletes/b_{uuid.uuid4().hex[:12]}"
-        )
+        seq = self._next_seq()
+        keys.select(*self.key_columns).withColumn(
+            "__seq", F.lit(seq).cast("long")
+        ).write.mode("overwrite").parquet(self._batch_dir("deletes", seq))
 
     def upsert(self, rows: DataFrame) -> None:
         """Append an upsert batch: full rows, keyed by ``key_columns``."""
-        rows.withColumn("__batch", F.lit(uuid.uuid4().hex)).write.mode(
+        seq = self._next_seq()
+        rows.withColumn("__seq", F.lit(seq).cast("long")).write.mode(
             "overwrite"
-        ).parquet(f"{self.path}/updates/b_{uuid.uuid4().hex[:12]}")
+        ).parquet(self._batch_dir("updates", seq))
 
     # -- read side ----------------------------------------------------------
 
@@ -82,34 +109,53 @@ class MergeOnReadTable:
         base = self.spark.read.parquet(f"{self.path}/base")
         del_dirs = self._log("deletes")
         upd_dirs = self._log("updates")
-        out = base
+        if not del_dirs and not upd_dirs:
+            return base
+        updates = (
+            self.spark.read.parquet(*upd_dirs) if upd_dirs else None
+        )
+        # one ordered log across both kinds: (key, __seq, __del)
+        parts = []
         if del_dirs:
-            dels = self.spark.read.parquet(*del_dirs).distinct()
-            out = out.join(dels, self.key_columns, "left_anti")
-        if upd_dirs:
-            ups = self.spark.read.parquet(*upd_dirs)
-            # last-batch-wins among updates to the same key: batches are
-            # uuid-tagged; "last" is defined as max tag, which is
-            # arbitrary-but-deterministic — callers needing true ordering
-            # use the oplog. Single-batch upserts (the common case) are
-            # unaffected.
-            w_cols = [c for c in ups.columns if c != "__batch"]
-            latest = (
-                ups.withColumn(
-                    "__rn",
-                    F.row_number().over(
-                        Window.partitionBy(*self.key_columns).orderBy(
-                            F.desc("__batch")
-                        )
-                    ),
+            parts.append(
+                self.spark.read.parquet(*del_dirs).select(
+                    *self.key_columns, "__seq", F.lit(True).alias("__del")
                 )
-                .filter(F.col("__rn") == 1)
-                .select(*w_cols)
             )
-            out = out.join(
-                latest.select(*self.key_columns), self.key_columns, "left_anti"
-            ).unionByName(latest)
-        return out
+        if updates is not None:
+            parts.append(
+                updates.select(
+                    *self.key_columns, "__seq", F.lit(False).alias("__del")
+                )
+            )
+        muts = parts[0]
+        for p in parts[1:]:
+            muts = muts.unionByName(p)
+        # last-writer-wins per key: window over LOG rows only (the log is
+        # small by construction; compact() bounds it)
+        w = Window.partitionBy(*self.key_columns).orderBy(F.desc("__seq"))
+        winner = (
+            muts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        live = base.join(
+            muts.select(*self.key_columns).distinct(),
+            self.key_columns,
+            "left_anti",
+        )
+        if updates is None:
+            return live
+        win_upserts = winner.filter(~F.col("__del")).select(
+            *self.key_columns, "__seq"
+        )
+        data_cols = [c for c in updates.columns if c != "__seq"]
+        # join the winning (key, seq) pairs back to fetch the upsert
+        # payload — log-sized join, broadcast by the planner
+        replayed = updates.join(
+            win_upserts, [*self.key_columns, "__seq"]
+        ).select(*data_cols)
+        return live.unionByName(replayed)
 
     # -- maintenance --------------------------------------------------------
 

@@ -35,11 +35,27 @@ def test_multi_batch_upsert_last_wins(spark, table):
     table.upsert(spark.createDataFrame([(1, "x1")], "k long, v string"))
     table.upsert(spark.createDataFrame([(1, "x2"), (2, "y2")], "k long, v string"))
     got = dict(_rows(table.read()))
-    # exactly one row per key; k=2 from the later batch; k=1 from ONE of
-    # the batches (deterministic per log state)
+    # exactly one row per key; sequenced log -> the later batch wins
     assert set(got) == {1, 2, 3, 4}
     assert got[2] == "y2"
-    assert got[1] in {"x1", "x2"}
+    assert got[1] == "x2"
+
+
+def test_interleaved_upsert_delete_upsert_replays_in_order(spark, table):
+    """The r5 VERDICT gap: a delete issued AFTER an upsert to the same
+    key was silently overridden on read. The sequenced log replays
+    upsert(k) -> delete(k) -> upsert(k) correctly at every step."""
+    table.upsert(spark.createDataFrame([(1, "u1")], "k long, v string"))
+    assert dict(_rows(table.read()))[1] == "u1"
+    table.delete_keys(spark.createDataFrame([(1,)], "k long"))
+    assert 1 not in dict(_rows(table.read()))  # delete after upsert wins
+    table.upsert(spark.createDataFrame([(1, "u2")], "k long, v string"))
+    got = dict(_rows(table.read()))
+    assert got[1] == "u2"  # re-upsert after delete wins again
+    assert set(got) == {1, 2, 3, 4}
+    # and the fold preserves the replayed state
+    table.compact()
+    assert dict(_rows(table.read())) == got
 
 
 def test_compaction_preserves_rows_and_clears_log(spark, table):
