@@ -84,11 +84,15 @@ def prefix_posting_stats(spark, sf_dir: str, *, n=3, threshold=0.3, max_bucket=1
     }
 
 
-def lsh_bucket_stats(spark, sf_dir: str, *, bands=8, planes_per_band=2, max_bucket=1000):
+def lsh_bucket_stats(
+    spark, sf_dir: str, *, bands=8, planes_per_band=2, max_bucket=1000,
+    plane_stride=None,
+):
     """Bucket-size distribution for a given r (planes_per_band). Run once
-    at the test-scale r=2 (expected to degenerate at sf1 — that finding is
-    the point) and once at recommended_planes_per_band(n) to show the
-    documented knob restores useful buckets at this scale."""
+    at the legacy fixed r=2 (degenerate at sf1 — the r5 audit finding)
+    and once with the WIRED adaptive grid (auto_planes_per_band +
+    plane_stride=LSH_R_MAX — exactly what the registered queries now
+    execute) to show buckets stay under the cap at this scale."""
     from oracle_schema_copy_spark.operators import similarity
     from oracle_schema_copy_spark.sources.tables import load_table
 
@@ -96,6 +100,7 @@ def lsh_bucket_stats(spark, sf_dir: str, *, bands=8, planes_per_band=2, max_buck
     cb = similarity.banded_bucket_keys(
         similarity.spread(emb), id_col="vec_id", vec_col="embedding",
         bands=bands, planes_per_band=planes_per_band, dim=64,
+        plane_stride=plane_stride,
     )
     sizes = cb.groupBy("bk").agg(F.count(F.lit(1)).alias("sz"))
     row = sizes.agg(
@@ -208,18 +213,19 @@ def main() -> int:
         "banded_lsh_guard": lsh_bucket_stats(spark, sf_dir),
         "minhash_band_buckets": minhash_band_stats(spark, sf_dir),
     }
-    # remediation proof: the documented "raise r with the corpus" rule,
-    # now first-class (similarity.recommended_planes_per_band), applied at
-    # THIS corpus size — buckets must come back under the cap
+    # the WIRED adaptive grid (what the registered queries execute since
+    # r6): auto_planes_per_band(count) on the LSH_R_MAX plane grid —
+    # buckets must stay under the cap at this corpus size
     from oracle_schema_copy_spark.operators.similarity import (
-        recommended_planes_per_band,
+        LSH_R_MAX,
+        auto_planes_per_band,
     )
 
-    r_reco = recommended_planes_per_band(
+    r_wired = auto_planes_per_band(
         report["banded_lsh_guard"]["corpus_rows"], max_bucket=1000
     )
-    report["banded_lsh_guard_remediated"] = lsh_bucket_stats(
-        spark, sf_dir, planes_per_band=r_reco
+    report["banded_lsh_guard_wired_adaptive"] = lsh_bucket_stats(
+        spark, sf_dir, planes_per_band=r_wired, plane_stride=LSH_R_MAX
     )
     report["aqe"] = [
         aqe_flip_check(spark, sf_dir, "tpch_q9_product_profit"),
