@@ -445,13 +445,29 @@ def banded_bucket_keys(
     method limit and silently drops the whole stage to interpreted mode
     (observed: ``CodeGenerator: failed to compile ... grows beyond 64
     KB``). As separate projection expressions they codegen-split per
-    column and the stage stays compiled."""
+    column and the stage stays compiled — UP TO ~16 planes. Beyond that
+    (the adaptive grid at r >= 3 on 8 bands) even the split projection's
+    whole-stage ``processNext()`` exceeds the method limit (observed at
+    r=7: janino InternalCompilerException, stage interpreted — correct
+    but the one fallback a 100 TB signature pass cannot afford), so
+    large grids switch to the Arrow path: one pandas_udf computes all
+    band keys per vector with numpy, accumulating dimensions
+    SEQUENTIALLY in float64 (``acc += x[:, i] * w[i]`` for ascending i)
+    — the exact left-to-right IEEE order of the unrolled SQL chain and
+    of DuckDB's list_sum, so keys are bit-identical across all three
+    implementations (parity-tested)."""
     stride = planes_per_band if plane_stride is None else plane_stride
     if stride < planes_per_band:
         raise ValueError(
             f"plane_stride {stride} < planes_per_band {planes_per_band}"
         )
     planes = hyperplanes(bands * stride, dim)
+    if bands * planes_per_band > _CODEGEN_MAX_PLANES:
+        return _banded_bucket_keys_arrow(
+            df, id_col=id_col, vec_col=vec_col, bands=bands,
+            planes_per_band=planes_per_band, dim=dim, planes=planes,
+            stride=stride,
+        )
     # two selectExpr calls — 2 py4j round-trips total; the same projection
     # built with Column operators measured ~1.4s of driver time per call
     # (3,500+ py4j round-trips; CLAUDE.md generated-expression lesson)
@@ -469,6 +485,67 @@ def banded_bucket_keys(
         for b in range(bands)
     )
     return staged.selectExpr(f"`{id_col}`", f"explode(array({structs})) AS bk")
+
+
+# largest bands*planes_per_band whose bit projection is known to stay
+# inside janino's 64 KB whole-stage method limit (16 compiled through
+# r1-r5; 56 observed failing) — larger grids take the Arrow path
+_CODEGEN_MAX_PLANES = 16
+
+
+def _banded_bucket_keys_arrow(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    planes_per_band: int,
+    dim: int,
+    planes: list[list[float]],
+    stride: int,
+) -> DataFrame:
+    """Arrow twin of the codegen'd bit projection (see banded_bucket_keys
+    docstring): all band keys in one numpy pass, dimension loop ascending
+    so float64 accumulation order matches the unrolled SQL exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(
+        [planes[b * stride + j] for b in range(bands) for j in range(planes_per_band)],
+        dtype=np.float64,
+    )  # (bands*r) x dim
+
+    def _keys_np(v):
+        X = np.asarray(v.tolist(), dtype=np.float64)  # float32 -> exact
+        n = X.shape[0]
+        if n == 0:
+            return pd.Series([], dtype=object)
+        acc = np.zeros((n, W.shape[0]))
+        for i in range(dim):  # sequential over dims = SQL's + chain order
+            acc += X[:, i, None] * W[:, i]
+        bits = (acc > 0).astype(np.int64)
+        keys = np.zeros((n, bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(planes_per_band):
+                keys[:, b] += bits[:, b * planes_per_band + j] << j
+        return pd.Series(list(keys))
+
+    # real annotation objects (module uses postponed annotations — see
+    # functions/vectors.py dot_vectorized)
+    _keys_np.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _keys = pandas_udf(_keys_np, "array<long>")
+
+    staged = df.select(F.col(id_col), _keys(F.col(vec_col)).alias("__keys"))
+    return staged.select(
+        F.col(id_col), F.posexplode("__keys").alias("band", "key")
+    ).select(
+        id_col,
+        F.struct(
+            F.col("band").cast("int").alias("band"),
+            F.col("key").cast("long").alias("key"),
+        ).alias("bk"),
+    )
 
 
 def lsh_banded_topk(

@@ -84,6 +84,8 @@ _CHECK_FIRST: list[str] = [
     "dedup_embedding_lsh",
     "stats_ks_drift_by_source",
     # (r6) new in round 6
+    "ann_recall_contract",
+    "mor_time_travel_orders",
     # (u) never driver-checked through r4 (all recorded green by the r5
     # driver; kept next so a wider budget re-confirms the freshest set)
     "dedup_keep_best_per_cluster",

@@ -722,6 +722,78 @@ def q_similarity_topk_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "ann_recall_contract",
+    f"""
+    WITH {_banded_lsh_sql()},
+    qb AS (SELECT vec_id AS query_id, band, key FROM buckets WHERE vec_id < 20),
+    ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 1000),
+    lcand AS (
+        SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+        FROM buckets b JOIN ok USING (band, key)
+        JOIN qb ON b.band = qb.band AND b.key = qb.key
+         AND b.vec_id <> qb.query_id),
+    lscored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {_sql_dot('n.embedding', 'q.embedding')} AS score
+        FROM lcand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM lscored) WHERE rank <= 5),
+    bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    bscored AS (
+        SELECT bq.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'bq.qv')} AS score
+        FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5)
+    SELECT b.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM brute b LEFT JOIN lsh l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the ADAPTIVE banded-LSH ANN path against the exact
+    brute-force top-5, per query — the quality contract every production
+    ANN deployment monitors, computed IN-ENGINE: both rankings are
+    deterministic (exact re-score, neighbor-id tie-break, the same wired
+    r on both engines), so recall itself is deterministic and
+    oracle-gated — a plane-grid or count->r regression that silently
+    degrades ANN quality turns this row red, not just slow. Cost: the
+    brute side is |queries| x corpus (broadcast cross-score — the
+    documented baseline shape); the LSH side is candidates-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    lsh = similarity.lsh_banded_topk(
+        emb, q, k=5, bands=8,
+        planes_per_band=_auto_lsh_r(emb), plane_stride=similarity.LSH_R_MAX,
+        max_bucket=1000, queries_are_corpus_subset=True,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    brute = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            (F.count("__hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
+
+
 def _hyperplane_sql_literals(n_planes: int = 8, dim: int = 64) -> list[str]:
     planes = similarity.hyperplanes(n_planes, dim)
     return ["[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in planes]

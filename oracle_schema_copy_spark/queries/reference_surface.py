@@ -482,6 +482,39 @@ def q_mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mor_time_travel_orders",
+    "SELECT * FROM orders WHERE o_orderkey % 13 <> 0",
+)
+def q_mor_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read of the sequenced merge-on-read log: same table
+    state as mor_read_orders (delete %13 at seq=1, upsert %7 at seq=2),
+    read AS OF seq=1 — the upsert batch is not replayed, so the result is
+    exactly base-minus-deletes. Snapshot reads are free on this layout
+    (filter the append-only log by seq, nothing rewritten) — the
+    Delta/Iceberg VERSION AS OF semantic on plain parquet. The oracle is
+    the seq-1 state in SQL."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.sources.mor import MergeOnReadTable
+
+    base = f"{_SCRATCH}/mor_tt_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    t = MergeOnReadTable(spark, base, ["o_orderkey"])
+    t.write_base(orders)
+    t.delete_keys(
+        orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    return t.read(as_of_seq=1)
+
+
+@query(
     "oplog_roundtrip_orders",
     """
     WITH upserted AS (

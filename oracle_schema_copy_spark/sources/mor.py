@@ -105,10 +105,22 @@ class MergeOnReadTable:
             f"{d}/{b}" for b in os.listdir(d) if b.startswith("b_")
         )
 
-    def read(self) -> DataFrame:
+    @staticmethod
+    def _seq_of(batch_dir: str) -> int:
+        return int(os.path.basename(batch_dir).split("_")[1])
+
+    def read(self, as_of_seq: int | None = None) -> DataFrame:
+        """Current-state read, or a TIME-TRAVEL read when ``as_of_seq`` is
+        given: only mutation batches with seq <= as_of_seq are replayed,
+        reproducing the table exactly as it stood after that batch —
+        free on this layout, since the log is append-only and sequenced
+        (the Delta/Iceberg snapshot-isolation read re-expressed)."""
         base = self.spark.read.parquet(f"{self.path}/base")
         del_dirs = self._log("deletes")
         upd_dirs = self._log("updates")
+        if as_of_seq is not None:
+            del_dirs = [d for d in del_dirs if self._seq_of(d) <= as_of_seq]
+            upd_dirs = [d for d in upd_dirs if self._seq_of(d) <= as_of_seq]
         if not del_dirs and not upd_dirs:
             return base
         updates = (

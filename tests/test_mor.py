@@ -58,6 +58,17 @@ def test_interleaved_upsert_delete_upsert_replays_in_order(spark, table):
     assert dict(_rows(table.read())) == got
 
 
+def test_time_travel_read_replays_log_prefix(spark, table):
+    table.upsert(spark.createDataFrame([(1, "u1")], "k long, v string"))  # seq 1
+    table.delete_keys(spark.createDataFrame([(1,), (4,)], "k long"))  # seq 2
+    table.upsert(spark.createDataFrame([(1, "u2")], "k long, v string"))  # seq 3
+    assert dict(_rows(table.read(as_of_seq=0))) == {1: "a", 2: "b", 3: "c", 4: "d"}
+    assert dict(_rows(table.read(as_of_seq=1)))[1] == "u1"
+    at2 = dict(_rows(table.read(as_of_seq=2)))
+    assert 1 not in at2 and 4 not in at2
+    assert dict(_rows(table.read(as_of_seq=3))) == dict(_rows(table.read()))
+
+
 def test_compaction_preserves_rows_and_clears_log(spark, table):
     table.delete_keys(spark.createDataFrame([(4,)], "k long"))
     table.upsert(spark.createDataFrame([(2, "B")], "k long, v string"))

@@ -38,3 +38,31 @@ def test_grouped_geo_mean_matches_exp_avg_log(spark, sf_dir):
     }
     assert set(got) == set(want)
     assert all(math.isclose(got[k], want[k], rel_tol=1e-12) for k in got)
+
+
+def test_banded_bucket_keys_arrow_matches_codegen_path(spark, sf_dir):
+    """The Arrow signature path (taken when bands*r exceeds the janino
+    whole-stage limit) must produce the EXACT same (id, band, key) set as
+    the codegen'd unrolled-SQL projection — its sequential-float64
+    accumulation claims bit-identity, and candidate sets (hence oracle
+    MATCHes) rest on it."""
+    from oracle_schema_copy_spark.operators import similarity
+    from oracle_schema_copy_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", bands=8,
+        planes_per_band=3, dim=64, plane_stride=similarity.LSH_R_MAX,
+    )
+    # 8*3=24 planes > _CODEGEN_MAX_PLANES -> Arrow path
+    assert 8 * 3 > similarity._CODEGEN_MAX_PLANES
+    arrow = similarity.banded_bucket_keys(emb, **kw)
+    old = similarity._CODEGEN_MAX_PLANES
+    similarity._CODEGEN_MAX_PLANES = 10_000  # force the SQL projection
+    try:
+        codegen = similarity.banded_bucket_keys(emb, **kw)
+    finally:
+        similarity._CODEGEN_MAX_PLANES = old
+    a = {(r.vec_id, r.bk.band, r.bk.key) for r in arrow.collect()}
+    c = {(r.vec_id, r.bk.band, r.bk.key) for r in codegen.collect()}
+    assert a == c and len(a) > 0

@@ -67,6 +67,7 @@ INTENTIONAL_CROSS = {
     "events_value_cusum",  # 1x1 global-mean frame broadcast into the scan
     "abc_classification_parts",  # 1x1 grand-total frame broadcast into the ranked frame
     "similarity_topk_bruteforce",
+    "ann_recall_contract",  # brute-force baseline side of the recall measurement
     "search_bm25_topk",
     "search_hybrid_rrf",
     "similarity_topk_ivf_nprobe",
