@@ -84,11 +84,19 @@ _SQL_JACCARD_PAIRS_CAPPED = f"""
 """
 
 # sequential-double dot product of two 64-dim float lists (bit-identical
-# to functions.vectors.dot — verified empirically)
+# to functions.vectors.dot — verified empirically). Unrolled + chain, not
+# a list_transform lambda: identical values (checked IS NOT DISTINCT FROM
+# over the sf1 corpus), but DuckDB executes the unrolled arithmetic
+# vectorized while the lambda form costs ~15s PER PLANE per 20k rows —
+# the r6 sf1 pass died on exactly that.
 def _sql_dot(a: str, b: str, dim: int = 64) -> str:
     return (
-        f"list_sum(list_transform(generate_series(1, {dim}), "
-        f"k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE)))"
+        "("
+        + " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        + ")"
     )
 
 
@@ -461,26 +469,37 @@ def _banded_lsh_sql(bands: int = 8, max_bucket: int = 1000) -> str:
     r_max = similarity.LSH_R_MAX
     target = max(1, max_bucket // 4)
     planes = similarity.hyperplanes(bands * r_max, 64)
-    lits = ["[" + ", ".join(f"{v:.1f}" for v in plane) + "]" for plane in planes]
+
+    def plane_dot(plane):
+        # plane weights inlined as float literals (vectorized unrolled
+        # arithmetic — no per-row array construction, no lambda)
+        return " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) * {v:.1f})"
+            for i, v in enumerate(plane)
+        )
+
     keys = []
     for b in range(bands):
         terms = []
         for j in range(r_max):
             bit = (
-                f"(CASE WHEN {_sql_dot('embedding', lits[b * r_max + j])} > 0 "
+                f"(CASE WHEN ({plane_dot(planes[b * r_max + j])}) > 0 "
                 f"THEN {1 << j} ELSE 0 END)"
             )
             # slot 0 is always live (r >= 1); higher slots gate on prm.r
             terms.append(bit if j == 0 else f"(CASE WHEN {j} < prm.r THEN {bit} ELSE 0 END)")
         keys.append(f"({' + '.join(terms)}) AS k{b}")
     case = " ".join(f"WHEN {b} THEN k{b}" for b in range(bands))
+    # sig/buckets MATERIALIZED: the downstream CTEs reference buckets up
+    # to three times; without the hint DuckDB re-inlines (and re-computes
+    # the full plane grid) per reference
     return f"""
     prm AS (
         SELECT coalesce(min(t.r), {r_max}) AS r
         FROM generate_series(1, {r_max}) AS t(r)
         WHERE {target} * (1 << t.r) >= (SELECT count(*) FROM embeddings)),
-    sig AS (SELECT vec_id, {', '.join(keys)} FROM embeddings, prm),
-    buckets AS (
+    sig AS MATERIALIZED (SELECT vec_id, {', '.join(keys)} FROM embeddings, prm),
+    buckets AS MATERIALIZED (
         SELECT vec_id, band, CASE band {case} END AS key
         FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
     vbsz AS (SELECT band, key, count(*) AS c FROM buckets GROUP BY 1, 2),
