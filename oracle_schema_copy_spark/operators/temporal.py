@@ -279,3 +279,40 @@ def trailing_features(
     return df.withColumn(
         "trailing_n", F.count(F.lit(1)).over(w).cast("long")
     ).withColumn("trailing_avg", F.round(F.avg(value).over(w), 6))
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the dimension
+    VERSION that was valid when the fact happened — the leakage-free way
+    to attach slowly-changing attributes to training examples (joining the
+    current version would leak future attribute values into past facts).
+
+    Validity intervals are HALF-OPEN ``[valid_from, valid_to)``, matching
+    :func:`oracle_schema_copy_spark.operators.mutate.scd2_merge`, which
+    closes a version at the effective date and opens its successor at the
+    same date — half-open intervals make that boundary instant belong to
+    exactly one version, so the join stays 1:1 per fact.
+
+    Scale shape: an EQUI-join on the business key with the interval
+    predicate as a residual filter — never an interval/nested-loop join.
+    SCD2 dimensions are versions-per-key small (a few rows) while facts
+    are the 100 TB side, so Catalyst broadcasts the dimension and the
+    fact table never shuffles; the residual interval check runs inside
+    the broadcast hash join's stream side.
+    """
+    cond = (
+        (facts[fact_key] == dim[dim_key])
+        & (facts[fact_ts] >= dim[valid_from])
+        & (facts[fact_ts] < dim[valid_to])
+    )
+    return facts.join(dim, cond, how)

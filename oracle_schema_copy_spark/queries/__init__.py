@@ -78,14 +78,19 @@ _CHECK_FIRST: list[str] = [
     "stats_zipf_bigram_slope",
     "tpch_q20_potential_promotion",
     "udtf_token_runs",
-    # (m6) modified in round 6 — re-gate after the change
+    # (r6) new in round 6 — no driver row exists yet, so they complete
+    # the contiguous never-driver-checked front (tests/test_registry.py)
+    "ann_recall_contract",
+    "mor_time_travel_orders",
+    "mor_compaction_equivalence",
+    "scd2_point_in_time_join",
+    "bpe_pair_merge_step",
+    # (m6) modified in round 6 — re-gate after the change (these HAVE
+    # prior driver rows, so they follow the never-checked block)
     "similarity_topk_lsh_banded",
     "similarity_topk_lsh_vectorized",
     "dedup_embedding_lsh",
     "stats_ks_drift_by_source",
-    # (r6) new in round 6
-    "ann_recall_contract",
-    "mor_time_travel_orders",
     # (u) never driver-checked through r4 (all recorded green by the r5
     # driver; kept next so a wider budget re-confirms the freshest set)
     "dedup_keep_best_per_cluster",

@@ -2379,3 +2379,113 @@ def q_multimodal_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> Data
         "n_channels",
         F.posexplode("features").alias("feat_pos", "feat_value"),
     )
+
+
+@query(
+    "bpe_pair_merge_step",
+    """
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2
+        GROUP BY w),
+    p1 AS (
+        SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+        FROM (SELECT wn,
+                     unnest(list_transform(generate_series(1, length(w) - 1),
+                                           i -> substr(w, i, 2))) AS pair
+              FROM words)
+        GROUP BY pair),
+    top1 AS (SELECT pair AS mp FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    words2 AS (
+        SELECT w, CAST(sum(wn) AS BIGINT) AS wn
+        FROM (SELECT replace(w, (SELECT mp FROM top1), '_') AS w, wn
+              FROM words)
+        WHERE length(w) >= 2
+        GROUP BY w),
+    p2 AS (
+        SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+        FROM (SELECT wn,
+                     unnest(list_transform(generate_series(1, length(w) - 1),
+                                           i -> substr(w, i, 2))) AS pair
+              FROM words2)
+        GROUP BY pair),
+    r1 AS (SELECT CAST(1 AS INTEGER) AS merge_round,
+                  CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER)
+                      AS pair_rank,
+                  pair, n
+           FROM p1),
+    r2 AS (SELECT CAST(2 AS INTEGER) AS merge_round,
+                  CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER)
+                      AS pair_rank,
+                  pair, n
+           FROM p2)
+    SELECT * FROM r1 WHERE pair_rank <= 10
+    UNION ALL
+    SELECT * FROM r2 WHERE pair_rank <= 10
+    """,
+)
+def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding training iteration, fully relational: count
+    adjacent symbol pairs over the word-frequency-weighted vocabulary,
+    merge the single most frequent pair (deterministic tie-break: count
+    DESC then pair ASC, applied leftmost-first non-overlapping — exactly
+    what ``replace()`` does in both engines), re-count on the merged
+    vocabulary, and emit the top-10 pairs of BOTH rounds — a gated
+    contract that round 2 sees the merge's effect (the winning pair is
+    gone, new pairs touching the '_' merge symbol appear).
+
+    Scale shape: the corpus collapses to its VOCABULARY in the first
+    aggregation (one shuffle over words), and every later step — pair
+    explode, re-count, the 1-row broadcast of the winning pair, the merged
+    re-group — is vocabulary-sized, independent of corpus row count.
+    That is why classical BPE trainers run on word-count tables; at
+    100 TB the only corpus-sized work is the first word count. Adjacent
+    pairs come from ``transform(sequence(...), i -> substr(w, i, 2))`` —
+    built-in higher-order functions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wn"))
+    pair_expr = (
+        "explode(transform(sequence(1, length(w) - 1),"
+        " i -> substr(w, i, 2))) AS pair"
+    )
+    p1 = (
+        vocab.selectExpr("wn", pair_expr)
+        .groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+    )
+    top1 = (
+        p1.orderBy(F.desc("n"), "pair").limit(1).select(F.col("pair").alias("mp"))
+    )
+    vocab2 = (
+        vocab.crossJoin(F.broadcast(top1))
+        .select(F.expr("replace(w, mp, '_')").alias("w"), "wn")
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.sum("wn").cast("long").alias("wn"))
+    )
+    p2 = (
+        vocab2.selectExpr("wn", pair_expr)
+        .groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), "pair")
+
+    def _top(df: DataFrame, rnd: int) -> DataFrame:
+        return (
+            df.withColumn(
+                "pair_rank", F.row_number().over(w_rank).cast("int")
+            )
+            .filter(F.col("pair_rank") <= 10)
+            .select(
+                F.lit(rnd).cast("int").alias("merge_round"),
+                "pair_rank",
+                "pair",
+                "n",
+            )
+        )
+
+    return _top(p1, 1).unionByName(_top(p2, 2))

@@ -515,6 +515,54 @@ def q_mor_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mor_compaction_equivalence",
+    """
+    WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT * FROM orders
+    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT * FROM upd
+    """,
+)
+def q_mor_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read COMPACTION is invisible to readers: the same
+    sequenced mutations as mor_read_orders (delete %13 at seq=1, upsert %7
+    at seq=2) are folded into a fresh base via compact()'s staged
+    directory swap, the emptied log is asserted, and the post-compaction
+    read must match the SAME oracle as the merge-on-read path — one gated
+    row proving fold-then-scan == merge-on-read. After compaction the plan
+    is a single pruned parquet scan (no anti-join, no log window): this is
+    the read-amplification bound that keeps the mutation log from growing
+    unboundedly at 100 TB."""
+    import shutil
+    import uuid
+
+    from oracle_schema_copy_spark.sources.mor import MergeOnReadTable
+
+    base = f"{_SCRATCH}/mor_compact_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    t = MergeOnReadTable(spark, base, ["o_orderkey"])
+    t.write_base(orders)
+    t.delete_keys(
+        orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    t.compact()
+    st = t.stats()
+    if st["n_delete_batches"] or st["n_update_batches"]:
+        raise RuntimeError(f"compaction left mutation log batches: {st}")
+    return t.read()
+
+
+@query(
     "oplog_roundtrip_orders",
     """
     WITH upserted AS (

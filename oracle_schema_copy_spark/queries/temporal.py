@@ -551,3 +551,78 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
         ).alias("time_weighted_avg"),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH dim AS (
+        SELECT c_custkey, c_acctbal,
+               CAST('1992-01-01' AS DATE) AS valid_from,
+               CASE WHEN c_custkey % 11 = 0 THEN CAST('1996-07-01' AS DATE)
+                    ELSE CAST('9999-12-31' AS DATE) END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100,
+               CAST('1996-07-01' AS DATE), CAST('9999-12-31' AS DATE)
+        FROM customer WHERE c_custkey % 11 = 0),
+    j AS (
+        SELECT (d.valid_to = CAST('9999-12-31' AS DATE)) AS is_open_version,
+               d.c_acctbal, o.o_totalprice
+        FROM orders o JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND o.o_orderdate <  d.valid_to)
+    SELECT is_open_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(c_acctbal), 2) AS sum_acctbal,
+           round(sum(o_totalprice), 2) AS sum_totalprice
+    FROM j GROUP BY 1
+    """,
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of the orders fact stream against an SCD2
+    customer dimension (scd2_merge, effective 1996-07-01, acctbal bump on
+    %11 keys): every order sees the acctbal that was true ON ITS ORDER
+    DATE — pre-change orders of changed customers aggregate under the
+    closed version, the leakage-free temporal-attribute semantics training
+    pipelines need. Equi-join on the key + half-open interval residual:
+    the dimension broadcasts, the fact side never shuffles (see
+    operators/temporal.py point_in_time_join). The oracle builds the same
+    two-version dimension arithmetically — %11 keys close at the
+    effective date and reopen bumped — and joins with the same half-open
+    predicate."""
+    from oracle_schema_copy_spark.operators import mutate
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    current = cust.withColumn(
+        "valid_from", F.lit("1992-01-01").cast("date")
+    ).withColumn("valid_to", F.lit("9999-12-31").cast("date"))
+    updates = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    dim = mutate.scd2_merge(
+        current, updates, "c_custkey", effective_date="1996-07-01"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = temporal.point_in_time_join(
+        orders,
+        dim,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        fact_ts="o_orderdate",
+    )
+    return j.groupBy(
+        (F.col("valid_to") == F.lit("9999-12-31").cast("date")).alias(
+            "is_open_version"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+    )

@@ -40,19 +40,22 @@ def test_ghost_check_order_name_raises():
 
 
 def test_never_driver_checked_queries_lead_check_order():
-    """VERDICT r4 ask #1: the 38 queries with no driver row through r4
-    (REGISTRY − ∪CORRECTNESS_r01..r04) must occupy the front of the
-    check order so the round-5 driver budget lands on them."""
+    """VERDICT r4 ask #1 (generalized in r6 to every recorded round):
+    queries with no driver row in ANY committed CORRECTNESS_r0*.json must
+    occupy the contiguous front of the check order, so the next driver
+    budget lands on exactly the zero-evidence set first."""
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-4].json")):
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
         seen |= set(json.load(open(f)))
     names = list(q.queries())
     never = [n for n in names if n not in seen]
+    if not never:  # every registered query already has a driver row
+        return
     # every never-checked name must appear before every already-checked one
     last_never = max(names.index(n) for n in never)
     assert last_never == len(never) - 1, (

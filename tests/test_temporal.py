@@ -242,3 +242,37 @@ def test_funnel_ordered_progression(spark):
     assert set(got) == {1, 2}
     assert got[1].reached == 3 and got[1].t3 == dt(2024, 1, 1, 12)
     assert got[2].reached == 1 and got[2].t2 is None
+
+
+def test_point_in_time_join_half_open_boundary(spark):
+    """A fact ON the version boundary matches only the SUCCESSOR version
+    (half-open [valid_from, valid_to)), and every fact matches exactly one
+    version."""
+    from datetime import date
+
+    from oracle_schema_copy_spark.operators.temporal import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", date(2020, 1, 1), date(2021, 1, 1)),
+            (1, "v2", date(2021, 1, 1), date(9999, 12, 31)),
+            (2, "only", date(2020, 1, 1), date(9999, 12, 31)),
+        ],
+        ["k", "attr", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, date(2020, 6, 1)),   # inside v1
+            (11, 1, date(2021, 1, 1)),   # ON the boundary -> v2
+            (12, 1, date(2019, 1, 1)),   # before first version -> no match
+            (13, 2, date(2025, 1, 1)),   # single open version
+        ],
+        ["fid", "k", "d"],
+    )
+    got = {
+        r.fid: r.attr
+        for r in point_in_time_join(
+            facts, dim, fact_key="k", dim_key="k", fact_ts="d"
+        ).collect()
+    }
+    assert got == {10: "v1", 11: "v2", 13: "only"}
