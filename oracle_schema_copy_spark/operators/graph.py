@@ -199,7 +199,11 @@ def bfs_hops_sql(edges_cte: str, source_literal: str, *, max_hops: int = 4) -> s
 
 
 def triangle_counts(
-    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation — the
     classic communication-optimal topology (Suri & Vassilvitskii's MR
@@ -215,6 +219,15 @@ def triangle_counts(
     distinct undirected (a < b) pairs first. Returns (node, n_triangles)
     for nodes in at least one triangle; counts are exact integers so the
     SQL twin (:func:`triangle_counts_sql`) matches bit-for-bit.
+
+    ``max_degree``: when set, counts triangles on the degree-capped
+    INDUCED subgraph — vertices whose canonical-undirected degree exceeds
+    the cap are dropped (with every incident edge) before orientation.
+    This is the scale-subset gate shape (the full-graph oracle is
+    infeasible for external verifiers at very large m: DuckDB's wedge
+    join spilled >80 GB at sf1); the Spark full-graph path needs no cap —
+    orientation alone bounds the wedge fan-out. The cap MUST be mirrored
+    in the SQL twin (pass the same value to :func:`triangle_counts_sql`).
     """
     a, b = F.col(src_col), F.col(dst_col)
     und = (
@@ -224,12 +237,16 @@ def triangle_counts(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    if max_degree is not None:
+        kept = _undirected_degrees(und).where(
+            F.col("deg") <= max_degree
+        ).select("node")
+        und = (
+            und.join(kept.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(kept.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+    deg = _undirected_degrees(und)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
     ed = und.join(da, "a").join(db, "b")
@@ -260,15 +277,43 @@ def triangle_counts(
     )
 
 
-def triangle_counts_sql(edges_cte: str) -> str:
+def _undirected_degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical undirected (a < b) edge list."""
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def triangle_counts_sql(edges_cte: str, *, max_degree: int | None = None) -> str:
     """ANSI-SQL twin of :func:`triangle_counts` over an ``edges(src, dst)``
     CTE: identical canonicalization, (degree, id) orientation, wedge
     enumeration at the low endpoint and closing semi-join, so the exact
-    integer counts agree with Spark bit-for-bit."""
+    integer counts agree with Spark bit-for-bit. ``max_degree`` mirrors
+    the Spark-side induced-subgraph cap (same deg0-on-canonical-edges
+    definition), and MATERIALIZED hints keep DuckDB from re-inlining the
+    capped edge list into all three of its downstream references."""
+    cap = ""
+    und_src = "raw_und"
+    if max_degree is not None:
+        cap = f"""
+    deg0 AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM raw_und UNION ALL SELECT b FROM raw_und)
+        GROUP BY node),
+    kept AS (SELECT node FROM deg0 WHERE deg <= {max_degree}),
+    capped AS MATERIALIZED (
+        SELECT u.a, u.b FROM raw_und u
+        JOIN kept ka ON ka.node = u.a
+        JOIN kept kb ON kb.node = u.b),"""
+        und_src = "capped"
     return f"""WITH raw AS ({edges_cte}),
-    und AS (
+    raw_und AS (
         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        FROM raw WHERE src <> dst),
+        FROM raw WHERE src <> dst),{cap}
+    und AS (SELECT a, b FROM {und_src}),
     deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
             SELECT a AS node FROM und UNION ALL SELECT b FROM und)

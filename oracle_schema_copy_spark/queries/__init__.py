@@ -54,19 +54,32 @@ def _load_all() -> None:
 
 # Checking order for external verifiers that iterate queries() under a
 # query-count or time budget (the round driver records the first ~50):
-# FIRST holds, in order, (z) the 11 queries with no driver row in ANY
-# round r1-r5 (exactly REGISTRY − ∪CORRECTNESS_r01..r05 — the r5 driver
-# budget ended just before them; the r5 judge re-ran all 11 at sf0.01,
-# all MATCH, but VERDICT r5 #2 wants the hard gate to record them), then
-# (m6) queries whose implementation changed in round 6 (adaptive LSH r,
-# MoR sequencing, KS job elision, Observation empty-guard, bucketed-join
-# guard), then (r6) queries newly registered in round 6, then the prior
-# rounds' sections.  The TAIL holds queries green in a previous round's
-# driver gate with unchanged implementations, so a budget cutoff costs
-# the least fresh information.  Names absent from both lists keep
-# registry (insertion) order in the middle.
+# FIRST holds, in order, (r7) the queries newly registered in round 7
+# (no driver row in ANY round — the contiguous never-driver-checked
+# front, tests/test_registry.py), then (m7) queries whose build path
+# changed in round 7 (the _auto_lsh_r memo feeds all four LSH queries;
+# the triangle edge builder was factored), then the prior rounds'
+# sections.  The TAIL holds queries green in a previous round's driver
+# gate with unchanged implementations, so a budget cutoff costs the
+# least fresh information.  Names absent from both lists keep registry
+# (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
-    # (z) never driver-checked through r5 — VERDICT r5 "next round" #2
+    # (r7) new in round 7 — no driver row exists yet
+    "bpe_train_k_merges",
+    "scd2_point_in_time_attribution",
+    "graph_triangle_counts_capped",
+    # (m7) build path changed in round 7 — re-gate after the change
+    "similarity_topk_lsh_banded",
+    "similarity_topk_lsh_vectorized",
+    "dedup_embedding_lsh",
+    "ann_recall_contract",
+    "graph_triangle_counts",
+    # (r6) new in round 6, all recorded green by the r6 driver
+    "mor_time_travel_orders",
+    "mor_compaction_equivalence",
+    "scd2_point_in_time_join",
+    "bpe_pair_merge_step",
+    # (z) first driver rows recorded r6 (VERDICT r5 "next round" #2)
     "asof_join_planted_ties",
     "join_bucketed_no_shuffle",
     "mor_read_orders",
@@ -78,18 +91,7 @@ _CHECK_FIRST: list[str] = [
     "stats_zipf_bigram_slope",
     "tpch_q20_potential_promotion",
     "udtf_token_runs",
-    # (r6) new in round 6 — no driver row exists yet, so they complete
-    # the contiguous never-driver-checked front (tests/test_registry.py)
-    "ann_recall_contract",
-    "mor_time_travel_orders",
-    "mor_compaction_equivalence",
-    "scd2_point_in_time_join",
-    "bpe_pair_merge_step",
-    # (m6) modified in round 6 — re-gate after the change (these HAVE
-    # prior driver rows, so they follow the never-checked block)
-    "similarity_topk_lsh_banded",
-    "similarity_topk_lsh_vectorized",
-    "dedup_embedding_lsh",
+    # (m6) modified in round 6, re-gated green by the r6 driver
     "stats_ks_drift_by_source",
     # (u) never driver-checked through r4 (all recorded green by the r5
     # driver; kept next so a wider budget re-confirms the freshest set)
@@ -132,7 +134,6 @@ _CHECK_FIRST: list[str] = [
     "stats_entropy_by_source",
     "stats_mutual_information",
     # (n) new in round 5 — recorded green by the r5 driver
-    "graph_triangle_counts",
     "dedup_semantic_clusters",
     "sketch_cms_heavy_hitters",
     "train_shard_manifest",

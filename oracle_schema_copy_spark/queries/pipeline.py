@@ -511,12 +511,25 @@ def _banded_lsh_sql(bands: int = 8, max_bucket: int = 1000) -> str:
     """
 
 
-def _auto_lsh_r(emb) -> int:
+_LSH_R_BY_DIR: dict[str, int] = {}
+
+
+def _auto_lsh_r(emb, sf_dir: str) -> int:
     """The Spark-side half of the wired count->r map: one count() job at
     query-build time (parquet row-group metadata count — cheap), then the
     integer rule auto_planes_per_band. MUST stay the mirror of the prm
-    CTE in _banded_lsh_sql."""
-    return similarity.auto_planes_per_band(emb.count(), max_bucket=1000)
+    CTE in _banded_lsh_sql.
+
+    Memoized per sf_dir (the embeddings corpus is a pure function of the
+    fixture directory): a session that builds all four LSH queries runs
+    ONE count job, not four (r6 VERDICT "what's wrong" #2 — the three
+    redundant driver jobs were bench jitter). Asserted by a job-count
+    test (tests/test_pipeline_queries.py::test_auto_lsh_r_memoized)."""
+    if sf_dir not in _LSH_R_BY_DIR:
+        _LSH_R_BY_DIR[sf_dir] = similarity.auto_planes_per_band(
+            emb.count(), max_bucket=1000
+        )
+    return _LSH_R_BY_DIR[sf_dir]
 
 
 @query(
@@ -544,7 +557,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         threshold=0.45,
         bands=8,
-        planes_per_band=_auto_lsh_r(emb),
+        planes_per_band=_auto_lsh_r(emb, sf_dir),
         plane_stride=similarity.LSH_R_MAX,
     )
 
@@ -685,7 +698,7 @@ def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8,
-        planes_per_band=_auto_lsh_r(emb), plane_stride=similarity.LSH_R_MAX,
+        planes_per_band=_auto_lsh_r(emb, sf_dir), plane_stride=similarity.LSH_R_MAX,
         max_bucket=1000, queries_are_corpus_subset=True,
     )
 
@@ -736,7 +749,7 @@ def q_similarity_topk_lsh_vectorized(spark: SparkSession, sf_dir: str) -> DataFr
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_banded_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8,
-        planes_per_band=_auto_lsh_r(emb), plane_stride=similarity.LSH_R_MAX,
+        planes_per_band=_auto_lsh_r(emb, sf_dir), plane_stride=similarity.LSH_R_MAX,
         max_bucket=1000, scorer="vectorized", queries_are_corpus_subset=True,
     )
 
@@ -797,7 +810,7 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20)
     lsh = similarity.lsh_banded_topk(
         emb, q, k=5, bands=8,
-        planes_per_band=_auto_lsh_r(emb), plane_stride=similarity.LSH_R_MAX,
+        planes_per_band=_auto_lsh_r(emb, sf_dir), plane_stride=similarity.LSH_R_MAX,
         max_bucket=1000, queries_are_corpus_subset=True,
     ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
     brute = similarity.brute_force_topk(emb, q, k=5).select(
@@ -2052,6 +2065,19 @@ def _triangle_oracle() -> str:
     return graph.triangle_counts_sql(_COPURCHASE_EDGES_SQL)
 
 
+# Degree cap for the scale-subset triangle gate: must be the SAME value
+# in the Spark call and the SQL twin (oracle conventions — any cap/guard
+# is mirrored or the gate diverges at scale).
+_TRIANGLE_MAX_DEGREE = 100
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
+    return a.join(b, "__ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+
+
 @query("graph_triangle_counts", _triangle_oracle())
 def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts over the part co-purchase graph (two parts
@@ -2065,11 +2091,34 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame contract as pagerank/bfs_hops."""
     from oracle_schema_copy_spark.operators import graph
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "__ok").where(F.col("src") < F.col("dst")).select("src", "dst")
-    return graph.triangle_counts(edges)
+    return graph.triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+def _triangle_capped_oracle() -> str:
+    from oracle_schema_copy_spark.operators import graph
+
+    return graph.triangle_counts_sql(
+        _COPURCHASE_EDGES_SQL, max_degree=_TRIANGLE_MAX_DEGREE
+    )
+
+
+@query("graph_triangle_counts_capped", _triangle_capped_oracle())
+def q_graph_triangle_counts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts on the degree-capped (<= 40) induced co-purchase
+    subgraph — the scale-subset gate for graph_triangle_counts (r6
+    VERDICT ask #4): the FULL-graph DuckDB oracle is wedge-join
+    infeasible at sf1 (>80 GB spill), so the full query's sf1 row was a
+    documented drop; this variant keeps the triangle PLAN (same
+    canonicalization, orientation, wedge join, closing semi-join —
+    operators/graph.py triangle_counts) under a hard gate at every
+    scale. The cap is applied identically on both engines (induced
+    subgraph on canonical-undirected degree), per the mirrored-guard
+    oracle convention."""
+    from oracle_schema_copy_spark.operators import graph
+
+    return graph.triangle_counts(
+        _copurchase_edges(spark, sf_dir), max_degree=_TRIANGLE_MAX_DEGREE
+    )
 
 
 @query(
@@ -2489,3 +2538,117 @@ def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _top(p1, 1).unionByName(_top(p2, 2))
+
+
+# Private-use-area merge symbols: one fresh single-character symbol per
+# BPE merge round. Unicode PUA characters cannot appear in the fixture
+# text, so a merge never collides with real corpus symbols; both engines
+# count string length / substr in code points, so a merged pair behaves
+# as ONE symbol in every later round's adjacent-pair window.
+_BPE_SYMS = [chr(0xE000 + i) for i in range(16)]
+
+
+def _bpe_train_sql(k_merges: int) -> str:
+    """Unrolled-CTE DuckDB twin of the K-merge BPE training loop: w0 is
+    the corpus word count, then per round k — pair count p{k} over
+    w{k-1}, winner t{k} (count DESC, pair ASC), merged vocabulary w{k}
+    via replace() with round k's private-use symbol — exactly the Spark
+    driver loop's per-round plan."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2
+        GROUP BY w)"""
+    ]
+    selects = []
+    for k in range(1, k_merges + 1):
+        prev, sym = f"w{k - 1}", _BPE_SYMS[k - 1]
+        ctes.append(
+            f"""p{k} AS (
+        SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+        FROM (SELECT wn,
+                     unnest(list_transform(generate_series(1, length(w) - 1),
+                                           i -> substr(w, i, 2))) AS pair
+              FROM {prev})
+        GROUP BY pair)"""
+        )
+        ctes.append(
+            f"t{k} AS (SELECT pair AS mp, n FROM p{k} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT w, CAST(sum(wn) AS BIGINT) AS wn
+        FROM (SELECT replace(w, (SELECT mp FROM t{k}), '{sym}') AS w, wn
+              FROM {prev})
+        WHERE length(w) >= 2
+        GROUP BY w)"""
+        )
+        selects.append(
+            f"SELECT CAST({k} AS INTEGER) AS merge_round, mp AS merged_pair, n"
+            f" FROM t{k}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+_BPE_K_MERGES = 6
+
+
+@query("bpe_train_k_merges", _bpe_train_sql(_BPE_K_MERGES))
+def q_bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, K=6 merge rounds — the multi-merge
+    extension of bpe_pair_merge_step (r6 VERDICT ask #6), emitting the
+    MERGE TABLE (merge_round, merged_pair, n): the actual artifact a
+    tokenizer trainer produces. A driver loop over DataFrame rounds with
+    localCheckpoint lineage cuts (the kmeans_iterations /
+    connected_components pattern): per round, count adjacent symbol
+    pairs over the word-frequency vocabulary, collect the single winning
+    pair (1-row bounded collect — the same driver-frontier shape as the
+    FK walk), replace it with a fresh private-use single-char symbol,
+    and re-aggregate the merged vocabulary.
+
+    Scale shape: the corpus collapses to its VOCABULARY in w0's one
+    corpus-wide shuffle; all K rounds after that are vocabulary-sized
+    (pair explode bounded by Σ word_len, 1-row winner, replace +
+    re-group), independent of corpus row count — at 100 TB only w0
+    touches the data. replace() uses F.replace with literal COLUMNS (no
+    SQL-string splicing, so winning pairs containing quotes are safe).
+    The eager checkpoint per round both cuts lineage and makes the
+    winner's 1-row collect read cached partitions, not recompute the
+    chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = (
+        "explode(transform(sequence(1, length(w) - 1),"
+        " i -> substr(w, i, 2))) AS pair"
+    )
+    merges: list[tuple[int, str, int]] = []
+    for k in range(1, _BPE_K_MERGES + 1):
+        pairs = (
+            vocab.selectExpr("wn", pair_expr)
+            .groupBy("pair")
+            .agg(F.sum("wn").cast("long").alias("n"))
+        )
+        win = pairs.orderBy(F.desc("n"), "pair").limit(1).collect()[0]
+        merges.append((k, win["pair"], win["n"]))
+        vocab = (
+            vocab.select(
+                F.replace(F.col("w"), F.lit(win["pair"]), F.lit(_BPE_SYMS[k - 1]))
+                .alias("w"),
+                "wn",
+            )
+            .filter(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.sum("wn").cast("long").alias("wn"))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges, schema="merge_round INT, merged_pair STRING, n BIGINT"
+    )
