@@ -66,6 +66,8 @@ def _load_all() -> None:
 _CHECK_FIRST: list[str] = [
     # (r7) new in round 7 — no driver row exists yet
     "bpe_train_k_merges",
+    "bpe_encode_token_counts",
+    "ivf_recall_contract",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

@@ -614,10 +614,10 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_partitioned_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
-@query(
-    "similarity_topk_ivf_nprobe",
-    f"""
-    WITH cents AS (
+# IVF coarse-quantizer CTE chain (train centroids -> route 20 queries to
+# their top-2 cells -> exact-score cell members), shared by the
+# similarity_topk_ivf_nprobe oracle and the ivf_recall_contract oracle.
+_IVF_NPROBE_CTES = f"""cents AS (
         SELECT label, k - 1 AS pos,
                round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
         FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
@@ -637,7 +637,13 @@ def q_similarity_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.query_id, e.vec_id AS neighbor_id,
                {_sql_dot('e.embedding', 'p.qv')} AS score
         FROM embeddings e JOIN probed p
-          ON e.label = p.label AND e.vec_id <> p.query_id),
+          ON e.label = p.label AND e.vec_id <> p.query_id)"""
+
+
+@query(
+    "similarity_topk_ivf_nprobe",
+    f"""
+    WITH {_IVF_NPROBE_CTES},
     ranked AS (
         SELECT query_id, neighbor_id, score,
                CAST(row_number() OVER (
@@ -656,6 +662,63 @@ def q_similarity_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), cents, nprobe=2, k=5
+    )
+
+
+@query(
+    "ivf_recall_contract",
+    f"""
+    WITH {_IVF_NPROBE_CTES},
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 5),
+    bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    bscored AS (
+        SELECT bq.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'bq.qv')} AS score
+        FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5)
+    SELECT b.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM brute b LEFT JOIN ivf l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF nprobe=2 path against the exact brute-force
+    top-5, per query — the same in-engine quality contract
+    ann_recall_contract pins for banded LSH, now covering the OTHER
+    pruned ANN family: a quantizer/routing regression (centroid rounding,
+    cell tie-break, probe count) that silently degrades IVF recall turns
+    this row red rather than just returning different-but-plausible
+    neighbors. Both rankings are deterministic (exact re-score,
+    neighbor-id tie-break), so recall itself is oracle-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    ivf = similarity.ivf_topk(emb, q, cents, nprobe=2, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    brute = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            (F.count("__hit").cast("double") / 5).alias("recall_at_5"),
+        )
     )
 
 
@@ -2548,11 +2611,12 @@ def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SYMS = [chr(0xE000 + i) for i in range(16)]
 
 
-def _bpe_train_sql(k_merges: int) -> str:
-    """Unrolled-CTE DuckDB twin of the K-merge BPE training loop: w0 is
-    the corpus word count, then per round k — pair count p{k} over
-    w{k-1}, winner t{k} (count DESC, pair ASC), merged vocabulary w{k}
-    via replace() with round k's private-use symbol — exactly the Spark
+def _bpe_cte_prefix(k_merges: int) -> tuple[str, list[str]]:
+    """(CTE chain, per-round winner SELECTs) shared by the BPE train and
+    encode oracles: w0 is the
+    corpus word count, then per round k — pair count p{k} over w{k-1},
+    winner t{k} (count DESC, pair ASC), merged vocabulary w{k} via
+    replace() with round k's private-use symbol — exactly the Spark
     driver loop's per-round plan."""
     ctes = [
         """w0 AS MATERIALIZED (
@@ -2588,34 +2652,25 @@ def _bpe_train_sql(k_merges: int) -> str:
             f"SELECT CAST({k} AS INTEGER) AS merge_round, mp AS merged_pair, n"
             f" FROM t{k}"
         )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+    return ",\n    ".join(ctes), selects
+
+
+def _bpe_train_sql(k_merges: int) -> str:
+    prefix, selects = _bpe_cte_prefix(k_merges)
+    return "WITH " + prefix + "\n    " + "\n    UNION ALL ".join(selects)
 
 
 _BPE_K_MERGES = 6
+_BPE_MERGES_BY_DIR: dict[str, list[tuple[int, str, int]]] = {}
 
 
-@query("bpe_train_k_merges", _bpe_train_sql(_BPE_K_MERGES))
-def q_bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, K=6 merge rounds — the multi-merge
-    extension of bpe_pair_merge_step (r6 VERDICT ask #6), emitting the
-    MERGE TABLE (merge_round, merged_pair, n): the actual artifact a
-    tokenizer trainer produces. A driver loop over DataFrame rounds with
-    localCheckpoint lineage cuts (the kmeans_iterations /
-    connected_components pattern): per round, count adjacent symbol
-    pairs over the word-frequency vocabulary, collect the single winning
-    pair (1-row bounded collect — the same driver-frontier shape as the
-    FK walk), replace it with a fresh private-use single-char symbol,
-    and re-aggregate the merged vocabulary.
-
-    Scale shape: the corpus collapses to its VOCABULARY in w0's one
-    corpus-wide shuffle; all K rounds after that are vocabulary-sized
-    (pair explode bounded by Σ word_len, 1-row winner, replace +
-    re-group), independent of corpus row count — at 100 TB only w0
-    touches the data. replace() uses F.replace with literal COLUMNS (no
-    SQL-string splicing, so winning pairs containing quotes are safe).
-    The eager checkpoint per round both cuts lineage and makes the
-    winner's 1-row collect read cached partitions, not recompute the
-    chain."""
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
+    """The K-merge BPE training driver loop; returns the merge table rows
+    (round, winning pair, count). Memoized per sf_dir (pure function of
+    the fixture) so the train and encode queries share one training run
+    per session, like _auto_lsh_r."""
+    if sf_dir in _BPE_MERGES_BY_DIR:
+        return _BPE_MERGES_BY_DIR[sf_dir]
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("w")
@@ -2649,6 +2704,85 @@ def q_bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("wn").cast("long").alias("wn"))
             .localCheckpoint(eager=True)
         )
+    _BPE_MERGES_BY_DIR[sf_dir] = merges
+    return merges
+
+
+@query("bpe_train_k_merges", _bpe_train_sql(_BPE_K_MERGES))
+def q_bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, K=6 merge rounds — the multi-merge
+    extension of bpe_pair_merge_step (r6 VERDICT ask #6), emitting the
+    MERGE TABLE (merge_round, merged_pair, n): the actual artifact a
+    tokenizer trainer produces. A driver loop over DataFrame rounds with
+    localCheckpoint lineage cuts (the kmeans_iterations /
+    connected_components pattern): per round, count adjacent symbol
+    pairs over the word-frequency vocabulary, collect the single winning
+    pair (1-row bounded collect — the same driver-frontier shape as the
+    FK walk), replace it with a fresh private-use single-char symbol,
+    and re-aggregate the merged vocabulary.
+
+    Scale shape: the corpus collapses to its VOCABULARY in w0's one
+    corpus-wide shuffle; all K rounds after that are vocabulary-sized
+    (pair explode bounded by Σ word_len, 1-row winner, replace +
+    re-group), independent of corpus row count — at 100 TB only w0
+    touches the data. replace() uses F.replace with literal COLUMNS (no
+    SQL-string splicing, so winning pairs containing quotes are safe).
+    The eager checkpoint per round both cuts lineage and makes the
+    winner's 1-row collect read cached partitions, not recompute the
+    chain. The loop itself lives in _bpe_learn (memoized per sf_dir, so
+    the encode query reuses this training run)."""
     return spark.createDataFrame(
-        merges, schema="merge_round INT, merged_pair STRING, n BIGINT"
+        _bpe_learn(spark, sf_dir),
+        schema="merge_round INT, merged_pair STRING, n BIGINT",
+    )
+
+
+def _bpe_encode_sql(k_merges: int) -> str:
+    prefix, _selects = _bpe_cte_prefix(k_merges)
+    chain = "w"
+    for k in range(1, k_merges + 1):
+        chain = f"replace({chain}, (SELECT mp FROM t{k}), '{_BPE_SYMS[k - 1]}')"
+    return f"""
+    WITH {prefix},
+    enc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    applied AS (SELECT doc_id, {chain} AS m FROM enc)
+    SELECT doc_id, CAST(sum(length(m)) AS BIGINT) AS n_tokens_bpe
+    FROM applied GROUP BY doc_id
+    """
+
+
+@query("bpe_encode_token_counts", _bpe_encode_sql(_BPE_K_MERGES))
+def q_bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of BPE training — encode the corpus with the
+    learned K-merge table and emit per-document token counts, the number
+    a sequence-packing / context-budget pipeline actually consumes.
+    Closes the train->apply loop: a merge-table regression now turns a
+    row-level, fact-cardinality gate red.
+
+    Scale shape: the merge chain is applied to the DISTINCT WORD
+    VOCABULARY (one replace chain per vocabulary entry, K built-in
+    replace() calls, no UDF), then per-document counts come from an
+    equi-join of the exploded corpus against that (word -> token count)
+    map — at 100 TB the map is millions of rows (broadcastable), and the
+    corpus-sized work is one explode + one broadcast join + one groupBy
+    doc_id, with only (doc_id, wtok) ever shuffling. The oracle applies
+    the identical nested-replace chain with each round's winner bound by
+    scalar subquery."""
+    merges = _bpe_learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    merged = F.col("w")
+    for k, pair, _n in merges:
+        merged = F.replace(merged, F.lit(pair), F.lit(_BPE_SYMS[k - 1]))
+    vocab_map = (
+        words.select("w")
+        .distinct()
+        .select("w", F.length(merged).alias("wtok"))
+    )
+    return (
+        words.join(vocab_map, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("wtok").cast("long").alias("n_tokens_bpe"))
     )
