@@ -297,6 +297,164 @@ def assign_nearest_centroid(
     )
 
 
+def pq_codebooks(
+    emb: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou et al. 2011) seeded from a
+    coarse grouping column: the vector space is split into
+    ``n_subspaces`` contiguous subspaces of ``dim / n_subspaces``
+    dimensions, and codebook entry (subspace s, code g) is the subspace-s
+    slice of group g's mean vector — the same deterministic
+    centroids-as-codebook seeding the IVF queries use, so the whole
+    codebook is a pure function of the corpus and SQL-mirrorable (one
+    ``group_centroids`` pass, centroids rounded to 6 decimals BEFORE any
+    use). Returns (subspace, code, cv) with cv assembled per subspace.
+
+    Scale: the codebook is |groups| x n_subspaces rows — broadcast-sized
+    by construction regardless of corpus size."""
+    sub = dim // n_subspaces
+    cents = group_centroids(emb, group_col=group_col, vec_col=vec_col)
+    cb = cents.select(
+        F.floor(F.col("pos") / sub).cast("long").alias("subspace"),
+        F.col(group_col).alias("code"),
+        (F.col("pos") % sub).cast("long").alias("spos"),
+        "centroid",
+    )
+    return cb.groupBy("subspace", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("spos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cv")
+    )
+
+
+def _subspace_slices(
+    df: DataFrame, id_alias: str, *, id_col: str, vec_col: str,
+    n_subspaces: int, sub: int,
+) -> DataFrame:
+    """(id, subspace, __sv): the vector cut into its n_subspaces
+    contiguous slices — a single projection + posexplode, map-local."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(
+            F.array(*[F.slice(vec_col, s * sub + 1, sub) for s in range(n_subspaces)])
+        ).alias("subspace", "__sv"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` codebook codes — per
+    subspace, the code whose entry has the highest dot with the vector's
+    slice (ties -> smallest code), exactly the assign_nearest_centroid
+    argmax shape run per subspace. Output (vec_id, subspace, code): the
+    PQ-compressed corpus, n_subspaces small ints instead of dim floats —
+    the ~32x memory cut that makes billion-vector ANN RAM-resident.
+
+    Scale: codebook broadcasts; one corpus scan; the min-of-struct
+    argmax combines map-side to one row per (vector, subspace) before
+    any shuffle. The dot is the codegen'd sequential-double unrolled sum,
+    bit-equal to the DuckDB twin's list_sum loop."""
+    sub = dim // n_subspaces
+    sliced = _subspace_slices(
+        emb, id_col, id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, sub=sub,
+    )
+    scored = sliced.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        _exact_dot("__sv", "cv", sub).alias("__d"),
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min(
+            F.struct((-F.col("__d")).alias("nd"), F.col("code").alias("code"))
+        ).alias("__b")
+    )
+    return best.select(
+        id_col, F.col("subspace").cast("long").alias("subspace"),
+        F.col("__b.code").alias("code"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    dim: int = 64,
+    queries_are_corpus_subset: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus: per
+    query, dot each subspace slice against every codebook entry ONCE (the
+    lookup table — |queries| x |codebook| rows), then every corpus
+    vector's approximate score is the sum of its n_subspaces LUT hits.
+    Scores are carried in integer MICRO-UNITS (each LUT term rounds to
+    CAST(round(dot * 1e6) AS BIGINT)) so the n_subspaces-way sum is exact
+    BIGINT arithmetic — order-independent, hence bit-identical between
+    Spark and the SQL twin (the graph.pagerank trick; a double sum's
+    addition order is engine-nondeterministic at equal-score boundaries).
+
+    Scale: the LUT broadcasts (queries x codebook); the corpus side joins
+    CODES, not vectors — n_subspaces ints per vector — and the per-(query,
+    vector) sum combines map-side, so the shuffle carries one row per
+    scored pair. Vectors themselves never move. Returns (query_id,
+    neighbor_id, score_micro, rank), rank deterministic via the
+    (score DESC, neighbor_id) tie-break."""
+    sub = dim // n_subspaces
+    codes = pq_encode(
+        emb, codebooks, id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, dim=dim,
+    )
+    qsl = _subspace_slices(
+        queries, "query_id", id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, sub=sub,
+    )
+    lut = qsl.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(_exact_dot("__sv", "cv", sub) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("term"),
+    )
+    scored = codes.join(F.broadcast(lut), ["subspace", "code"])
+    if queries_are_corpus_subset:
+        scored = scored.where(F.col(id_col) != F.col("query_id"))
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.sum("term").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "score_micro",
+            "rank",
+        )
+    )
+
+
 def _posting_pairs(postings: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Ordered (id_a < id_b) pairs generated locally inside each posting
     row — no self-join, one pass over the posting lists."""

@@ -68,6 +68,7 @@ _CHECK_FIRST: list[str] = [
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",
+    "similarity_topk_pq_adc",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

@@ -722,6 +722,87 @@ def q_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequential-double dot of a subspace slice against a codebook entry:
+# DuckDB list_sum runs the same left-to-right float64 loop as the Spark
+# unrolled sum (0.0 seed is IEEE-exact), so both engines agree bit-for-bit.
+def _sql_subspace_dot(vec: str, cv: str, sub: int = 8) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"j -> CAST({vec}[subspace * {sub} + j] AS DOUBLE) * CAST({cv}[j] AS DOUBLE)))"
+    )
+
+
+@query(
+    "similarity_topk_pq_adc",
+    f"""
+    WITH cents AS (
+        SELECT label, k - 1 AS pos,
+               round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY label, k),
+    cb AS (
+        SELECT CAST(pos // 8 AS BIGINT) AS subspace, label AS code,
+               pos % 8 AS spos, centroid
+        FROM cents),
+    cbv AS (
+        SELECT subspace, code, array_agg(centroid ORDER BY spos) AS cv
+        FROM cb GROUP BY subspace, code),
+    esc AS (
+        SELECT e.vec_id, c.subspace, c.code,
+               {_sql_subspace_dot('e.embedding', 'c.cv')} AS d
+        FROM embeddings e CROSS JOIN cbv c),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, subspace ORDER BY d DESC, code) AS rk
+            FROM esc) WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    lut AS (
+        SELECT q.query_id, c.subspace, c.code,
+               CAST(round({_sql_subspace_dot('q.qv', 'c.cv')} * 1000000) AS BIGINT) AS term
+        FROM q CROSS JOIN cbv c),
+    scored AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(sum(l.term) AS BIGINT) AS score_micro
+        FROM codes cd JOIN lut l ON l.subspace = cd.subspace AND l.code = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY l.query_id, cd.vec_id)
+    SELECT query_id, neighbor_id, score_micro, rank FROM (
+        SELECT query_id, neighbor_id, score_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_micro DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored) WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): the corpus is
+    PQ-encoded to 8 subspace codes per vector (codebooks = subspace
+    slices of the rounded label centroids — the deterministic
+    centroids-as-codebook seeding the IVF family uses), and each of the
+    20 queries ranks the WHOLE corpus by asymmetric distance: one
+    query x codebook lookup table, per-vector score = exact BIGINT sum of
+    its 8 LUT terms in integer micro-units (order-independent, so Spark
+    and DuckDB agree bit-for-bit with no float-summation tolerance).
+    This is the memory-bound scale path the IVF/LSH queries don't cover:
+    at 100 TB the scored corpus representation is 8 small ints per
+    vector (~32x below the raw floats), vectors never move, LUT and
+    codebook broadcast, and the per-(query, vector) sum combines
+    map-side. Recall/precision tuning (more subspaces, residual
+    codebooks, IVF-PQ composition) trades accuracy against the same
+    plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbv = similarity.pq_codebooks(emb, group_col="label", vec_col="embedding")
+    return similarity.pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        cbv,
+        k=5,
+        queries_are_corpus_subset=True,
+    )
+
+
 @query(
     "similarity_topk_lsh_banded",
     f"""
