@@ -109,6 +109,46 @@ def label_partitioned_topk(
     )
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    nprobe: int = 2,
+    dim: int | None = 64,
+) -> DataFrame:
+    """IVF query routing: (query_id, __qv, __cell) — each query's
+    ``nprobe`` highest-dot centroid cells (ties -> smallest cell id).
+    The centroid table re-assembles to |cells| arrays and BROADCASTS
+    against the (small) query set; the rank window runs over
+    |queries| x |cells| rows, driver-free. Factored out of
+    :func:`ivf_topk` so IVF-PQ composes the same routing."""
+    cvecs = (
+        centroids.groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("__cvec")
+        )
+        .select(F.col(cell_col).alias("__cell"), "__cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    qscore = q.join(F.broadcast(cvecs)).select(
+        "query_id", "__qv", "__cell", _exact_dot("__qv", "__cvec", dim).alias("__cd")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("__cell"))
+    return (
+        qscore.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "__cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -134,27 +174,9 @@ def ivf_topk(
     partitioned/bucketed by cell, that equi-join prunes I/O to the probed
     cells; scoring touches only their rows. All dots are the
     sequential-double ``dot()`` — bit-identical to the SQL twin."""
-    cvecs = (
-        centroids.groupBy(cell_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
-                lambda s: s["centroid"],
-            ).alias("__cvec")
-        )
-        .select(F.col(cell_col).alias("__cell"), "__cvec")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    qscore = q.join(F.broadcast(cvecs)).select(
-        "query_id", "__qv", "__cell", _exact_dot("__qv", "__cvec", dim).alias("__cd")
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("__cell"))
-    probed = (
-        qscore.withColumn("__pr", F.row_number().over(wprobe))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qv", "__cell")
+    probed = ivf_probe_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col,
+        cell_col=cell_col, nprobe=nprobe, dim=dim,
     )
     scored = spread(corpus).join(
         F.broadcast(probed),
@@ -389,6 +411,102 @@ def pq_encode(
     )
 
 
+def pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC lookup table: (query_id, subspace, code, term) — each query's
+    subspace slice dotted against every codebook entry ONCE, the term
+    rounded to integer MICRO-UNITS (CAST(round(dot * 1e6) AS BIGINT)) so
+    downstream per-vector sums are exact BIGINT arithmetic. Size is
+    |queries| x |codebook| — broadcast-sized."""
+    sub = dim // n_subspaces
+    qsl = _subspace_slices(
+        queries, "query_id", id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, sub=sub,
+    )
+    return qsl.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(_exact_dot("__sv", "cv", sub) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("term"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    nprobe: int = 2,
+    k: int = 5,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    queries_are_corpus_subset: bool = True,
+) -> DataFrame:
+    """IVF-PQ — the production billion-vector index layout (Jegou et al.
+    2011; FAISS IndexIVFPQ): IVF routing prunes the SEARCH SET (each
+    query scans only its nprobe cells), PQ codes shrink the SCORED
+    REPRESENTATION (8 small ints per vector, ADC lookup-table scoring).
+    Composes the two gated primitives unchanged: ivf_probe_cells picks
+    cells, pq_encode/pq_lut score candidates in integer micro-units, so
+    the composition is bit-identical to its SQL twin like each half.
+
+    Plan shape: centroids, probe list and LUT all broadcast; the corpus
+    contributes one (cell-pruned id) join plus its code rows; the
+    per-(query, vector) BIGINT sum combines map-side. At 100 TB with the
+    corpus bucketed by cell the candidate join is partition pruning, and
+    scoring reads codes only — vectors never leave storage."""
+    probed = ivf_probe_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col,
+        cell_col=cell_col, nprobe=nprobe, dim=dim,
+    ).select("query_id", "__cell")
+    codes = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, dim=dim,
+    )
+    lut = pq_lut(
+        queries, codebooks, id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, dim=dim,
+    )
+    cand = corpus.select(id_col, cell_col).join(
+        F.broadcast(probed), F.col(cell_col) == F.col("__cell")
+    )
+    if queries_are_corpus_subset:
+        cand = cand.where(F.col(id_col) != F.col("query_id"))
+    cand = cand.select("query_id", id_col)
+    scored = cand.join(codes, id_col).join(
+        F.broadcast(lut), ["query_id", "subspace", "code"]
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.sum("term").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "score_micro",
+            "rank",
+        )
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -417,22 +535,13 @@ def pq_adc_topk(
     scored pair. Vectors themselves never move. Returns (query_id,
     neighbor_id, score_micro, rank), rank deterministic via the
     (score DESC, neighbor_id) tie-break."""
-    sub = dim // n_subspaces
     codes = pq_encode(
         emb, codebooks, id_col=id_col, vec_col=vec_col,
         n_subspaces=n_subspaces, dim=dim,
     )
-    qsl = _subspace_slices(
-        queries, "query_id", id_col=id_col, vec_col=vec_col,
-        n_subspaces=n_subspaces, sub=sub,
-    )
-    lut = qsl.join(F.broadcast(codebooks), "subspace").select(
-        "query_id",
-        "subspace",
-        "code",
-        F.round(_exact_dot("__sv", "cv", sub) * F.lit(1000000.0), 0)
-        .cast("long")
-        .alias("term"),
+    lut = pq_lut(
+        queries, codebooks, id_col=id_col, vec_col=vec_col,
+        n_subspaces=n_subspaces, dim=dim,
     )
     scored = codes.join(F.broadcast(lut), ["subspace", "code"])
     if queries_are_corpus_subset:

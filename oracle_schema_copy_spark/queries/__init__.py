@@ -69,6 +69,7 @@ _CHECK_FIRST: list[str] = [
     "bpe_encode_token_counts",
     "ivf_recall_contract",
     "similarity_topk_pq_adc",
+    "similarity_topk_ivfpq",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

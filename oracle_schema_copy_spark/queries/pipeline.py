@@ -804,6 +804,76 @@ def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_ivfpq",
+    f"""
+    WITH {_IVF_NPROBE_CTES},
+    cb AS (
+        SELECT CAST(pos // 8 AS BIGINT) AS subspace, label AS code,
+               pos % 8 AS spos, centroid
+        FROM cents),
+    cbv AS (
+        SELECT subspace, code, array_agg(centroid ORDER BY spos) AS cv
+        FROM cb GROUP BY subspace, code),
+    esc AS (
+        SELECT e.vec_id, c.subspace, c.code,
+               {_sql_subspace_dot('e.embedding', 'c.cv')} AS d
+        FROM embeddings e CROSS JOIN cbv c),
+    codes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, subspace ORDER BY d DESC, code) AS rk
+            FROM esc) WHERE rk = 1),
+    lut AS (
+        SELECT q.query_id, c.subspace, c.code,
+               CAST(round({_sql_subspace_dot('q.qv', 'c.cv')} * 1000000) AS BIGINT) AS term
+        FROM q CROSS JOIN cbv c),
+    cand AS (
+        SELECT p.query_id, e.vec_id
+        FROM embeddings e JOIN probed p ON e.label = p.label
+        WHERE e.vec_id <> p.query_id),
+    pscored AS (
+        SELECT ca.query_id, ca.vec_id AS neighbor_id,
+               CAST(sum(l.term) AS BIGINT) AS score_micro
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.vec_id
+        JOIN lut l ON l.query_id = ca.query_id
+                  AND l.subspace = cd.subspace AND l.code = cd.code
+        GROUP BY ca.query_id, ca.vec_id)
+    SELECT query_id, neighbor_id, score_micro, rank FROM (
+        SELECT query_id, neighbor_id, score_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_micro DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pscored) WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 — the production billion-vector index layout (FAISS
+    IndexIVFPQ), composed from the two separately-gated primitives: IVF
+    routing prunes each query's search set to its nprobe=2 cells, PQ/ADC
+    scores the candidates from their 8 codebook codes in integer
+    micro-units. The oracle reuses the IVF routing CTEs verbatim (the
+    unused exact-score CTE is dead in this plan) plus the PQ code/LUT
+    CTEs, so the composition is gated end-to-end exactly like each half.
+    At 100 TB: probe list, codebook and LUT broadcast; with the corpus
+    bucketed by cell the candidate join is partition pruning; scoring
+    reads codes only — the raw vectors never leave storage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    cbv = similarity.pq_codebooks(emb, group_col="label", vec_col="embedding")
+    return similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        cents,
+        cbv,
+        nprobe=2,
+        k=5,
+        queries_are_corpus_subset=True,
+    )
+
+
+@query(
     "similarity_topk_lsh_banded",
     f"""
     WITH {_banded_lsh_sql()},
