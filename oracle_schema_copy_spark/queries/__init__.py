@@ -70,6 +70,8 @@ _CHECK_FIRST: list[str] = [
     "ivf_recall_contract",
     "similarity_topk_pq_adc",
     "similarity_topk_ivfpq",
+    "quality_perplexity_buckets",
+    "stream_cdc_upsert_live",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

@@ -2104,6 +2104,67 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_perplexity_buckets",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM freq),
+    lp AS (
+        SELECT tok.doc_id,
+               round(sum(ln(freq.n / total.tot)) / count(*), 6) AS avg_logprob
+        FROM tok JOIN freq USING (t) CROSS JOIN total
+        GROUP BY tok.doc_id)
+    SELECT d.doc_id, d.lang, lp.avg_logprob,
+           CAST(ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY lp.avg_logprob DESC, d.doc_id) AS INTEGER) AS ppl_bucket
+    FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+    """,
+)
+def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    LANGUAGE, rank every document by its LM quality score (the
+    text_unigram_logprob perplexity proxy — higher avg logprob = more
+    fluent) and cut the ranking into terciles; bucket 1 = head (kept for
+    training), 2 = middle, 3 = tail (filtered or down-weighted). The
+    per-language partition is what makes the filter fair across
+    high/low-resource languages — a global cut would discard whole
+    languages. Row-level gate at corpus cardinality: the bucket of EVERY
+    document is pinned (ntile tie-broken by doc_id after the 6-decimal
+    logprob rounding, so both engines agree exactly; Spark and DuckDB
+    share the same first-buckets-get-extras ntile semantics).
+
+    Scale: the LM table is corpus-derived and broadcast; one explode +
+    broadcast join + per-doc aggregate, then one window over (lang)
+    partitions — the only full shuffle carries (doc_id, lang, score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").cast("double").alias("tot"))
+    lp = (
+        tok.join(F.broadcast(freq), "t")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("n") / F.col("tot"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(lp, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.ntile(3).over(w).cast("int").alias("ppl_bucket"),
+        )
+    )
+
+
+@query(
     "dedup_keep_best_per_cluster",
     f"""
     WITH RECURSIVE

@@ -235,3 +235,65 @@ def q_stream_cms_sketch_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = sketches.cms_sketch(ev, "k", depth=4, width=256)
     return ops.run_stream_to_df(grid, output_mode="complete")
+
+
+@query(
+    "stream_cdc_upsert_live",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end streaming CDC pipeline: the event stream is staged
+    into two files and drained as TWO micro-batches
+    (maxFilesPerTrigger=1), the stateful per-user totals emit update-mode
+    rows per batch, and a foreachBatch MERGE sink
+    (streaming/ops.py stream_upsert_to_parquet) upserts each batch into a
+    parquet SERVING TABLE by key — so the second batch exercises the real
+    update path (existing keys overwritten, new keys inserted), not just
+    first-batch insert. The gated result is the serving table itself,
+    which must equal the batch groupBy twin — the exactly-once contract
+    a downstream consumer of the serving table actually relies on. On a
+    table format with native MERGE the sink body becomes one MERGE INTO;
+    wiring and gate are unchanged. The serving table is localCheckpointed
+    into the session before the scratch dir is removed."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    events = ops.load_events(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="oscs_cdc_")
+    try:
+        flat = os.path.join(stage, "flat")
+        os.makedirs(flat)
+        n = 0
+        for i, pred in enumerate(
+            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+        ):
+            part = os.path.join(stage, f"part{i}")
+            events.where(pred).coalesce(1).write.parquet(part)
+            for f in sorted(os.listdir(part)):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(part, f), os.path.join(flat, f"{n}.parquet")
+                    )
+                    n += 1
+        sdf = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        serving = os.path.join(stage, "serving")
+        ops.stream_upsert_to_parquet(
+            ops.stateful_user_totals_stream(sdf),
+            serving,
+            ["user_id"],
+            os.path.join(stage, "ckpt"),
+        )
+        return spark.read.parquet(serving).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
