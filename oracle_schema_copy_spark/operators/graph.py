@@ -338,3 +338,126 @@ def triangle_counts_sql(edges_cte: str, *, max_degree: int | None = None) -> str
         UNION ALL SELECT w FROM tri)
     SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
     FROM pernode GROUP BY node"""
+
+
+def k_core_peel(
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``rounds`` iterations of k-core peeling with per-node peel labels:
+    repeatedly drop vertices whose degree in the current induced subgraph
+    is below ``k`` (with every incident edge) — the standard coreness-
+    decomposition step. A FIXED round count, not a fixpoint loop, so an
+    unrolled-CTE SQL twin reproduces the result exactly; when the peel
+    converges within ``rounds`` (probed for the gated fixtures) the
+    survivors ARE the k-core, and extra rounds are no-ops by
+    construction. Returns one row per original node:
+    (node, peel_round, core_deg) — peel_round is the 1-based round the
+    node was removed (NULL for k-core survivors; removal is monotone, so
+    the label is well-defined), core_deg its degree in the final
+    subgraph (0 when peeled). Emitting the full decomposition rather
+    than survivors alone keeps the oracle gate non-degenerate at every
+    scale — at small SFs the whole graph collapses (every node gets a
+    label), at larger SFs a dense core survives.
+
+    Scale: each round is one degree aggregation plus two semi-joins on
+    the shrinking edge list, with a localCheckpoint lineage cut — the
+    connected-components / kmeans driver-loop shape; the edge list only
+    ever shrinks, so round cost is monotonically decreasing, and the
+    labels union is assembled lazily (no per-round action)."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes0 = _undirected_degrees(und).select("node").localCheckpoint(eager=False)
+    alive = nodes0
+    peeled: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        kept = (
+            _undirected_degrees(und).where(F.col("deg") >= k).select("node")
+        )
+        # Peeled this round = still alive but below-k OR newly isolated
+        # (isolated nodes have no edges, hence no degree row at all).
+        peeled_r = alive.join(kept, "node", "left_anti").select(
+            "node", F.lit(r).cast("int").alias("peel_round")
+        )
+        peeled = peeled_r if peeled is None else peeled.unionAll(peeled_r)
+        alive = kept.localCheckpoint(eager=False)
+        und = (
+            und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    final_deg = _undirected_degrees(und)
+    return (
+        nodes0.join(peeled, "node", "left")
+        .join(final_deg, "node", "left")
+        .select(
+            "node",
+            F.col("peel_round").cast("long").alias("peel_round"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("core_deg"),
+        )
+    )
+
+
+def k_core_peel_sql(edges_cte: str, *, k: int, rounds: int) -> str:
+    """ANSI-SQL twin of :func:`k_core_peel`: identical canonicalization
+    and per-round degree-filter/induce steps, unrolled to ``rounds`` CTE
+    pairs. peel_round is reconstructed as the first round whose kept-set
+    the node is missing from — equivalent to the Spark loop's alive-
+    minus-kept labels because kept-sets shrink monotonically (a node in
+    ``k{r}`` has an edge in ``u{r-1}``, which requires membership in
+    ``k{r-1}``)."""
+    ctes = [
+        f"raw AS ({edges_cte})",
+        """u0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst)""",
+        """n0 AS (SELECT DISTINCT node FROM (
+        SELECT a AS node FROM u0 UNION ALL SELECT b FROM u0))""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"u{r - 1}"
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+            GROUP BY node) WHERE deg >= {k})"""
+        )
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+        SELECT u.a, u.b FROM {prev} u
+        JOIN k{r} ka ON ka.node = u.a
+        JOIN k{r} kb ON kb.node = u.b)"""
+        )
+    case_arms = "\n        ".join(
+        f"WHEN kj{r}.node IS NULL THEN {r}" for r in range(1, rounds + 1)
+    )
+    kept_joins = "\n    ".join(
+        f"LEFT JOIN k{r} kj{r} ON kj{r}.node = n.node"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    fdeg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM u{rounds} UNION ALL SELECT b FROM u{rounds})
+        GROUP BY node)
+    SELECT n.node,
+           CAST(CASE {case_arms} ELSE NULL END AS BIGINT) AS peel_round,
+           CAST(coalesce(fdeg.deg, 0) AS BIGINT) AS core_deg
+    FROM n0 n
+    {kept_joins}
+    LEFT JOIN fdeg ON fdeg.node = n.node"""
+    )

@@ -72,6 +72,8 @@ _CHECK_FIRST: list[str] = [
     "similarity_topk_ivfpq",
     "quality_perplexity_buckets",
     "stream_cdc_upsert_live",
+    "events_session_funnel",
+    "graph_k_core_decomposition",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

@@ -2396,6 +2396,48 @@ def q_graph_triangle_counts_capped(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Peel threshold / round budget for the k-core gate: mirrored constants
+# (oracle conventions). k=80 sits inside the co-purchase degree
+# distribution at every SF (probed: min 38, median 89-119, max 138-222),
+# so the peel is non-degenerate everywhere — full cascade collapse at
+# sf0.001 (every node labeled), a 1.9k/18.9k-node surviving core at
+# sf0.01/sf0.1. Fixpoint is reached in <= 6 rounds at every probed SF;
+# rounds=8 leaves margin, and post-fixpoint rounds are no-ops on an
+# empty-or-stable edge list.
+_KCORE_K = 80
+_KCORE_ROUNDS = 8
+
+
+def _k_core_oracle() -> str:
+    from oracle_schema_copy_spark.operators import graph
+
+    return graph.k_core_peel_sql(
+        _COPURCHASE_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+
+
+@query("graph_k_core_decomposition", _k_core_oracle())
+def q_graph_k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph by iterative
+    peeling (Matula-Beck coreness step, the standard dense-subgraph /
+    community-seed primitive): each round drops every part whose degree
+    in the current induced subgraph is below k, together with its
+    edges; output is one row per node with the round it was peeled
+    (NULL = survives in the k-core) and its final-subgraph degree. The
+    fixed round count makes the unrolled-CTE DuckDB twin exact — the
+    same contract as graph_triangle_counts_capped's mirrored cap and
+    kmeans_two_iterations' fixed iteration count. Scale: each round is
+    a degree aggregation plus two semi-joins on a monotonically
+    shrinking edge list with localCheckpoint lineage cuts; no
+    all-pairs, no wedge join, so the sf1 oracle stays feasible where
+    the uncapped triangle oracle was not."""
+    from oracle_schema_copy_spark.operators import graph
+
+    return graph.k_core_peel(
+        _copurchase_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+
+
 @query(
     "dedup_semantic_clusters",
     f"""

@@ -694,3 +694,85 @@ def q_scd2_point_in_time_attribution(spark: SparkSession, sf_dir: str) -> DataFr
             "is_open_version"
         ),
     )
+
+
+@query(
+    "events_session_funnel",
+    """
+    WITH o AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts)) >= 14400000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM o),
+    v AS (SELECT user_id, session_seq, min(ts) AS v_ts
+          FROM s WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT s.user_id, s.session_seq, min(s.ts) AS c_ts
+          FROM s JOIN v ON v.user_id = s.user_id AND v.session_seq = s.session_seq
+          WHERE s.event_type = 'click' AND s.ts > v.v_ts GROUP BY 1, 2),
+    p AS (SELECT s.user_id, s.session_seq, min(s.ts) AS p_ts
+          FROM s JOIN c ON c.user_id = s.user_id AND c.session_seq = s.session_seq
+          WHERE s.event_type = 'purchase' AND s.ts > c.c_ts GROUP BY 1, 2),
+    sess AS (SELECT DISTINCT user_id, session_seq FROM s)
+    SELECT sess.user_id, sess.session_seq,
+           v.v_ts IS NOT NULL AS reached_view,
+           c.c_ts IS NOT NULL AS reached_click,
+           p.p_ts IS NOT NULL AS reached_purchase
+    FROM sess
+    LEFT JOIN v ON v.user_id = sess.user_id AND v.session_seq = sess.session_seq
+    LEFT JOIN c ON c.user_id = sess.user_id AND c.session_seq = sess.session_seq
+    LEFT JOIN p ON p.user_id = sess.user_id AND p.session_seq = sess.session_seq
+    """,
+)
+def q_events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis per session — the product-analytics staple:
+    a session reaches the click step only via a click AFTER its first
+    view, and the purchase step only via a purchase AFTER that click
+    (strict event-time ordering, not mere co-occurrence). Built on the
+    gated sessionize operator; each funnel stage is one aggregate + one
+    equi-join on the session key, all co-partitioned after sessionize's
+    single shuffle+sort — no self-join fan-out, no window re-sort per
+    stage. Row-level gate at session cardinality: every session's
+    (reached_view, reached_click, reached_purchase) triple is pinned."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = temporal.sessionize(ev, key="user_id", ts="ts", gap_seconds=14_400)
+    keys = ["user_id", "session_seq"]
+    v = (
+        s.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .join(v, keys)
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .join(c, keys)
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    sess = s.select(*keys).distinct()
+    return (
+        sess.join(v, keys, "left")
+        .join(c, keys, "left")
+        .join(p, keys, "left")
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("v_ts").isNotNull().alias("reached_view"),
+            F.col("c_ts").isNotNull().alias("reached_click"),
+            F.col("p_ts").isNotNull().alias("reached_purchase"),
+        )
+    )

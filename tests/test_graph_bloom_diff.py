@@ -70,3 +70,42 @@ def test_bfs_hops_levels_and_unreachable(spark):
     assert got == {"a": 0, "b": 1, "c": 2}  # d beyond max_hops; x/y unreachable
     full = {r.node: r.hops for r in graph.bfs_hops(edges, "a", max_hops=9).collect()}
     assert full == {"a": 0, "b": 1, "c": 2, "d": 3}  # early-exit on empty frontier
+
+
+def test_k_core_peel_labels_cascade_and_survivors(spark):
+    # Path a-b-c-d plus triangle d-e-f-d: 2-core is exactly the triangle.
+    # a (deg 1) peels round 1; b then drops to deg 1 -> round 2; c -> 3.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d")],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: (r.peel_round, r.core_deg)
+        for r in graph.k_core_peel(edges, k=2, rounds=6).collect()
+    }
+    assert got == {
+        "a": (1, 0),
+        "b": (2, 0),
+        "c": (3, 0),
+        "d": (None, 2),
+        "e": (None, 2),
+        "f": (None, 2),
+    }
+
+
+def test_k_core_peel_extra_rounds_are_noops_after_fixpoint(spark):
+    # The gated query relies on rounds being a BUDGET, not a semantic
+    # knob: once the peel converges, more rounds change nothing. Star
+    # graph: leaves peel round 1, the isolated center round 2.
+    edges = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], ["src", "dst"]
+    )
+
+    def run(rounds):
+        return sorted(
+            (r.node, r.peel_round, r.core_deg)
+            for r in graph.k_core_peel(edges, k=2, rounds=rounds).collect()
+        )
+
+    assert run(3) == run(7)
+    assert run(3) == [("c", 2, 0), ("l1", 1, 0), ("l2", 1, 0), ("l3", 1, 0)]
