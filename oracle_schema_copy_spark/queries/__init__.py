@@ -74,6 +74,8 @@ _CHECK_FIRST: list[str] = [
     "stream_cdc_upsert_live",
     "events_session_funnel",
     "graph_k_core_decomposition",
+    "quality_gopher_rules",
+    "sample_dsir_importance",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

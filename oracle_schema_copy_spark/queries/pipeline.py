@@ -2164,6 +2164,243 @@ def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-rule thresholds (Rae et al. 2021, Table A1 §A1.1), adapted to
+# the synthetic corpus so every rule is ACTIVE (splits the fixture;
+# probed at sf0.01: words 10-99, mean word length 3.7-5.3, max-word
+# fraction 0.05-0.30, distinct stopwords 0-2). Real-corpus values noted
+# inline. Mirrored constants — the SQL twin embeds the same numbers.
+_GOPHER_MIN_WORDS = 25  # Gopher: 50
+_GOPHER_MAX_WORDS = 90  # Gopher: 100_000
+_GOPHER_MIN_MWL = 4  # Gopher: 3  (mean word length lower bound)
+_GOPHER_MAX_MWL = 5  # Gopher: 10
+_GOPHER_REP_DENOM = 8  # top word must be <= 1/8 of tokens (Gopher: top
+# 2-gram <= 0.2; the fixture has no duplicate-line structure to test)
+_GOPHER_MIN_STOPWORDS = 2  # Gopher: >= 2 of a fixed stop list
+_GOPHER_STOPLIST = ("the", "a", "and", "of", "to", "in", "is")
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in _GOPHER_STOPLIST)
+
+
+@query(
+    "quality_gopher_rules",
+    f"""
+    WITH w AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word),
+    per AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(sum(c * length(word)) AS BIGINT) AS n_word_chars,
+               CAST(max(c) AS BIGINT) AS max_word_count,
+               CAST(count(DISTINCT CASE WHEN word IN ({_SQL_STOPLIST})
+                                        THEN word END) AS BIGINT)
+                   AS n_stop_distinct
+        FROM w GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AS ok_word_count,
+           n_word_chars >= {_GOPHER_MIN_MWL} * n_words
+               AND n_word_chars <= {_GOPHER_MAX_MWL} * n_words
+               AS ok_mean_word_len,
+           {_GOPHER_REP_DENOM} * max_word_count <= n_words AS ok_repetition,
+           n_stop_distinct >= {_GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AND n_word_chars >= {_GOPHER_MIN_MWL} * n_words
+               AND n_word_chars <= {_GOPHER_MAX_MWL} * n_words
+               AND {_GOPHER_REP_DENOM} * max_word_count <= n_words
+               AND n_stop_distinct >= {_GOPHER_MIN_STOPWORDS}
+               AS pass_gopher
+    FROM per
+    """,
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1) as
+    one relational pass: per-document word count bounds, mean-word-length
+    band, single-word repetition cap, and minimum distinct-stopword
+    presence, each emitted as a flag plus the conjunction — the standard
+    pre-dedup curation screen. Every comparison is INTEGER cross-
+    multiplied (mean word length never materialized as a float), so the
+    gate is exact, not tolerance-dependent. Scale: one shuffle on
+    (doc_id, word) with map-side combine, one on doc_id; no UDFs, no
+    corpus re-scan per rule — the five rules share the same aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stop = F.col("word").isin(*_GOPHER_STOPLIST)
+    per = w.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("word")).cast("long").alias("n_word_chars"),
+        F.max("c").cast("long").alias("max_word_count"),
+        F.count_distinct(F.when(stop, F.col("word")))
+        .cast("long")
+        .alias("n_stop_distinct"),
+    )
+    nw, nc = F.col("n_words"), F.col("n_word_chars")
+    ok_wc = nw.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ok_mwl = (nc >= _GOPHER_MIN_MWL * nw) & (nc <= _GOPHER_MAX_MWL * nw)
+    ok_rep = _GOPHER_REP_DENOM * F.col("max_word_count") <= nw
+    ok_stop = F.col("n_stop_distinct") >= _GOPHER_MIN_STOPWORDS
+    return per.select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_rep.alias("ok_repetition"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_rep & ok_stop).alias("pass_gopher"),
+    )
+
+
+# DSIR feature space: hashed bigram buckets (Xie et al. 2023 use 10k
+# buckets over hashed n-grams; 64 keeps the per-bucket counts dense on
+# the 31-word fixture vocabulary). Mirrored constant.
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "sample_dsir_importance",
+    f"""
+    WITH bg AS (
+        SELECT doc_id, lang,
+               {_sql_h("ws[i] || ' ' || ws[i+1]")} % {_DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+              FROM documents) t,
+             unnest(generate_series(1, len(ws) - 1)) AS s(i)),
+    doc_b AS (SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+              FROM bg GROUP BY doc_id, lang, b),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_raw FROM bg GROUP BY b),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_tgt FROM bg
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw FROM raw),
+    tott AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS n_tgt FROM tgt),
+    lr AS (
+        SELECT raw.b,
+               CAST(round((ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE)
+                              / (tott.n_tgt + {_DSIR_BUCKETS}))
+                         - ln(CAST(raw.c_raw + 1 AS DOUBLE)
+                              / (tot.n_raw + {_DSIR_BUCKETS}))) * 1000000)
+                    AS BIGINT) AS lr_u
+        FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+        CROSS JOIN tot CROSS JOIN tott),
+    wts AS (
+        SELECT doc_b.doc_id, doc_b.lang,
+               CAST(sum(doc_b.c) AS BIGINT) AS n_bigrams,
+               CAST(sum(doc_b.c * lr.lr_u) AS BIGINT) AS dsir_logw_micro
+        FROM doc_b JOIN lr ON lr.b = doc_b.b
+        GROUP BY doc_b.doc_id, doc_b.lang)
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(w.dsir_logw_micro, 0) AS BIGINT) AS dsir_logw_micro,
+           coalesce(w.dsir_logw_micro, 0) > 0 AS selected
+    FROM documents d LEFT JOIN wts w ON w.doc_id = d.doc_id
+    """,
+)
+def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023): score
+    every document by how much its hashed-bigram profile leans toward a
+    target distribution (here the 'en' slice standing in for the curated
+    reference corpus) versus the raw corpus — log importance weight =
+    sum over the doc's hashed-bigram buckets of
+    count * (ln p_target(b) - ln p_raw(b)), add-one smoothed. The
+    per-bucket log-ratio is frozen to integer MICRO-UNITS first, so the
+    per-document sum is an exact BIGINT — no float summation-order
+    tolerance between engines (the PQ/ADC micro-unit convention).
+    selected = weight > 0 (more target-like than average). Scale: the
+    bucket distributions aggregate to 64 rows and broadcast back; the
+    corpus shuffles once on (doc_id, bucket) and once on doc_id — both
+    with map-side combine; the estimator state (the bucket tables) is
+    feature-space-sized, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i+1]))"
+            )
+        ).alias("bgram"),
+    ).select(
+        "doc_id",
+        "lang",
+        (tf.token_hash(F.col("bgram"), 7) % _DSIR_BUCKETS).alias("b"),
+    )
+    doc_b = bg.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        bg.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    tot = raw.agg(F.sum("c_raw").cast("long").alias("n_raw"))
+    tott = tgt.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("long").alias("n_tgt")
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("n_tgt") + _DSIR_BUCKETS)
+                    )
+                    - F.log(
+                        (F.col("c_raw") + 1).cast("double")
+                        / (F.col("n_raw") + _DSIR_BUCKETS)
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_u"),
+        )
+    )
+    wts = (
+        doc_b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lr_u"))
+            .cast("long")
+            .alias("dsir_logw_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(wts.drop("lang"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.col("dsir_logw_micro"), F.lit(0))
+            .cast("long")
+            .alias("dsir_logw_micro"),
+            (F.coalesce(F.col("dsir_logw_micro"), F.lit(0)) > 0).alias(
+                "selected"
+            ),
+        )
+    )
+
+
 @query(
     "dedup_keep_best_per_cluster",
     f"""
