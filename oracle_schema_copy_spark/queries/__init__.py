@@ -76,6 +76,7 @@ _CHECK_FIRST: list[str] = [
     "graph_k_core_decomposition",
     "quality_gopher_rules",
     "sample_dsir_importance",
+    "ivfpq_recall_contract",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

@@ -803,10 +803,10 @@ def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "similarity_topk_ivfpq",
-    f"""
-    WITH {_IVF_NPROBE_CTES},
+# Full IVF-PQ CTE chain (routing + codebooks + codes + LUT + ADC
+# scores), shared by the similarity_topk_ivfpq oracle and the
+# ivfpq_recall_contract oracle.
+_IVFPQ_CTES = f"""{_IVF_NPROBE_CTES},
     cb AS (
         SELECT CAST(pos // 8 AS BIGINT) AS subspace, label AS code,
                pos % 8 AS spos, centroid
@@ -839,7 +839,13 @@ def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN codes cd ON cd.vec_id = ca.vec_id
         JOIN lut l ON l.query_id = ca.query_id
                   AND l.subspace = cd.subspace AND l.code = cd.code
-        GROUP BY ca.query_id, ca.vec_id)
+        GROUP BY ca.query_id, ca.vec_id)"""
+
+
+@query(
+    "similarity_topk_ivfpq",
+    f"""
+    WITH {_IVFPQ_CTES}
     SELECT query_id, neighbor_id, score_micro, rank FROM (
         SELECT query_id, neighbor_id, score_micro,
                CAST(row_number() OVER (
@@ -870,6 +876,71 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         k=5,
         queries_are_corpus_subset=True,
+    )
+
+
+@query(
+    "ivfpq_recall_contract",
+    f"""
+    WITH {_IVFPQ_CTES},
+    pq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, neighbor_id) AS rank
+            FROM pscored) WHERE rank <= 5),
+    bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    bscored AS (
+        SELECT bq.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'bq.qv')} AS score
+        FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5)
+    SELECT b.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM brute b LEFT JOIN pq l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF-PQ path against the exact brute-force
+    top-5 — completing the quality-contract triad (ann_recall_contract
+    pins banded LSH, ivf_recall_contract pins IVF routing): this one also
+    pins the PQ quantization loss on top of the routing loss, so a
+    codebook/encode/LUT regression that silently degrades the composed
+    index turns a correctness row red. Both rankings are deterministic
+    (integer micro-unit ADC scores, neighbor-id tie-break), so the recall
+    value itself is oracle-gated, not merely bounded. Measured
+    decomposition at sf0.01: IVF routing alone caps recall at 0.30 (the
+    ivf_recall_contract value — near-random synthetic embeddings cluster
+    poorly), and the crude label-derived codebooks cut ADC ranking to
+    0.07; on a real corpus the production remedy is an ADC shortlist +
+    exact re-rank, whose exact-re-score stage is the already-gated
+    brute_force_topk applied to the candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    cbv = similarity.pq_codebooks(emb, group_col="label", vec_col="embedding")
+    pq = similarity.ivfpq_topk(
+        emb, q, cents, cbv, nprobe=2, k=5, queries_are_corpus_subset=True
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    brute = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            (F.count("__hit").cast("double") / 5).alias("recall_at_5"),
+        )
     )
 
 
