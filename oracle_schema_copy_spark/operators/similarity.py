@@ -564,6 +564,65 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    nprobe: int = 2,
+    shortlist_k: int = 50,
+    k: int = 5,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    queries_are_corpus_subset: bool = True,
+) -> DataFrame:
+    """Two-stage IVF-PQ retrieval — the production serving pattern (FAISS
+    refine/RFlat): the composed IVF-PQ index produces a cheap ADC
+    SHORTLIST of ``shortlist_k`` candidates per query from codes alone,
+    then ONLY those (query, candidate) pairs are re-scored exactly
+    against the raw vectors and the final top-``k`` taken. Recall is
+    restored to the routing ceiling (quantization loss affects only
+    which candidates make the shortlist, not their final order), while
+    the exact-score stage touches shortlist_k x |queries| vectors
+    instead of the whole corpus — at 100 TB the raw vectors are read
+    through one semi-join-shaped probe, never scanned or shuffled in
+    full. Deterministic end-to-end: integer micro-unit ADC shortlist,
+    sequential-double exact re-score, neighbor-id tie-breaks."""
+    short = ivfpq_topk(
+        corpus, queries, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+        nprobe=nprobe, k=shortlist_k, n_subspaces=n_subspaces, dim=dim,
+        queries_are_corpus_subset=queries_are_corpus_subset,
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    rescored = (
+        short.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _exact_dot("__nvec", "__qvec", dim).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def _posting_pairs(postings: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Ordered (id_a < id_b) pairs generated locally inside each posting
     row — no self-join, one pass over the posting lists."""

@@ -77,6 +77,7 @@ _CHECK_FIRST: list[str] = [
     "quality_gopher_rules",
     "sample_dsir_importance",
     "ivfpq_recall_contract",
+    "similarity_topk_ivfpq_rerank",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change
