@@ -78,6 +78,7 @@ _CHECK_FIRST: list[str] = [
     "sample_dsir_importance",
     "ivfpq_recall_contract",
     "similarity_topk_ivfpq_rerank",
+    "bpe_fertility_by_lang",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

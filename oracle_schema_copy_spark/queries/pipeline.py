@@ -3403,3 +3403,68 @@ def q_bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("wtok").cast("long").alias("n_tokens_bpe"))
     )
+
+
+def _bpe_fertility_sql(k_merges: int) -> str:
+    prefix, _selects = _bpe_cte_prefix(k_merges)
+    chain = "w"
+    for k in range(1, k_merges + 1):
+        chain = f"replace({chain}, (SELECT mp FROM t{k}), '{_BPE_SYMS[k - 1]}')"
+    return f"""
+    WITH {prefix},
+    enc AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    applied AS (SELECT lang, length(w) AS wc, length({chain}) AS wtok FROM enc),
+    per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(wtok) AS BIGINT) AS n_tokens_bpe,
+               CAST(sum(wc) AS BIGINT) AS n_chars
+        FROM applied GROUP BY lang)
+    SELECT lang, n_words, n_tokens_bpe, n_chars,
+           CAST(n_tokens_bpe * 1000000 // n_words AS BIGINT) AS fertility_micro,
+           CAST(n_chars * 1000000 // n_tokens_bpe AS BIGINT) AS compression_micro
+    FROM per
+    """
+
+
+@query("bpe_fertility_by_lang", _bpe_fertility_sql(_BPE_K_MERGES))
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY evaluation per language — the standard metric
+    for how fairly a learned tokenizer treats each language (Acs 2019;
+    BLOOM's tokenizer analysis): tokens-per-word (fertility) and
+    chars-per-token (compression) under the learned K-merge BPE, in
+    exact integer micro-units via BIGINT floor division (no float
+    ratios). A tokenizer whose merges overfit one language shows up as
+    a fertility gap across rows — the go/no-go artifact reviewed before
+    committing to a tokenizer at scale. Reuses the memoized _bpe_learn
+    training run; corpus-sized work is one explode + per-lang aggregate
+    with the merge chain applied as K built-in replace calls (the
+    vocabulary-map join of bpe_encode_token_counts is skipped: per-word
+    token length is computed inline since no per-doc map is needed)."""
+    merges = _bpe_learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    merged = F.col("w")
+    for k, pair, _n in merges:
+        merged = F.replace(merged, F.lit(pair), F.lit(_BPE_SYMS[k - 1]))
+    per = words.select(
+        "lang", F.length("w").alias("wc"), F.length(merged).alias("wtok")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("wtok").cast("long").alias("n_tokens_bpe"),
+        F.sum("wc").cast("long").alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        "n_tokens_bpe",
+        "n_chars",
+        F.expr("n_tokens_bpe * 1000000 DIV n_words")
+        .cast("long")
+        .alias("fertility_micro"),
+        F.expr("n_chars * 1000000 DIV n_tokens_bpe")
+        .cast("long")
+        .alias("compression_micro"),
+    )
