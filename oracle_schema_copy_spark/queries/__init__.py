@@ -80,6 +80,7 @@ _CHECK_FIRST: list[str] = [
     "similarity_topk_ivfpq_rerank",
     "bpe_fertility_by_lang",
     "mine_hard_negatives",
+    "corpus_unimax_budgets",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change

@@ -1573,6 +1573,134 @@ _SQL_MIX_RATES = """
 """
 
 
+# UniMax budget: 4/5 of the corpus token mass (mirrored formula). At the
+# fixture's lang mix (~40% en, ~15% each of 4 others) this caps exactly
+# the head language and grants the tail languages their full counts —
+# both branches of the water-filling are active at every SF.
+_UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 4, 5
+
+
+@query(
+    "corpus_unimax_budgets",
+    f"""
+    WITH c AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY lang),
+    tot AS (
+        SELECT CAST(sum(n_tok) * {_UNIMAX_BUDGET_NUM} // {_UNIMAX_BUDGET_DEN}
+                    AS BIGINT) AS budget,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM c),
+    o AS (
+        SELECT lang, n_tok,
+               CAST(row_number() OVER (ORDER BY n_tok, lang) AS BIGINT) AS j,
+               CAST(sum(n_tok) OVER (ORDER BY n_tok, lang
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+        FROM c),
+    f AS (
+        SELECT o.*, tot.budget, tot.n_langs,
+               CASE WHEN pfx + (n_langs - j) * n_tok <= budget
+                    THEN 1 ELSE 0 END AS feasible
+        FROM o CROSS JOIN tot),
+    lvl AS (
+        SELECT CAST(coalesce(max(CASE WHEN feasible = 1 THEN j END), 0)
+                    AS BIGINT) AS js,
+               CAST(coalesce(max(CASE WHEN feasible = 1 THEN pfx END), 0)
+                    AS BIGINT) AS pfx_js
+        FROM f)
+    SELECT f.lang, f.n_tok,
+           CAST(CASE WHEN f.j <= lvl.js OR lvl.js = f.n_langs THEN f.n_tok
+                ELSE least(f.n_tok,
+                           (f.budget - lvl.pfx_js) // (f.n_langs - lvl.js))
+                END AS BIGINT) AS alloc_tok,
+           CASE WHEN f.j <= lvl.js OR lvl.js = f.n_langs THEN FALSE
+                ELSE least(f.n_tok,
+                           (f.budget - lvl.pfx_js) // (f.n_langs - lvl.js))
+                     < f.n_tok END AS capped
+    FROM f CROSS JOIN lvl
+    """,
+)
+def q_corpus_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): distribute
+    a total token budget across languages by WATER-FILLING — every
+    language below the water level keeps its full token count, the rest
+    are capped at a common level so no head language starves the tail.
+    The level is found in closed form with window functions: sort
+    languages by token count, find the last sorted position js where
+    granting everyone up to that count fits the budget
+    (prefix + remaining_langs * count <= budget), then the level is the
+    leftover budget floor-divided among the languages above js. All
+    arithmetic is BIGINT (floor division, <= langs_left rounding slack
+    documented), so both engines agree exactly. At the fixture mix the
+    head language (en) is capped and every tail language runs free —
+    both branches exercised at every SF. Scale: the per-lang count is
+    the only corpus-sized aggregate; the water-filling itself runs on
+    |languages| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tok")
+    )
+    tot = c.agg(
+        F.expr(
+            f"sum(n_tok) * {_UNIMAX_BUDGET_NUM} DIV {_UNIMAX_BUDGET_DEN}"
+        )
+        .cast("long")
+        .alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    w_ord = Window.orderBy("n_tok", "lang")
+    o = c.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(w_ord).cast("long").alias("j"),
+        F.sum("n_tok")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pfx"),
+    )
+    f = o.crossJoin(F.broadcast(tot)).withColumn(
+        "feasible",
+        F.when(
+            F.col("pfx") + (F.col("n_langs") - F.col("j")) * F.col("n_tok")
+            <= F.col("budget"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    lvl = f.agg(
+        F.coalesce(
+            F.max(F.when(F.col("feasible") == 1, F.col("j"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("js"),
+        F.coalesce(
+            F.max(F.when(F.col("feasible") == 1, F.col("pfx"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("pfx_js"),
+    )
+    j_full = (F.col("j") <= F.col("js")) | (F.col("js") == F.col("n_langs"))
+    level = F.least(
+        F.col("n_tok"),
+        F.expr("(budget - pfx_js) DIV (n_langs - js)"),
+    )
+    return (
+        f.crossJoin(F.broadcast(lvl))
+        .select(
+            "lang",
+            "n_tok",
+            F.when(j_full, F.col("n_tok"))
+            .otherwise(level)
+            .cast("long")
+            .alias("alloc_tok"),
+            F.when(j_full, F.lit(False))
+            .otherwise(level < F.col("n_tok"))
+            .alias("capped"),
+        )
+    )
+
+
 @query(
     "corpus_mixture_rates",
     f"WITH {_SQL_MIX_RATES} SELECT * FROM mixr",
