@@ -84,6 +84,13 @@ INTENTIONAL_CROSS = {
     "stats_benford_digits",  # 1x1 total-count frame broadcast into digit shares
     "stats_mutual_information",  # 1x1 grand-total frame broadcast into cell probs
     "minhash_merge_contract",  # 1x1 merged-sketch frame vs 1x1 corpus sketch
+    "sample_dsir_importance",  # two 1x1 distribution-total frames broadcast into the 64-bucket log-ratio table
+    "ivf_recall_contract",  # brute-force baseline side of the recall measurement
+    "ivfpq_recall_contract",  # brute-force baseline side of the recall measurement
+    "similarity_topk_ivfpq",  # queries x codebook LUT broadcast (bounded: 20 x 8 x cells)
+    "similarity_topk_ivfpq_rerank",  # same LUT broadcast feeding the ADC shortlist
+    "similarity_topk_pq_adc",  # same LUT broadcast, pure-ADC path
+    "corpus_unimax_budgets",  # 1x1 budget frame and 1x1 water-level frame broadcast into |languages| rows
 }
 
 
