@@ -1,0 +1,221 @@
+"""Independent pure-Python references for the round-7 curation/graph
+operators.
+
+The oracle gate compares Spark against a DuckDB twin built from MIRRORED
+logic — a bug copied into both twins would pass it. These tests compute
+the same results a third way (plain Python over pandas/parquet, no
+shared expressions) so a mirrored-logic bug in either engine pair turns
+a test red instead of surviving the gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# k-core peel vs a dict-based reference peel
+# --------------------------------------------------------------------------
+
+
+def _py_k_core(edges: list[tuple], k: int, rounds: int):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    labels: dict = {}
+    alive = set(nodes)
+    for r in range(1, rounds + 1):
+        deg = Counter()
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        kept = {n for n in alive if deg[n] >= k}
+        for n in alive - kept:
+            labels[n] = r
+        alive = kept
+        und = {(a, b) for a, b in und if a in kept and b in kept}
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    return {n: (labels.get(n), deg.get(n, 0)) for n in nodes}
+
+
+def test_k_core_matches_python_reference_on_seeded_graph(spark):
+    from oracle_schema_copy_spark.operators import graph
+
+    # deterministic pseudo-random graph over 40 nodes (degrees 8-22, no
+    # dense core — collapses under peeling) plus a planted 12-clique
+    # (internal degree 11 — survives k=11 by construction), so both the
+    # peel cascade and the surviving-core branch are exercised
+    edges = []
+    for i in range(400):
+        h = hashlib.md5(f"e{i}".encode()).hexdigest()
+        a, b = int(h[:4], 16) % 40, int(h[4:8], 16) % 40
+        edges.append((f"n{a}", f"n{b}"))
+    edges += [
+        (f"c{i}", f"c{j}") for i in range(12) for j in range(i + 1, 12)
+    ]
+    want = _py_k_core(edges, k=11, rounds=10)
+    got = {
+        r.node: (r.peel_round, r.core_deg)
+        for r in graph.k_core_peel(
+            spark.createDataFrame(edges, ["src", "dst"]), k=11, rounds=10
+        ).collect()
+    }
+    assert got == want
+    # the seeded graph must exercise BOTH branches or the test is vacuous
+    assert any(pr is not None for pr, _ in want.values())
+    assert any(pr is None for pr, _ in want.values())
+
+
+# --------------------------------------------------------------------------
+# UniMax water-filling vs a loop-based reference
+# --------------------------------------------------------------------------
+
+
+def _py_unimax(counts: dict[str, int], num: int, den: int):
+    budget = sum(counts.values()) * num // den
+    order = sorted(counts, key=lambda lang: (counts[lang], lang))
+    n = len(order)
+    js, pfx_js, pfx = 0, 0, 0
+    for j, lang in enumerate(order, start=1):
+        pfx += counts[lang]
+        if pfx + (n - j) * counts[lang] <= budget:
+            js, pfx_js = j, pfx
+    out = {}
+    for j, lang in enumerate(order, start=1):
+        if j <= js or js == n:
+            out[lang] = (counts[lang], False)
+        else:
+            lvl = min(counts[lang], (budget - pfx_js) // (n - js))
+            out[lang] = (lvl, lvl < counts[lang])
+    return out
+
+
+def test_unimax_matches_python_reference(spark):
+    from oracle_schema_copy_spark.queries.pipeline import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        q_corpus_unimax_budgets,
+    )
+
+    docs = _docs()
+    counts = {
+        lang: int(g["text"].str.split(" ").str.len().sum())
+        for lang, g in docs.groupby("lang")
+    }
+    want = _py_unimax(counts, _UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN)
+    got = {
+        r.lang: (r.alloc_tok, r.capped)
+        for r in q_corpus_unimax_budgets(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(c for _, c in want.values())  # head language capped
+    assert any(not c for _, c in want.values())  # tail languages free
+
+
+# --------------------------------------------------------------------------
+# Gopher rules vs a per-document Python recompute
+# --------------------------------------------------------------------------
+
+
+def test_gopher_rules_match_python_reference(spark):
+    from oracle_schema_copy_spark.queries.pipeline import (
+        _GOPHER_MAX_MWL,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_MWL,
+        _GOPHER_MIN_STOPWORDS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_REP_DENOM,
+        _GOPHER_STOPLIST,
+        q_quality_gopher_rules,
+    )
+
+    docs = _docs()
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = text.split(" ")
+        nw, nc = len(ws), sum(len(w) for w in ws)
+        mx = max(Counter(ws).values())
+        nstop = len(set(ws) & set(_GOPHER_STOPLIST))
+        flags = (
+            _GOPHER_MIN_WORDS <= nw <= _GOPHER_MAX_WORDS,
+            _GOPHER_MIN_MWL * nw <= nc <= _GOPHER_MAX_MWL * nw,
+            _GOPHER_REP_DENOM * mx <= nw,
+            nstop >= _GOPHER_MIN_STOPWORDS,
+        )
+        want[doc_id] = (*flags, all(flags))
+    got = {
+        r.doc_id: (
+            r.ok_word_count,
+            r.ok_mean_word_len,
+            r.ok_repetition,
+            r.ok_stopwords,
+            r.pass_gopher,
+        )
+        for r in q_quality_gopher_rules(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# DSIR micro-unit weights vs a Counter-based reference
+# --------------------------------------------------------------------------
+
+
+def _h7(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def test_dsir_weights_match_python_reference(spark):
+    import math
+
+    from oracle_schema_copy_spark.queries.pipeline import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_LANG,
+        q_sample_dsir_importance,
+    )
+
+    docs = _docs()
+    doc_buckets: dict[int, Counter] = {}
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for doc_id, lang, text in zip(docs["doc_id"], docs["lang"], docs["text"]):
+        ws = text.split(" ")
+        c = Counter(
+            _h7(f"{ws[i]} {ws[i + 1]}") % _DSIR_BUCKETS
+            for i in range(len(ws) - 1)
+        )
+        doc_buckets[doc_id] = c
+        raw.update(c)
+        if lang == _DSIR_TARGET_LANG:
+            tgt.update(c)
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: round(
+            (
+                math.log((tgt.get(b, 0) + 1) / (n_tgt + _DSIR_BUCKETS))
+                - math.log((raw[b] + 1) / (n_raw + _DSIR_BUCKETS))
+            )
+            * 1_000_000
+        )
+        for b in raw
+    }
+    want = {
+        doc_id: sum(cnt * lr[b] for b, cnt in c.items())
+        for doc_id, c in doc_buckets.items()
+    }
+    got = {
+        r.doc_id: r.dsir_logw_micro
+        for r in q_sample_dsir_importance(spark, SF_DIR).collect()
+    }
+    assert got == want
