@@ -65,6 +65,7 @@ def _load_all() -> None:
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
     # (r7) new in round 7 — no driver row exists yet
+    "stream_stream_left_join_live",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",

@@ -143,6 +143,42 @@ def q_stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_join_live",
+    """
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT least(max(CASE WHEN event_type = 'view' THEN ts END),
+                       max(CASE WHEN event_type = 'click' THEN ts END))
+                 - INTERVAL 1 HOUR - INTERVAL 1 HOUR AS emit_before
+          FROM events)
+    SELECT v.user_id, v.view_id, v.view_ts, c.click_id, c.click_ts
+    FROM v
+    LEFT JOIN c ON c.c_user_id = v.user_id
+           AND c.click_ts >= v.view_ts
+           AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+    CROSS JOIN b
+    WHERE c.click_id IS NOT NULL OR v.view_ts < b.emit_before
+    """,
+)
+def q_stream_stream_left_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER join: views left-joined to clicks
+    within a 1-hour horizon. The semantically loaded part is the NULL
+    side — a streaming engine can only declare "no click arrived" once
+    the event-time watermark clears the view's whole match window, and
+    the global watermark is the MIN across both sides' watermark nodes
+    (each sees only its filtered side). The oracle mirrors exactly that
+    eligibility predicate: inner matches plus unmatched views older than
+    least(max view_ts, max click_ts) - delay - horizon; views younger
+    than the cutoff die buffered when the availableNow drain ends."""
+    return ops.run_stream_to_df(
+        ops.view_click_left_join(ops.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@query(
     "stream_dedup_keys_live",
     """
     SELECT DISTINCT user_id, event_type,

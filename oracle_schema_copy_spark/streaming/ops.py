@@ -218,6 +218,71 @@ def view_click_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
     return joined.select("user_id", "view_id", "view_ts", "click_id", "click_ts")
 
 
+def view_click_left_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantically loaded variant of
+    :func:`view_click_join`: a view with no click inside ``horizon``
+    must still be emitted (with NULL click columns), but a streaming
+    engine can only declare "no click arrived" once the event-time
+    watermark has passed the view's entire match window. Spark therefore
+    emits the NULL row for a view only when
+    ``view_ts + horizon < final_watermark``. The global watermark is the
+    MIN across the query's watermark nodes, and each node only ever sees
+    its own filtered side — so the final watermark is
+    ``least(max(view_ts), max(click_ts)) - delay`` (advanced by the
+    closing no-data micro-batch of an availableNow drain; measured
+    empirically via StreamingQueryProgress.eventTime.watermark). Views
+    newer than that stay buffered and are dropped with the state when
+    the drain ends. The batch twin (and SQL oracle) mirror exactly that
+    eligibility predicate — the honest contract of watermarked outer
+    joins, same spirit as stream_watermark_late_drop."""
+    streaming = df.isStreaming
+    v = df.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    if streaming:
+        v = v.withWatermark("view_ts", WATERMARK_DELAY)
+        c = c.withWatermark("click_ts", WATERMARK_DELAY)
+        joined = v.join(c, cond, "leftOuter")
+    else:
+        # batch twin: inner matches, plus unmatched views whose whole
+        # match window is below the final watermark the stream ends with.
+        # The watermark node on each side sees only its filtered rows, so
+        # the global (min) watermark keys off the EARLIER of the two
+        # per-side max event times.
+        bound = df.agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr(f"INTERVAL {WATERMARK_DELAY}")
+                - F.expr(f"INTERVAL {horizon}")
+            ).alias("emit_before")
+        )
+        joined = (
+            v.join(c, cond, "leftOuter")
+            .join(F.broadcast(bound))
+            .where(
+                F.col("click_id").isNotNull()
+                | (F.col("view_ts") < F.col("emit_before"))
+            )
+            .drop("emit_before")
+        )
+    return joined.select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+
+
 def daily_key_dedup(df: DataFrame) -> DataFrame:
     """Streaming deduplication: first occurrence of each
     (user_id, event_type, day) key wins; output is the distinct key set

@@ -130,6 +130,21 @@ def test_stream_stream_join_matches_batch(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(live), _sorted_pdf(batch))
 
 
+def test_stream_stream_left_join_matches_batch(spark):
+    """Left-outer stream-stream join: the drained stream must equal the
+    batch twin, including which unmatched views get NULL rows (only those
+    whose whole match window is below the final min-of-sides watermark)
+    and which die buffered."""
+    batch = ops.view_click_left_join(ops.load_events(spark, SF))
+    live = ops.run_stream_to_df(
+        ops.view_click_left_join(ops.events_stream(spark, SF)), output_mode="append"
+    )
+    bp, lp = _sorted_pdf(batch), _sorted_pdf(live)
+    assert bp["click_id"].isna().sum() > 0  # the NULL side is non-degenerate
+    assert bp["click_id"].notna().sum() > 0
+    pd.testing.assert_frame_equal(lp, bp)
+
+
 def test_stream_dedup_matches_batch_distinct(spark):
     batch = ops.daily_key_dedup(ops.load_events(spark, SF))
     live = ops.run_stream_to_df(
