@@ -65,6 +65,11 @@ def _load_all() -> None:
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
     # (r7) new in round 7 — no driver row exists yet
+    "embedding_gram_matrix",
+    "embedding_pca_projection",
+    "embedding_covariance_matrix",
+    "corpus_temperature_budgets",
+    "ivf_ndcg_contract",
     "stream_stream_left_join_live",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",

@@ -3652,3 +3652,309 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("compression_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed linear algebra: Gram matrix + integer power-iteration PCA
+# ---------------------------------------------------------------------------
+
+# quantized embedding components as exact BIGINTs (operators/linalg.py
+# QUANT_SCALE twin): float32 -> float64 widening and one IEEE multiply are
+# identical in both engines, floor makes the result integral.
+_SQL_QVEC = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+)
+
+# full (i, j) index grid, 1-based (DuckDB lists are 1-based)
+_SQL_DIM_IDX = "SELECT unnest(generate_series(1, 64)) AS a"
+
+
+@query(
+    "embedding_gram_matrix",
+    f"""
+    WITH q AS (SELECT {_SQL_QVEC} AS qv FROM embeddings),
+    idx AS ({_SQL_DIM_IDX})
+    SELECT CAST(ia.a - 1 AS INT) AS i, CAST(ib.a - 1 AS INT) AS j,
+           CAST(sum(q.qv[ia.a] * q.qv[ib.a]) AS BIGINT) AS g
+    FROM q CROSS JOIN idx ia CROSS JOIN idx ib
+    WHERE ia.a <= ib.a
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix X^T X of the quantized embedding corpus (upper
+    triangle, exact BIGINT entries) — the building block of distributed
+    PCA/whitening/covariance. The Spark side is the scale shape: one
+    mapInPandas pass emits a per-partition partial Gram via a numpy
+    matmul (2,080 rows per partition for dim=64), then a dimension-sized
+    groupBy-sum — the corpus never shuffles, and the plan is identical
+    at 100 TB. The oracle rebuilds the same integers relationally
+    (double-unnest cross grid); integer sums are order-independent, so
+    the gate is exact."""
+    from oracle_schema_copy_spark.operators import linalg
+
+    return linalg.gram_upper(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pca_oracle(iters: int = 48) -> str:
+    """Unrolled-CTE twin of the integer power iteration: Gram -> rescale
+    to ±10^6 -> `iters` exact BIGINT matvec+rescale steps -> per-row
+    projection. Truncating division is spelled CASE-wise so only
+    non-negative operands reach `//` (floor == trunc there on both
+    engines)."""
+    steps = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT gn.i, CAST(sum(gn.g * {prev}.v) AS BIGINT) AS w
+        FROM gn JOIN {prev} ON {prev}.i = gn.j GROUP BY 1),
+    d{k} AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) // 1000000 + 1 AS den FROM w{k}),
+    v{k} AS MATERIALIZED (SELECT i, CASE WHEN w >= 0 THEN w // den
+                            ELSE -((-w) // den) END AS v
+             FROM w{k} CROSS JOIN d{k})"""
+        )
+        prev = f"v{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH q AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
+    idx AS ({_SQL_DIM_IDX}),
+    gr AS MATERIALIZED (
+        SELECT CAST(ia.a AS INT) AS i, CAST(ib.a AS INT) AS j,
+               CAST(sum(q.qv[ia.a] * q.qv[ib.a]) AS BIGINT) AS g
+        FROM q CROSS JOIN idx ia CROSS JOIN idx ib
+        GROUP BY 1, 2),
+    gd AS (SELECT max(abs(g)) // 1000000 + 1 AS den FROM gr),
+    gn AS MATERIALIZED (SELECT i, j, CASE WHEN g >= 0 THEN g // den
+                             ELSE -((-g) // den) END AS g
+           FROM gr CROSS JOIN gd),
+    v0 AS MATERIALIZED (SELECT CAST(a AS INT) AS i, CAST(1000000 AS BIGINT) AS v FROM idx),
+    {chain}
+    SELECT q.vec_id, CAST(sum(q.qv[v.i] * v.v) AS BIGINT) AS score_q
+    FROM q CROSS JOIN {prev} v
+    GROUP BY 1
+    """
+
+
+@query("embedding_pca_projection", _pca_oracle())
+def q_embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-direction projection score per vector — distributed
+    PCA with a fully oracle-gated, EXACT-integer pipeline: (1) the
+    mapInPandas partial-Gram reduction (corpus never shuffles), (2) 48
+    power-iteration steps on the 64x64 Gram ON THE DRIVER — dimension-
+    sized, data-independent work, the same rationale as the codebook
+    training in operators/similarity.py — in integer arithmetic sized so
+    every intermediate fits BIGINT (Python ints replay BIGINT exactly),
+    and (3) one generated-projection pass scoring every row against the
+    iterated direction (a single selectExpr — one py4j round-trip). A
+    pytest pins that the integer direction is genuinely the top
+    eigenvector (|cos| vs numpy eigh > 0.99); this gate pins that both
+    engines compute the identical chain at corpus cardinality."""
+    from oracle_schema_copy_spark.operators import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = linalg.gram_upper(emb).collect()
+    v = linalg.power_iteration_intvec([(r["i"], r["j"], r["g"]) for r in rows])
+    return linalg.project_intvec(emb, v)
+
+
+@query(
+    "corpus_temperature_budgets",
+    f"""
+    WITH c AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY lang),
+    tot AS (
+        SELECT CAST(sum(n_tok) * {_UNIMAX_BUDGET_NUM} // {_UNIMAX_BUDGET_DEN}
+                    AS BIGINT) AS budget
+        FROM c),
+    o AS (
+        SELECT lang, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS s,
+               sum(sqrt(CAST(n_tok AS DOUBLE))) OVER (
+                   ORDER BY lang ROWS UNBOUNDED PRECEDING) AS pfx
+        FROM c),
+    st AS (SELECT max(pfx) AS stot FROM o)
+    SELECT o.lang, o.n_tok,
+           CAST(floor(CAST(1000000 AS DOUBLE) * o.s / st.stot) AS BIGINT)
+               AS share_micro,
+           CAST(floor(CAST(tot.budget AS DOUBLE) * o.s / st.stot) AS BIGINT)
+               AS alloc_tok
+    FROM o CROSS JOIN st CROSS JOIN tot
+    """,
+)
+def q_corpus_temperature_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling (mT5 / XLM-R style): budget
+    share proportional to n_tok^alpha with alpha = 0.5, boosting tail
+    languages relative to natural frequency — the OTHER standard
+    training-mix policy next to UniMax water-filling (same 4/5 budget,
+    so the two allocations are directly comparable on the fixture).
+
+    Cross-engine exactness without integer freezing: sqrt is correctly
+    rounded in IEEE-754 (Java Math.sqrt == libm sqrt bit-for-bit), and
+    the one order-dependent float reduction — the sum of per-language
+    sqrts — is forced into lang-order sequential addition on BOTH
+    engines via a running-sum window (all terms positive, so the final
+    prefix is max(pfx)). The remaining ops are one multiply, one divide,
+    one floor — identical IEEE chains. Scale: the per-lang token count
+    is the only corpus-sized work; the allocation runs on |languages|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tok")
+    )
+    tot = c.agg(
+        F.expr(f"sum(n_tok) * {_UNIMAX_BUDGET_NUM} DIV {_UNIMAX_BUDGET_DEN}")
+        .cast("long")
+        .alias("budget")
+    )
+    w = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    o = c.select(
+        "lang",
+        "n_tok",
+        F.sqrt(F.col("n_tok").cast("double")).alias("s"),
+        F.sum(F.sqrt(F.col("n_tok").cast("double"))).over(w).alias("pfx"),
+    )
+    st = o.agg(F.max("pfx").alias("stot"))
+    return (
+        o.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tok",
+            F.floor(F.lit(1000000.0) * F.col("s") / F.col("stot"))
+            .cast("long")
+            .alias("share_micro"),
+            F.floor(F.col("budget").cast("double") * F.col("s") / F.col("stot"))
+            .cast("long")
+            .alias("alloc_tok"),
+        )
+    )
+
+
+# NDCG@10 discount weights, frozen to integer micro-units from the SAME
+# Python constants for both engines (round(1e6 / log2(p+1)) at position p);
+# ideal DCG places graded relevance 10..1 in order, so IDCG is a constant.
+import math as _math
+
+_NDCG_K = 10
+_NDCG_W = [round(1_000_000 / _math.log2(p + 1)) for p in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = sum(
+    (_NDCG_K + 1 - p) * w for p, w in zip(range(1, _NDCG_K + 1), _NDCG_W)
+)
+_NDCG_W_SQL = ", ".join(f"({p}, {w})" for p, w in enumerate(_NDCG_W, start=1))
+
+
+@query(
+    "ivf_ndcg_contract",
+    f"""
+    WITH {_IVF_NPROBE_CTES},
+    ivf AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= {_NDCG_K}),
+    bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    bscored AS (
+        SELECT bq.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'bq.qv')} AS score
+        FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+    brute AS (
+        SELECT query_id, neighbor_id,
+               {_NDCG_K + 1} - rank AS rel FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= {_NDCG_K}),
+    w(rank, wt) AS (VALUES {_NDCG_W_SQL})
+    SELECT i.query_id,
+           CAST(sum(coalesce(b.rel, 0) * w.wt) AS BIGINT) AS dcg_q,
+           CAST(CAST(sum(coalesce(b.rel, 0) * w.wt) AS BIGINT) * 1000000
+                // {_NDCG_IDCG} AS BIGINT) AS ndcg_micro
+    FROM ivf i
+    JOIN w ON w.rank = i.rank
+    LEFT JOIN brute b
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY 1
+    """,
+)
+def q_ivf_ndcg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the IVF nprobe=2 retrieval against brute-force graded
+    relevance — the position-weighted quality contract the recall@k
+    contracts can't express: recall treats a hit at rank 1 and rank 10
+    the same, NDCG pins WHERE the true neighbors land. Relevance grades
+    come from the exact ranking (rel = 11 - brute_rank for the true
+    top-10, else 0); discount weights are log2 position discounts frozen
+    to integer micro-units from the same Python constants in both
+    engines, so DCG and the floor-divided NDCG are exact BIGINTs. A
+    routing or tie-break regression that reshuffles result order — even
+    with recall unchanged — turns this row red."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    ivf = similarity.ivf_topk(emb, q, cents, nprobe=2, k=_NDCG_K).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+    brute = similarity.brute_force_topk(emb, q, k=_NDCG_K).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(_NDCG_K + 1) - F.col("rank")).cast("long").alias("rel"),
+    )
+    wt = F.element_at(
+        F.array(*[F.lit(w) for w in _NDCG_W]), F.col("rank")
+    )
+    per = (
+        ivf.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("rel"), F.lit(0)) * wt)
+            .cast("long")
+            .alias("dcg_q")
+        )
+    )
+    return per.select(
+        "query_id",
+        "dcg_q",
+        F.expr(f"dcg_q * 1000000 DIV {_NDCG_IDCG}")
+        .cast("long")
+        .alias("ndcg_micro"),
+    )
+
+
+@query(
+    "embedding_covariance_matrix",
+    f"""
+    WITH q AS MATERIALIZED (SELECT {_SQL_QVEC} AS qv FROM embeddings),
+    idx AS ({_SQL_DIM_IDX}),
+    gr AS (
+        SELECT CAST(ia.a - 1 AS INT) AS i, CAST(ib.a - 1 AS INT) AS j,
+               CAST(sum(q.qv[ia.a] * q.qv[ib.a]) AS BIGINT) AS g
+        FROM q CROSS JOIN idx ia CROSS JOIN idx ib
+        WHERE ia.a <= ib.a
+        GROUP BY 1, 2),
+    sums AS (
+        SELECT CAST(a - 1 AS INT) AS i, CAST(sum(q.qv[a]) AS BIGINT) AS s
+        FROM q CROSS JOIN idx GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+    SELECT g.i, g.j,
+           CAST(nn.n * g.g - sa.s * sb.s AS BIGINT) AS cov_n2
+    FROM gr g
+    JOIN sums sa ON sa.i = g.i
+    JOIN sums sb ON sb.i = g.j
+    CROSS JOIN nn
+    """,
+)
+def q_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered covariance of the embedding corpus, exact at integer
+    scale: ``cov_n2 = n * gram - s_i * s_j`` (= n^2 times the population
+    covariance of the quantized components) — centering via the
+    algebraic identity instead of a mean-subtraction pass, so no float
+    mean ever materializes and the BIGINT gate is exact. Two corpus
+    scans (partial-Gram pass + one generated projection of 64 sum
+    aggregates), dimension-sized shuffles only, one broadcast stats row
+    against the 2,080 Gram rows. Headroom at 100x the sf1 fixture:
+    n*g <~ 1e18 < 2^63."""
+    from oracle_schema_copy_spark.operators import linalg
+
+    return linalg.covariance_scaled(load_table(spark, sf_dir, "embeddings"))
