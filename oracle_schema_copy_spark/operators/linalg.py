@@ -201,3 +201,59 @@ def project_intvec(
         for i, c in enumerate(v)
     )
     return df.selectExpr(id_col, f"CAST({terms} AS BIGINT) AS score_q")
+
+
+def standardize_outliers(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = QUANT_SCALE,
+    z_thresh_micro: int = 3_000_000,
+) -> DataFrame:
+    """Per-vector standardization outlier stats: z-score every quantized
+    component against the corpus column mean/std, count dims with
+    |z| >= 3 and keep the max |z| — the embedding-space outlier signal
+    (curation: flag vectors with corrupted / out-of-distribution dims).
+
+    Exactness without an exact sqrt: z = (n*q_i - s_i) / sqrt(n*g_ii -
+    s_i^2) multiplied to micro-units and floored. The integer inputs are
+    exact; BIGINT->DOUBLE casts round nearest-even identically in
+    Python, the JVM, and DuckDB; sqrt is correctly rounded in IEEE-754
+    everywhere; one divide + one multiply + floor complete an identical
+    IEEE chain, so the floored micro-z is engine-exact. Two dimension-
+    sized driver collects (sums row + Gram diagonal) feed the generated
+    projection; the corpus is scanned for stats then once for scoring."""
+    import math
+
+    stats = component_sums(df, vec_col=vec_col, dim=dim, scale=scale).collect()[0]
+    n, s = int(stats["n"]), [int(x) for x in stats["s"]]
+    diag = {
+        r["i"]: int(r["g"])
+        for r in gram_upper(df, vec_col=vec_col, dim=dim, scale=scale)
+        .where(F.col("i") == F.col("j"))
+        .collect()
+    }
+    sd = [math.sqrt(float(n * diag[i] - s[i] * s[i])) for i in range(dim)]
+
+    def qx(i: int) -> str:
+        return f"CAST(floor(CAST({vec_col}[{i}] AS DOUBLE) * {scale}) AS BIGINT)"
+
+    zcols = [
+        f"CAST(floor(CAST(1000000 AS DOUBLE) * "
+        f"(CAST({n} * {qx(i)} - ({s[i]}) AS DOUBLE) / CAST('{sd[i]!r}' AS DOUBLE)))"
+        f" AS BIGINT) AS __z{i}"
+        for i in range(dim)
+    ]
+    staged = df.selectExpr(id_col, *zcols)
+    n_over = " + ".join(
+        f"CASE WHEN abs(__z{i}) >= {z_thresh_micro} THEN 1 ELSE 0 END"
+        for i in range(dim)
+    )
+    max_abs = ", ".join(f"abs(__z{i})" for i in range(dim))
+    return staged.selectExpr(
+        id_col,
+        f"CAST({n_over} AS BIGINT) AS n_dims_over3",
+        f"CAST(greatest({max_abs}) AS BIGINT) AS max_abs_z_micro",
+    )

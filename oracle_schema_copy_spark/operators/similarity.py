@@ -1053,3 +1053,85 @@ def kmeans_iterations(
     return final_cents.join(sizes, "__cluster").select(
         F.col("__cluster").alias("cluster"), "pos", "centroid", "n_assigned"
     )
+
+
+def _dist2_sql(qv_col: str, center: list[int]) -> str:
+    """Exact-BIGINT squared distance between a quantized vector column and
+    a literal center, as ONE generated SQL string (single py4j
+    round-trip; the repo's generated-projection rule)."""
+    terms = " + ".join(
+        f"({qv_col}[{i}] - ({int(c)})) * ({qv_col}[{i}] - ({int(c)}))"
+        for i, c in enumerate(center)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection — the
+    diversity-maximizing data-selection step (pick points that COVER the
+    embedding space, the complement of importance/stratified sampling).
+
+    Algorithm: seed with the smallest id; each round pick the point
+    farthest (max-min squared distance) from the selected set, ties to
+    the smallest id. Greedy k-center is inherently k sequential corpus
+    passes; each pass here is one scan of a localCheckpointed quantized
+    column + a top-1 reduce (TakeOrdered — no full shuffle), and the
+    running min-distance column is updated with ONE new distance term
+    per round (the O(k) shape, not O(k^2) recompute). Distances are
+    exact BIGINTs under the shared floor(x*scale) quantization, so the
+    selection chain and the final assignment are engine-reproducible;
+    the oracle unrolls the identical chain (running least, NOT-IN
+    exclusion, (d2, round) assignment tie-break).
+
+    Returns corpus-cardinality assignment: (id, center_id, d2_min) where
+    center_id is the selected center attaining the min squared distance
+    (ties to the earliest-selected round)."""
+    q = emb.selectExpr(
+        id_col,
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS __qv",
+    ).localCheckpoint(eager=False)
+    first = q.orderBy(F.asc(id_col)).limit(1).collect()[0]
+    centers: list[tuple[int, list[int]]] = [
+        (int(first[id_col]), [int(x) for x in first["__qv"]])
+    ]
+    cur = q.withColumn("__d", F.expr(_dist2_sql("__qv", centers[0][1])))
+    for _ in range(1, k):
+        nxt = (
+            cur.where(~F.col(id_col).isin([cid for cid, _ in centers]))
+            .orderBy(F.desc("__d"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(nxt[id_col]), [int(x) for x in nxt["__qv"]]))
+        cur = cur.withColumn(
+            "__d",
+            F.least(F.col("__d"), F.expr(_dist2_sql("__qv", centers[-1][1]))),
+        ).localCheckpoint(eager=False)
+    # final assignment: per-center distance columns stay OUT of one giant
+    # expression (janino 64KB rule) — one named column per center, then a
+    # struct-array sort picks (d2 asc, round asc).
+    staged = q
+    structs = []
+    for rnd, (cid, cq) in enumerate(centers, start=1):
+        staged = staged.withColumn(f"__d{rnd}", F.expr(_dist2_sql("__qv", cq)))
+        structs.append(
+            F.struct(
+                F.col(f"__d{rnd}").alias("d2"),
+                F.lit(rnd).alias("rnd"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    pick = F.array_sort(F.array(*structs))[0]
+    return staged.select(
+        F.col(id_col),
+        pick["cid"].cast("long").alias("center_id"),
+        pick["d2"].cast("long").alias("d2_min"),
+    )

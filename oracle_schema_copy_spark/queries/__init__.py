@@ -70,6 +70,8 @@ _CHECK_FIRST: list[str] = [
     "embedding_covariance_matrix",
     "corpus_temperature_budgets",
     "ivf_ndcg_contract",
+    "sample_kcenter_coreset",
+    "embedding_standardize_outliers",
     "stream_stream_left_join_live",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",

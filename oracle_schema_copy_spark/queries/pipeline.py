@@ -3958,3 +3958,116 @@ def q_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     from oracle_schema_copy_spark.operators import linalg
 
     return linalg.covariance_scaled(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_dist2_lists(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled twin of the greedy k-center chain: running least-distance
+    CTEs (all MATERIALIZED — the self-referencing chain would otherwise
+    inline exponentially), NOT-IN exclusion of already-selected ids,
+    (d2, round) tie-break for the final assignment."""
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id AS cid, qv FROM q ORDER BY vec_id LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT q.vec_id, q.qv, "
+        + _sql_dist2_lists("q.qv", "c1.qv")
+        + " AS d FROM q CROSS JOIN c1)",
+    ]
+    for r in range(2, k + 1):
+        ex = " UNION ALL ".join(f"SELECT cid FROM c{i}" for i in range(1, r))
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id AS cid, qv FROM d{r-1} "
+            f"WHERE vec_id NOT IN ({ex}) ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS MATERIALIZED (SELECT p.vec_id, p.qv, least(p.d, "
+                + _sql_dist2_lists("p.qv", f"c{r}.qv")
+                + f") AS d FROM d{r-1} p CROSS JOIN c{r})"
+            )
+    cents = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, cid, qv FROM c{i}" for i in range(1, k + 1)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    cents AS (SELECT * FROM ({cents})),
+    ass AS (SELECT q.vec_id, c.rnd, c.cid,
+                   {_sql_dist2_lists('q.qv', 'c.qv')} AS d2
+            FROM q CROSS JOIN cents c)
+    SELECT vec_id, CAST(cid AS BIGINT) AS center_id, d2 AS d2_min FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, rnd) AS rk
+        FROM ass) WHERE rk = 1
+    """
+
+
+@query("sample_kcenter_coreset", _kcenter_oracle())
+def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez) coreset selection over the embedding
+    corpus: 8 farthest-point rounds, then every vector assigned to its
+    nearest selected center — the DIVERSITY-maximizing selection policy
+    (cover the embedding space) complementing the importance (DSIR),
+    stratified, and temperature samplers. Exact-BIGINT squared distances
+    under the shared floor(x*1e4) quantization make the whole greedy
+    chain engine-reproducible: seed = smallest id, each round takes the
+    max-min-distance point (ties to smallest id), assignment ties break
+    to the earliest round. Scale: k sequential passes (inherent to
+    greedy k-center) over a localCheckpointed quantized column; each
+    pass updates a running min-distance column with ONE new distance
+    term (O(k) work per point total) and reduces with top-1 TakeOrdered
+    — no full shuffle anywhere; corpus-cardinality gate."""
+    return similarity.kcenter_greedy(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_standardize_outliers",
+    f"""
+    WITH q AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
+    idx AS ({_SQL_DIM_IDX}),
+    sums AS (
+        SELECT CAST(a AS INT) AS i, CAST(sum(q.qv[a]) AS BIGINT) AS s
+        FROM q CROSS JOIN idx GROUP BY 1),
+    diag AS (
+        SELECT CAST(a AS INT) AS i, CAST(sum(q.qv[a] * q.qv[a]) AS BIGINT) AS g
+        FROM q CROSS JOIN idx GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    st AS (
+        SELECT s.i, s.s, nn.n,
+               sqrt(CAST(nn.n * d.g - s.s * s.s AS DOUBLE)) AS sd
+        FROM sums s JOIN diag d ON d.i = s.i CROSS JOIN nn),
+    z AS (
+        SELECT q.vec_id,
+               CAST(floor(CAST(1000000 AS DOUBLE) *
+                    (CAST(st.n * q.qv[st.i] - st.s AS DOUBLE) / st.sd))
+                    AS BIGINT) AS zm
+        FROM q CROSS JOIN st)
+    SELECT vec_id,
+           CAST(sum(CASE WHEN abs(zm) >= 3000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dims_over3,
+           CAST(max(abs(zm)) AS BIGINT) AS max_abs_z_micro
+    FROM z GROUP BY 1
+    """,
+)
+def q_embedding_standardize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: z-score every quantized component
+    against the corpus column mean/std (z = (n*q - s) / sqrt(n*g - s^2),
+    the integer-identity standardization — no float mean/variance ever
+    materializes), then per vector count dims with |z| >= 3 and keep the
+    max |z|. The engine-exact float chain: exact BIGINT inputs,
+    nearest-even BIGINT->DOUBLE casts, correctly-rounded IEEE sqrt, one
+    divide + one multiply + floor — identical in the JVM, DuckDB, and
+    the Python literal embedding. Scale: two dimension-sized stats
+    reductions (sums projection + Gram diagonal) collected to the driver
+    (64 values each), then ONE corpus scoring pass with the stats as
+    generated-projection literals; the oracle recomputes its own stats
+    in-engine, so the gate also pins the stats reductions."""
+    from oracle_schema_copy_spark.operators import linalg
+
+    return linalg.standardize_outliers(load_table(spark, sf_dir, "embeddings"))

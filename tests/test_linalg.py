@@ -92,3 +92,31 @@ def test_covariance_matches_numpy(spark):
     # and the identity really is n^2 * population covariance
     cov = np.cov(q.T, bias=True)
     assert np.allclose(ref / n**2, cov)
+
+
+def test_kcenter_greedy_covers_better_than_prefix(spark):
+    """Greedy k-center sanity: corpus-cardinality assignment, 8 distinct
+    centers each at distance 0 from itself, and the greedy coverage
+    radius (max over points of min distance to a center) beats the
+    arbitrary first-8-ids subset — the diversity property the operator
+    exists for."""
+    from oracle_schema_copy_spark.operators.similarity import kcenter_greedy
+
+    emb = load_table(spark, SF, "embeddings")
+    out = kcenter_greedy(emb).toPandas()
+    n = emb.count()
+    assert len(out) == n
+    centers = sorted(out["center_id"].unique())
+    assert len(centers) == 8
+    zero = out[out["d2_min"] == 0]
+    assert set(centers) <= set(zero["vec_id"])
+    greedy_radius = out["d2_min"].max()
+
+    m = np.stack(
+        emb.orderBy("vec_id").select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    q = np.floor(m * linalg.QUANT_SCALE).astype(np.int64)
+    prefix = q[:8]
+    d2 = ((q[:, None, :] - prefix[None, :, :]) ** 2).sum(axis=2)
+    prefix_radius = d2.min(axis=1).max()
+    assert greedy_radius <= prefix_radius
