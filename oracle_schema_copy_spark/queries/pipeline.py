@@ -3905,7 +3905,9 @@ def q_ivf_ndcg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(w) for w in _NDCG_W]), F.col("rank")
     )
     per = (
-        ivf.join(brute, ["query_id", "neighbor_id"], "left")
+        # brute's output is k x |queries| rows — bounded by the probe set,
+        # so it broadcasts at any corpus scale (BHJ, not a sort-merge)
+        ivf.join(F.broadcast(brute), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.sum(F.coalesce(F.col("rel"), F.lit(0)) * wt)

@@ -219,3 +219,139 @@ def test_dsir_weights_match_python_reference(spark):
         for r in q_sample_dsir_importance(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# session-3 additions: NDCG contract, temperature budgets, stream left join
+# --------------------------------------------------------------------------
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left-to-right float64 dot — the exact IEEE order both
+    engines' unrolled/list_sum dots use."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def test_ivf_ndcg_matches_python_reference(spark):
+    """Recompute the whole IVF-vs-brute NDCG@10 chain in plain Python
+    (pandas + sequential-float dots + integer DCG) and compare against
+    the gated Spark query."""
+    import math
+
+    from oracle_schema_copy_spark.queries.pipeline import (
+        _NDCG_IDCG,
+        _NDCG_K,
+        _NDCG_W,
+        q_ivf_ndcg_contract,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    labels = {int(r.vec_id): int(r.label) for r in emb.itertuples()}
+    # per-label centroids rounded to 6 decimals (group_centroids contract)
+    cents: dict[int, list[float]] = {}
+    for lab, grp in emb.groupby("label"):
+        m = pd.DataFrame(list(grp["embedding"])).astype("float64").mean()
+        cents[int(lab)] = [round(x, 6) for x in m]
+    qids = sorted(v for v in vecs if v < 20)
+
+    def topk(qid, cand_ids, k):
+        scored = sorted(
+            ((-_seq_dot(vecs[c], vecs[qid]), c) for c in cand_ids if c != qid)
+        )
+        return [c for _, c in scored[:k]]
+
+    expect = {}
+    for qid in qids:
+        probed = sorted(
+            cents, key=lambda lab: (-_seq_dot(vecs[qid], cents[lab]), lab)
+        )[:2]
+        cand = [v for v in vecs if labels[v] in probed]
+        ivf = topk(qid, cand, _NDCG_K)
+        brute = topk(qid, list(vecs), _NDCG_K)
+        rel = {nid: _NDCG_K + 1 - (i + 1) for i, nid in enumerate(brute)}
+        dcg = sum(rel.get(nid, 0) * _NDCG_W[i] for i, nid in enumerate(ivf))
+        expect[qid] = (dcg, dcg * 1_000_000 // _NDCG_IDCG)
+
+    got = {
+        int(r["query_id"]): (int(r["dcg_q"]), int(r["ndcg_micro"]))
+        for r in q_ivf_ndcg_contract(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_temperature_budgets_match_python_reference(spark):
+    """Replay the alpha=0.5 temperature allocation in plain Python floats
+    (sequential lang-order sqrt sum — the order the window forces) and
+    compare the floored micro-shares and allocations."""
+    import math
+
+    from oracle_schema_copy_spark.queries.pipeline import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_BUDGET_NUM,
+        q_corpus_temperature_budgets,
+    )
+
+    docs = _docs()
+    n_tok = (
+        docs.assign(n=docs["text"].str.split(" ").str.len())
+        .groupby("lang")["n"]
+        .sum()
+        .astype(int)
+        .to_dict()
+    )
+    budget = sum(n_tok.values()) * _UNIMAX_BUDGET_NUM // _UNIMAX_BUDGET_DEN
+    stot = 0.0
+    for lang in sorted(n_tok):
+        stot += math.sqrt(float(n_tok[lang]))
+    expect = {}
+    for lang, n in n_tok.items():
+        s = math.sqrt(float(n))
+        expect[lang] = (
+            n,
+            math.floor(1_000_000.0 * s / stot),
+            math.floor(float(budget) * s / stot),
+        )
+    got = {
+        r["lang"]: (int(r["n_tok"]), int(r["share_micro"]), int(r["alloc_tok"]))
+        for r in q_corpus_temperature_budgets(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_stream_left_join_eligibility_matches_pandas(spark):
+    """Replay the watermarked left-outer eligibility predicate in pandas
+    (inner interval matches + unmatched views older than
+    least(max view_ts, max click_ts) - delay - horizon) and compare the
+    batch twin row set."""
+    from oracle_schema_copy_spark.streaming import ops
+
+    ev = ops.load_events(spark, SF_DIR).select(
+        "user_id", "event_id", "event_type", "ts"
+    ).toPandas()
+    v = ev[ev.event_type == "view"]
+    c = ev[ev.event_type == "click"]
+    horizon = pd.Timedelta(hours=1)
+    cutoff = min(v.ts.max(), c.ts.max()) - pd.Timedelta(hours=1) - horizon
+    expect = set()
+    for r in v.itertuples():
+        m = c[
+            (c.user_id == r.user_id)
+            & (c.ts >= r.ts)
+            & (c.ts <= r.ts + horizon)
+        ]
+        if len(m):
+            for mm in m.itertuples():
+                expect.add((r.user_id, r.event_id, mm.event_id))
+        elif r.ts < cutoff:
+            expect.add((r.user_id, r.event_id, None))
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in ops.view_click_left_join(
+            ops.load_events(spark, SF_DIR)
+        ).collect()
+    }
+    assert got == expect

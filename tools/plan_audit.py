@@ -91,6 +91,9 @@ INTENTIONAL_CROSS = {
     "similarity_topk_ivfpq_rerank",  # same LUT broadcast feeding the ADC shortlist
     "similarity_topk_pq_adc",  # same LUT broadcast, pure-ADC path
     "corpus_unimax_budgets",  # 1x1 budget frame and 1x1 water-level frame broadcast into |languages| rows
+    "embedding_covariance_matrix",  # 1x1 stats row (n + 64 sums) broadcast into the 2,080-row Gram triangle
+    "corpus_temperature_budgets",  # 1x1 sqrt-total frame and 1x1 budget frame broadcast into |languages| rows
+    "ivf_ndcg_contract",  # brute-force baseline side of the NDCG measurement (same as the recall contracts)
 }
 
 
