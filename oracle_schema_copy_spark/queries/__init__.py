@@ -73,6 +73,7 @@ _CHECK_FIRST: list[str] = [
     "sample_kcenter_coreset",
     "embedding_standardize_outliers",
     "stream_stream_left_join_live",
+    "stream_session_window_live",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",

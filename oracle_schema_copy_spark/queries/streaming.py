@@ -120,6 +120,43 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_window_live",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 4 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT *, sum(new_s) OVER (
+              PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    agg AS (
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 4 HOUR AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sid),
+    c AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT agg.* FROM agg CROSS JOIN c WHERE agg.session_end <= c.wm
+    """,
+)
+def q_stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows in APPEND mode: the sink only emits
+    sessions the final watermark finalizes — session_end <= max(ts) -
+    delay, equality included (pinned by a synthetic boundary pytest);
+    sessions still open when the availableNow drain ends die buffered.
+    The oracle sessionizes in SQL and applies exactly that eligibility
+    cutoff — the third watermark-honesty contract next to the late-drop
+    policy and the left-outer join NULL rule."""
+    return ops.run_stream_to_df(
+        ops.session_agg(ops.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@query(
     "stream_stream_join_live",
     """
     SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,

@@ -174,6 +174,26 @@ def session_agg(df: DataFrame, gap: str = "4 hours") -> DataFrame:
     )
 
 
+def session_agg_finalized(df: DataFrame, gap: str = "4 hours") -> DataFrame:
+    """Batch twin of the APPEND-mode streaming session drain: an append
+    sink only emits sessions the final watermark has FINALIZED —
+    empirically (synthetic boundary probe in tests/test_streaming.py)
+    Spark emits a session iff ``session_end <= watermark`` (the equality
+    case IS emitted), with the final watermark ``max(ts) - delay``
+    advanced by availableNow's closing no-data micro-batch. Sessions
+    still open at drain end die with the state — the same honest
+    eligibility contract as view_click_left_join."""
+    s = session_agg(df, gap)
+    bound = df.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {WATERMARK_DELAY}")).alias("__wm")
+    )
+    return (
+        s.join(F.broadcast(bound))
+        .where(F.col("session_end") <= F.col("__wm"))
+        .drop("__wm")
+    )
+
+
 def with_late_rows_dropped(df: DataFrame, delay: str = WATERMARK_DELAY) -> DataFrame:
     """Batch twin of the watermark late-data policy: drop rows with event
     time older than max(event time) - delay. In streaming this is what

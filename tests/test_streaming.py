@@ -222,3 +222,40 @@ def test_stream_checkpoint_resume_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 150  # batch-1 rows NOT duplicated, batch-2 not lost
     assert got.select("id").distinct().count() == 150
+
+
+def test_stream_session_append_matches_finalized_batch(spark):
+    """Append-mode session drain == the batch twin filtered to sessions
+    the final watermark finalizes (session_end <= max ts - delay)."""
+    batch = ops.session_agg_finalized(ops.load_events(spark, SF))
+    live = ops.run_stream_to_df(
+        ops.session_agg(ops.events_stream(spark, SF)), output_mode="append"
+    )
+    full = ops.session_agg(ops.load_events(spark, SF))
+    bp, lp = _sorted_pdf(batch), _sorted_pdf(live)
+    assert len(bp) < full.count()  # some sessions really die buffered
+    pd.testing.assert_frame_equal(lp, bp)
+
+
+def test_stream_session_boundary_equality_is_emitted(spark, tmp_path):
+    """Pin the eligibility boundary the finalized twin encodes: a session
+    whose end equals the final watermark EXACTLY is emitted (<=, not <).
+    user 1's singleton session ends at T0+4h; user 2's late event puts
+    the watermark at exactly T0+4h."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, base, 1.0), (2, base + datetime.timedelta(hours=5), 1.0)]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, value DOUBLE")
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "4 hours").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = ops.run_stream_to_df(agg, output_mode="append").toPandas()
+    assert list(out["user_id"]) == [1]
