@@ -216,6 +216,44 @@ def q_stream_stream_left_join_live(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_stream_full_join_live",
+    """
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT least(max(CASE WHEN event_type = 'view' THEN ts END),
+                       max(CASE WHEN event_type = 'click' THEN ts END))
+                 - INTERVAL 1 HOUR AS wm
+          FROM events)
+    SELECT coalesce(v.user_id, c.c_user_id) AS user_id,
+           v.view_id, v.view_ts, c.click_id, c.click_ts
+    FROM v
+    FULL JOIN c ON c.c_user_id = v.user_id
+           AND c.click_ts >= v.view_ts
+           AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+    CROSS JOIN b
+    WHERE (v.view_id IS NOT NULL AND c.click_id IS NOT NULL)
+       OR (c.click_id IS NULL AND v.view_ts < b.wm - INTERVAL 1 HOUR)
+       OR (v.view_id IS NULL AND c.click_ts < b.wm)
+    """,
+)
+def q_stream_stream_full_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream FULL OUTER join: the two NULL sides carry
+    DIFFERENT watermark eligibility rules, both pinned by synthetic
+    boundary pytests — an unmatched view needs its whole match window
+    cleared (view_ts < wm - horizon: a future click could still match
+    it), an unmatched click only needs the watermark strictly past it
+    (click_ts < wm: clicks match only views at-or-before them). wm is
+    the min-of-sides watermark. The oracle applies exactly both
+    predicates; user_id coalesces across sides."""
+    return ops.run_stream_to_df(
+        ops.view_click_full_join(ops.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@query(
     "stream_dedup_keys_live",
     """
     SELECT DISTINCT user_id, event_type,

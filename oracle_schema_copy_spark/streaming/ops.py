@@ -303,6 +303,78 @@ def view_click_left_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
     return joined.select("user_id", "view_id", "view_ts", "click_id", "click_ts")
 
 
+def view_click_full_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream FULL OUTER join — both NULL sides carry watermark
+    eligibility, and they differ (probed with synthetic boundary cases,
+    tests/test_streaming.py):
+
+    - an unmatched VIEW needs its whole match window cleared:
+      ``view_ts < wm - horizon`` (a future click could still match it
+      until then) — same rule as :func:`view_click_left_join`;
+    - an unmatched CLICK only needs the watermark itself to pass it:
+      ``click_ts < wm`` STRICTLY (clicks match only views at-or-before
+      them, and views older than the watermark can no longer arrive; a
+      click exactly AT the watermark stays buffered).
+
+    ``wm = least(max view_ts, max click_ts) - delay`` (the global
+    watermark is the min across both sides' watermark nodes). The batch
+    twin and SQL oracle mirror both predicates; ``user_id`` is coalesced
+    across sides so unmatched clicks keep their key."""
+    streaming = df.isStreaming
+    v = df.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    if streaming:
+        v = v.withWatermark("view_ts", WATERMARK_DELAY)
+        c = c.withWatermark("click_ts", WATERMARK_DELAY)
+        joined = v.join(c, cond, "fullOuter")
+    else:
+        bound = df.agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr(f"INTERVAL {WATERMARK_DELAY}")
+            ).alias("__wm")
+        )
+        joined = (
+            v.join(c, cond, "fullOuter")
+            .join(F.broadcast(bound))
+            .where(
+                (F.col("view_id").isNotNull() & F.col("click_id").isNotNull())
+                | (
+                    F.col("click_id").isNull()
+                    & (
+                        F.col("view_ts")
+                        < F.col("__wm") - F.expr(f"INTERVAL {horizon}")
+                    )
+                )
+                | (F.col("view_id").isNull() & (F.col("click_ts") < F.col("__wm")))
+            )
+            .drop("__wm")
+        )
+    return joined.select(
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        "view_id",
+        "view_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
 def daily_key_dedup(df: DataFrame) -> DataFrame:
     """Streaming deduplication: first occurrence of each
     (user_id, event_type, day) key wins; output is the distinct key set

@@ -259,3 +259,49 @@ def test_stream_session_boundary_equality_is_emitted(spark, tmp_path):
     )
     out = ops.run_stream_to_df(agg, output_mode="append").toPandas()
     assert list(out["user_id"]) == [1]
+
+
+def test_stream_stream_full_join_matches_batch(spark):
+    """Full-outer stream-stream join: drained stream == batch twin, with
+    both NULL sides non-degenerate."""
+    batch = ops.view_click_full_join(ops.load_events(spark, SF))
+    live = ops.run_stream_to_df(
+        ops.view_click_full_join(ops.events_stream(spark, SF)), output_mode="append"
+    )
+    bp, lp = _sorted_pdf(batch), _sorted_pdf(live)
+    assert bp["view_id"].isna().sum() > 0
+    assert bp["click_id"].isna().sum() > 0
+    pd.testing.assert_frame_equal(lp, bp)
+
+
+def test_full_join_click_side_boundary(spark, tmp_path):
+    """Pin the click-side NULL eligibility the full-outer twin encodes:
+    an unmatched click strictly BELOW the watermark is emitted, one
+    exactly AT the watermark stays buffered, one above is dropped.
+    max view_ts = max click_ts = T0+10h -> wm = T0+9h."""
+    import datetime
+
+    T0 = datetime.datetime(2024, 1, 1)
+    H = datetime.timedelta(hours=1)
+    rows = [
+        ("view", 1, 100, T0 + 10 * H),
+        ("click", 1, 200, T0 + 10 * H),  # matches view 100
+        ("click", 2, 201, T0 + 9 * H),  # unmatched, EXACTLY wm -> buffered
+        ("click", 3, 202, T0 + 7 * H),  # unmatched, below wm -> emitted
+        ("click", 4, 203, T0 + 9 * H + H / 2),  # unmatched, above wm -> buffered
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, user_id INT, event_id INT, ts TIMESTAMP"
+    )
+    df = df.withColumn("value", F.lit(1.0))
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    live = ops.run_stream_to_df(
+        ops.view_click_full_join(sdf), output_mode="append"
+    ).toPandas()
+    batch = ops.view_click_full_join(df).toPandas()
+    got_clicks = sorted(live[live.view_id.isna()]["click_id"].astype(int))
+    assert got_clicks == [202]
+    assert sorted(batch[batch.view_id.isna()]["click_id"].astype(int)) == [202]
+    assert sorted(live[live.view_id.notna()]["click_id"].dropna().astype(int)) == [200]
