@@ -17,6 +17,7 @@ as Spark's (windows align to the Unix epoch).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.queries import query
 from oracle_schema_copy_spark.sources.tables import load_table
@@ -251,6 +252,78 @@ def q_stream_stream_full_join_live(spark: SparkSession, sf_dir: str) -> DataFram
         ops.view_click_full_join(ops.events_stream(spark, sf_dir)),
         output_mode="append",
     )
+
+
+@query(
+    "stream_scd2_temporal_join_live",
+    """
+    WITH dim AS (
+        SELECT c_custkey, c_acctbal,
+               CAST('2024-01-01' AS TIMESTAMP) AS valid_from,
+               CASE WHEN c_custkey % 11 = 0 THEN CAST('2024-01-15' AS TIMESTAMP)
+                    ELSE CAST('9999-12-31' AS TIMESTAMP) END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100,
+               CAST('2024-01-15' AS TIMESTAMP), CAST('9999-12-31' AS TIMESTAMP)
+        FROM customer WHERE c_custkey % 11 = 0)
+    SELECT e.event_id, e.user_id, e.ts, e.event_type, d.c_acctbal,
+           (d.valid_to = CAST('9999-12-31' AS TIMESTAMP)) AS is_open_version
+    FROM events e JOIN dim d
+      ON e.user_id = d.c_custkey
+     AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    """,
+)
+def q_stream_scd2_temporal_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming temporal-table join (the Flink pattern): the live
+    event stream enriched per micro-batch against an SCD2 customer
+    dimension AS OF EACH EVENT'S OWN EVENT TIME — %11 customers change
+    acctbal effective mid-fixture (2024-01-15), so events before the
+    effective instant see the closed version and events after see the
+    bumped one; plain stream-static equi-joins would smear the current
+    value over history (the leakage the SCD2 batch gates exist to
+    prevent, now on the live path). Stream-static with a half-open
+    interval residual is STATELESS — no watermark, no join state; the
+    dimension broadcasts per micro-batch, at scale versioned dims swap
+    in without touching the stream. Drained with availableNow; the
+    oracle builds the same two-version dimension arithmetically and
+    joins with the identical predicate at event cardinality."""
+    dim_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    eff = F.lit("2024-01-15").cast("timestamp")
+    far = F.lit("9999-12-31").cast("timestamp")
+    v1 = dim_base.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 11 == 0, eff).otherwise(far).alias("valid_to"),
+    )
+    v2 = (
+        dim_base.where(F.col("c_custkey") % 11 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            eff.alias("valid_from"),
+            far.alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    e = ops.events_stream(spark, sf_dir)
+    joined = e.join(
+        F.broadcast(dim),
+        (e["user_id"] == dim["c_custkey"])
+        & (e["ts"] >= dim["valid_from"])
+        & (e["ts"] < dim["valid_to"]),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "c_acctbal",
+        (F.col("valid_to") == far).alias("is_open_version"),
+    )
+    return ops.run_stream_to_df(joined, output_mode="append")
 
 
 @query(
