@@ -76,6 +76,8 @@ _CHECK_FIRST: list[str] = [
     "stream_session_window_live",
     "stream_stream_full_join_live",
     "stream_scd2_temporal_join_live",
+    "stream_hll_daily_users_live",
+    "stream_sliding_window_live",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",

@@ -158,6 +158,28 @@ def q_stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_window_live",
+    f"""
+    WITH b AS (SELECT {_bucket(43200)} AS b0, value FROM events),
+    w AS (SELECT unnest([b0, b0 - INTERVAL 12 HOUR]) AS w_start, value FROM b)
+    SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM w GROUP BY w_start
+    """,
+)
+def q_stream_sliding_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sliding windows (1 day long, 12 h slide
+    — every event belongs to two overlapping windows), drained with
+    availableNow in complete mode so every window is emitted and the
+    drained result equals the batch oracle. Completes the live windowing
+    matrix: tumbling, sliding, and session windows all gated on the
+    actual streaming path."""
+    return ops.run_stream_to_df(
+        ops.sliding_agg(ops.events_stream(spark, sf_dir)), output_mode="complete"
+    )
+
+
+@query(
     "stream_stream_join_live",
     """
     SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
@@ -380,6 +402,50 @@ def q_stream_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.run_stream_to_df(
         ops.static_enrich(ops.events_stream(spark, sf_dir), dim),
         output_mode="append",
+    )
+
+
+@query(
+    "stream_hll_daily_users_live",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS w_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_hll_daily_users_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming per-day distinct users via HLL: exact streaming
+    DISTINCT is unsupported (and at scale would hold per-key state
+    proportional to the live key set), so the stream aggregates an HLL
+    sketch per day — fixed registers per window however many distinct
+    users the stream sees, the NDV companion of the bounded-state CMS
+    frequency sketch. Drained in complete mode; the gate checks every
+    day's estimate lands within 5% of the exact batch NDV (sparse-mode
+    HLL is exact at fixture cardinalities; the band is the honest
+    contract at any scale). Exact counts come from the SQL oracle, so a
+    sketch regression turns the row red."""
+    from pyspark.sql import functions as F
+
+    ev = ops.events_stream(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("w_day"), "user_id"
+    )
+    per = ev.groupBy("w_day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__est")
+    )
+    est = ops.run_stream_to_df(per, output_mode="complete")
+    exact = (
+        ops.load_events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("w_day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_nd"))
+    )
+    ex = F.col("exact_nd").cast("double")
+    return exact.join(est, "w_day").select(
+        "w_day",
+        "exact_nd",
+        (F.abs(F.col("__est").cast("double") - ex) <= 0.05 * ex).alias(
+            "hll_within_5pct"
+        ),
     )
 
 
