@@ -78,6 +78,7 @@ _CHECK_FIRST: list[str] = [
     "stream_scd2_temporal_join_live",
     "stream_hll_daily_users_live",
     "stream_sliding_window_live",
+    "curation_diversity_capstone",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",

@@ -3969,13 +3969,14 @@ def _sql_dist2_lists(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-def _kcenter_oracle(k: int = 8) -> str:
-    """Unrolled twin of the greedy k-center chain: running least-distance
-    CTEs (all MATERIALIZED — the self-referencing chain would otherwise
-    inline exponentially), NOT-IN exclusion of already-selected ids,
-    (d2, round) tie-break for the final assignment."""
+def _kcenter_parts(k: int = 8) -> tuple[list[str], str]:
+    """Composable unrolled twin of the greedy k-center chain (assumes a
+    CTE named ``q`` with (vec_id, qv) exists): returns the CTE parts plus
+    the name of the assignment CTE emitting (vec_id, rnd, cid, d2).
+    Running least-distance CTEs (all MATERIALIZED — the self-referencing
+    chain would otherwise inline exponentially), NOT-IN exclusion of
+    already-selected ids."""
     parts = [
-        f"q AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)",
         "c1 AS MATERIALIZED (SELECT vec_id AS cid, qv FROM q ORDER BY vec_id LIMIT 1)",
         "d1 AS MATERIALIZED (SELECT q.vec_id, q.qv, "
         + _sql_dist2_lists("q.qv", "c1.qv")
@@ -3996,17 +3997,27 @@ def _kcenter_oracle(k: int = 8) -> str:
     cents = " UNION ALL ".join(
         f"SELECT {i} AS rnd, cid, qv FROM c{i}" for i in range(1, k + 1)
     )
-    joined = ",\n    ".join(parts)
+    parts.append(f"cents AS (SELECT * FROM ({cents}))")
+    parts.append(
+        "ass AS (SELECT q.vec_id, c.rnd, c.cid, "
+        + _sql_dist2_lists("q.qv", "c.qv")
+        + " AS d2 FROM q CROSS JOIN cents c)"
+    )
+    return parts, "ass"
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    parts, ass = _kcenter_parts(k)
+    joined = ",\n    ".join(
+        [f"q AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)"]
+        + parts
+    )
     return f"""
-    WITH {joined},
-    cents AS (SELECT * FROM ({cents})),
-    ass AS (SELECT q.vec_id, c.rnd, c.cid,
-                   {_sql_dist2_lists('q.qv', 'c.qv')} AS d2
-            FROM q CROSS JOIN cents c)
+    WITH {joined}
     SELECT vec_id, CAST(cid AS BIGINT) AS center_id, d2 AS d2_min FROM (
         SELECT vec_id, cid, d2,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, rnd) AS rk
-        FROM ass) WHERE rk = 1
+        FROM {ass}) WHERE rk = 1
     """
 
 
@@ -4073,3 +4084,96 @@ def q_embedding_standardize_outliers(spark: SparkSession, sf_dir: str) -> DataFr
     from oracle_schema_copy_spark.operators import linalg
 
     return linalg.standardize_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+def _diversity_capstone_oracle(k: int = 8) -> str:
+    """Composed twin: outlier z-screen -> greedy k-center on the
+    survivors -> sqrt-temperature allocation of half the survivor budget
+    across centers. Every stage reuses the factored chain of its
+    standalone gated query."""
+    kparts, ass = _kcenter_parts(k)
+    head = [
+        f"q0 AS MATERIALIZED (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings)",
+        f"idx AS ({_SQL_DIM_IDX})",
+        "sums AS (SELECT CAST(a AS INT) AS i, CAST(sum(q0.qv[a]) AS BIGINT) AS s"
+        " FROM q0 CROSS JOIN idx GROUP BY 1)",
+        "diag AS (SELECT CAST(a AS INT) AS i, CAST(sum(q0.qv[a] * q0.qv[a]) AS BIGINT) AS g"
+        " FROM q0 CROSS JOIN idx GROUP BY 1)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q0)",
+        "st AS (SELECT s.i, s.s, nn.n, sqrt(CAST(nn.n * d.g - s.s * s.s AS DOUBLE)) AS sd"
+        " FROM sums s JOIN diag d ON d.i = s.i CROSS JOIN nn)",
+        "z AS (SELECT q0.vec_id, CAST(floor(CAST(1000000 AS DOUBLE) *"
+        " (CAST(st.n * q0.qv[st.i] - st.s AS DOUBLE) / st.sd)) AS BIGINT) AS zm"
+        " FROM q0 CROSS JOIN st)",
+        "keepv AS (SELECT vec_id FROM z GROUP BY 1"
+        " HAVING sum(CASE WHEN abs(zm) >= 3000000 THEN 1 ELSE 0 END) = 0)",
+        "q AS MATERIALIZED (SELECT q0.vec_id, q0.qv FROM q0 JOIN keepv USING (vec_id))",
+    ]
+    tail = [
+        "assign AS (SELECT vec_id, cid FROM ("
+        "SELECT vec_id, cid, row_number() OVER ("
+        f"PARTITION BY vec_id ORDER BY d2, rnd) AS rk FROM {ass}) WHERE rk = 1)",
+        "counts AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned"
+        " FROM assign GROUP BY 1)",
+        "tb AS (SELECT CAST(count(*) // 2 AS BIGINT) AS budget FROM q)",
+        "o AS (SELECT cid, n_assigned, sqrt(CAST(n_assigned AS DOUBLE)) AS s2,"
+        " sum(sqrt(CAST(n_assigned AS DOUBLE))) OVER ("
+        "ORDER BY cid ROWS UNBOUNDED PRECEDING) AS pfx FROM counts)",
+        "sb AS (SELECT max(pfx) AS stot FROM o)",
+    ]
+    joined = ",\n    ".join(head + kparts + tail)
+    return f"""
+    WITH {joined}
+    SELECT CAST(o.cid AS BIGINT) AS center_id, o.n_assigned,
+           CAST(floor(CAST(tb.budget AS DOUBLE) * o.s2 / sb.stot) AS BIGINT)
+               AS alloc_vecs
+    FROM o CROSS JOIN sb CROSS JOIN tb
+    """
+
+
+@query("curation_diversity_capstone", _diversity_capstone_oracle())
+def q_curation_diversity_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-curation capstone composing this round's three new
+    operators end-to-end, the way a training-data pipeline would chain
+    them: (1) drop embedding-space outliers (any >=3-sigma dim — the
+    standardization screen), (2) greedy k-center over the SURVIVORS to
+    carve the space into 8 coverage regions, (3) allocate half the
+    survivor budget across regions by sqrt-temperature sampling, so
+    sparse regions keep proportionally more of their mass. Each stage is
+    the already-gated chain (same constants, same arithmetic); the
+    composed oracle reuses the factored CTE parts verbatim. Scale: the
+    screen and assignment are the audited corpus passes; the allocation
+    runs on |centers| rows."""
+    from oracle_schema_copy_spark.operators import linalg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = (
+        linalg.standardize_outliers(emb)
+        .where(F.col("n_dims_over3") == 0)
+        .select("vec_id")
+    )
+    surv = emb.join(keep, "vec_id")
+    assign = similarity.kcenter_greedy(surv)
+    counts = assign.groupBy("center_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned")
+    )
+    tb = surv.agg(F.expr("count(1) DIV 2").cast("long").alias("budget"))
+    w = Window.orderBy("center_id").rowsBetween(Window.unboundedPreceding, 0)
+    o = counts.select(
+        "center_id",
+        "n_assigned",
+        F.sqrt(F.col("n_assigned").cast("double")).alias("__s"),
+        F.sum(F.sqrt(F.col("n_assigned").cast("double"))).over(w).alias("__pfx"),
+    )
+    sb = o.agg(F.max("__pfx").alias("__stot"))
+    return (
+        o.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "center_id",
+            "n_assigned",
+            F.floor(F.col("budget").cast("double") * F.col("__s") / F.col("__stot"))
+            .cast("long")
+            .alias("alloc_vecs"),
+        )
+    )
