@@ -94,6 +94,7 @@ INTENTIONAL_CROSS = {
     "embedding_covariance_matrix",  # 1x1 stats row (n + 64 sums) broadcast into the 2,080-row Gram triangle
     "corpus_temperature_budgets",  # 1x1 sqrt-total frame and 1x1 budget frame broadcast into |languages| rows
     "ivf_ndcg_contract",  # brute-force baseline side of the NDCG measurement (same as the recall contracts)
+    "curation_diversity_capstone",  # 1x1 sqrt-total and budget frames broadcast into the 8-center table
 }
 
 
