@@ -4177,3 +4177,93 @@ def q_curation_diversity_capstone(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("alloc_vecs"),
         )
     )
+
+
+def _matryoshka_oracle(dims: tuple[int, ...] = (16, 32)) -> str:
+    """Recall@5 of PREFIX-dimension brute-force retrieval vs the full
+    64-dim ranking, one arm per truncation width."""
+    arms = []
+    for d in dims:
+        arms.append(
+            f"""t{d} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT bq.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY bq.query_id
+                       ORDER BY {_sql_dot('e.embedding', 'bq.qv', d)} DESC,
+                                e.vec_id) AS rank
+            FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id)
+        WHERE rank <= 5)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS trunc_dim, query_id, neighbor_id FROM t{d}"
+        for d in dims
+    )
+    arms_sql = ",\n    ".join(arms)
+    return f"""
+    WITH bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < 20),
+    fullk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT bq.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY bq.query_id
+                       ORDER BY {_sql_dot('e.embedding', 'bq.qv')} DESC,
+                                e.vec_id) AS rank
+            FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id)
+        WHERE rank <= 5),
+    {arms_sql},
+    tr AS ({union}),
+    dims(trunc_dim) AS (VALUES (CAST(16 AS BIGINT)), (CAST(32 AS BIGINT))),
+    fx AS (SELECT d.trunc_dim, f.query_id, f.neighbor_id
+           FROM fullk f CROSS JOIN dims d)
+    SELECT fx.trunc_dim, fx.query_id,
+           CAST(count(tr.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(tr.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM fx
+    LEFT JOIN tr ON tr.trunc_dim = fx.trunc_dim
+         AND tr.query_id = fx.query_id AND tr.neighbor_id = fx.neighbor_id
+    GROUP BY 1, 2
+    """
+
+
+@query("matryoshka_recall_contract", _matryoshka_oracle())
+def q_matryoshka_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval quality: recall@5 of
+    brute-force search over only the FIRST 16 and 32 embedding
+    components against the full 64-dim ranking — the
+    dimension-vs-quality dial MRL-style embeddings expose for cheap
+    first-stage serving (prefix dots cost d/64 of the FLOPs and
+    bandwidth; at scale the truncated columns also shrink the scan).
+    Deterministic both sides (sequential-double prefix dots, id
+    tie-breaks), so recall itself is oracle-gated per (width, query) —
+    the same contract family as the LSH/IVF/IVF-PQ recall rows, here
+    pinning the truncation loss instead of the index loss."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    full = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    arms = []
+    for d in (16, 32):
+        arms.append(
+            similarity.brute_force_topk(emb, q, k=5, dim=d).select(
+                F.lit(d).cast("long").alias("t_dim"),
+                F.col("query_id").alias("t_query_id"),
+                F.col("neighbor_id").alias("t_neighbor_id"),
+            )
+        )
+    tr = arms[0].unionByName(arms[1])
+    dims = spark.createDataFrame([(16,), (32,)], "trunc_dim LONG")
+    fx = full.crossJoin(F.broadcast(dims))
+    j = fx.join(
+        F.broadcast(tr),
+        (fx["trunc_dim"] == tr["t_dim"])
+        & (fx["query_id"] == tr["t_query_id"])
+        & (fx["neighbor_id"] == tr["t_neighbor_id"]),
+        "left",
+    )
+    return j.groupBy("trunc_dim", "query_id").agg(
+        F.count("t_neighbor_id").cast("long").alias("n_hits"),
+        (F.count("t_neighbor_id").cast("double") / 5).alias("recall_at_5"),
+    )
