@@ -432,7 +432,6 @@ def minhash_lsh_pairs(
     (tiny) candidate set. ``max_bucket`` guards against a degenerate band
     bucket (e.g. boilerplate) exploding the pair join.
     """
-    rows_per_band = len(MINHASH_PERMS) // bands
     # the shingle sets feed THREE consumers (signatures + both verify
     # sides); localCheckpoint materializes the text->shingle parse once
     # instead of re-running it per plan branch — the same lineage-cut
@@ -440,6 +439,27 @@ def minhash_lsh_pairs(
     # storage-for-compute trade: the materialized sets are ~text-sized ×
     # n and spill to executor disk, vs re-parsing the corpus three times.
     sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
+    cands = minhash_candidate_pairs(
+        sets, id_col, bands=bands, max_bucket=max_bucket
+    )
+    # Exact-Jaccard verify on the CANDIDATE PAIRS ONLY — work is
+    # O(|candidates|), never the corpus-quadratic pair space; that's the
+    # whole point of the LSH pre-filter.
+    return _verify_pairs(sets, cands, id_col, threshold)
+
+
+def minhash_candidate_pairs(
+    sets: DataFrame,
+    id_col: str,
+    *,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """UNVERIFIED banded-MinHash candidate pairs from pre-built shingle
+    sets — factored out of :func:`minhash_lsh_pairs` so the dedup
+    quality contract can measure the pre-filter's recall/precision
+    against lossless ground truth."""
+    rows_per_band = len(MINHASH_PERMS) // bands
     sig = _signatures_from_sets(sets, id_col)
     band_cols = [
         F.struct(
@@ -459,15 +479,11 @@ def minhash_lsh_pairs(
         .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     pair_arrays = ordered_pair_array(F.col("ids"))
-    cands = (
+    return (
         postings.select(F.explode_outer(pair_arrays).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    # Exact-Jaccard verify on the CANDIDATE PAIRS ONLY — work is
-    # O(|candidates|), never the corpus-quadratic pair space; that's the
-    # whole point of the LSH pre-filter.
-    return _verify_pairs(sets, cands, id_col, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

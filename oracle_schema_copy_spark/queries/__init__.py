@@ -80,6 +80,7 @@ _CHECK_FIRST: list[str] = [
     "stream_sliding_window_live",
     "curation_diversity_capstone",
     "matryoshka_recall_contract",
+    "dedup_minhash_recall_contract",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",

@@ -4267,3 +4267,69 @@ def q_matryoshka_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_neighbor_id").cast("long").alias("n_hits"),
         (F.count("t_neighbor_id").cast("double") / 5).alias("recall_at_5"),
     )
+
+
+@query(
+    "dedup_minhash_recall_contract",
+    f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+        SELECT doc_id, {_minhash_sig_sql()}
+        FROM sh WHERE len(ss) > 0),
+    buckets AS (
+        SELECT doc_id, band,
+               CASE band {' '.join(f'WHEN {b} THEN [mh{2*b}, mh{2*b+1}]' for b in range(8))} END AS key
+        FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)),
+    bsz AS (SELECT band, key, count(*) AS c FROM buckets GROUP BY 1, 2),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        JOIN bsz ON bsz.band = a.band AND bsz.key = a.key AND bsz.c <= 1000),
+    exact AS ({_SQL_JACCARD_PAIRS}),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM exact),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cands FROM cands),
+    nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+           FROM cands c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b)
+    SELECT nt.n_truth, nc.n_cands, nh.n_hits,
+           CAST(nh.n_hits * 1000000 // nt.n_truth AS BIGINT) AS recall_micro,
+           CAST(nh.n_hits * 1000000 // nc.n_cands AS BIGINT) AS precision_micro
+    FROM nt CROSS JOIN nc CROSS JOIN nh
+    """,
+)
+def q_dedup_minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QUALITY contract — the near-dup analogue of the retrieval
+    recall contracts: recall and precision of the banded-MinHash
+    candidate pre-filter against LOSSLESS ground truth (the AllPairs
+    prefix-filter path finds every pair with Jaccard >= 0.2 exactly).
+    Recall follows the banding S-curve 1-(1-j^2)^8 (~0.28 at the j=0.2
+    threshold edge, ~1.0 for the planted near-identical dups), so the
+    gated value is a fixture-stable quality number: a permutation,
+    banding, or bucket-cap regression that silently loses true dup
+    pairs turns this row red rather than shrinking the dedup output
+    unnoticed. All counts exact BIGINTs, ratios in floor-divided
+    micro-units. Scale: the candidate side is the audited bucket join,
+    the truth side the audited prefix filter — both corpus passes are
+    the already-gated plans."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3).localCheckpoint()
+    cands = dedup.minhash_candidate_pairs(sets, "doc_id", bands=8, max_bucket=1000)
+    truth = dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2
+    ).select("id_a", "id_b")
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+    nh = cands.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_cands",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV n_truth").cast("long").alias("recall_micro"),
+            F.expr("n_hits * 1000000 DIV n_cands").cast("long").alias("precision_micro"),
+        )
+    )
