@@ -355,3 +355,69 @@ def test_stream_left_join_eligibility_matches_pandas(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_diversity_capstone_matches_python_reference(spark):
+    """Replay the whole diversity capstone in plain numpy/Python ints —
+    z-screen (integer identity + IEEE sqrt tail), greedy k-center with
+    Python-int squared distances, sqrt-temperature allocation — and
+    compare the gated query's 8 rows."""
+    import math
+
+    import numpy as np
+
+    from oracle_schema_copy_spark.queries.pipeline import (
+        q_curation_diversity_capstone,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].astype(int).to_list()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(m * 10_000).astype(np.int64)
+    n, dim = q.shape
+    s = q.sum(axis=0)
+    g = (q * q).sum(axis=0)
+    # z-screen: keep vectors with no >=3-sigma dim
+    keep = []
+    for r in range(n):
+        ok = True
+        for i in range(dim):
+            sd = math.sqrt(float(n * g[i] - s[i] * s[i]))
+            zm = math.floor(1_000_000.0 * (float(n * q[r, i] - s[i]) / sd))
+            if abs(zm) >= 3_000_000:
+                ok = False
+                break
+        if ok:
+            keep.append(r)
+    surv_ids = [ids[r] for r in keep]
+    sq = q[keep]
+    # greedy k-center, Python ints, id tie-breaks
+    order = np.argsort(surv_ids)
+    centers = [int(order[0])]
+    d = ((sq - sq[centers[0]]) ** 2).sum(axis=1)
+    for _ in range(1, 8):
+        best = max(
+            range(len(surv_ids)),
+            key=lambda r: (int(d[r]), -surv_ids[r]),
+        )
+        centers.append(best)
+        d = np.minimum(d, ((sq - sq[best]) ** 2).sum(axis=1))
+    # assignment: (d2, selection round) tie-break
+    counts = {surv_ids[c]: 0 for c in centers}
+    for r in range(len(surv_ids)):
+        dists = [(int(((sq[r] - sq[c]) ** 2).sum()), rnd) for rnd, c in enumerate(centers)]
+        _, rnd = min(dists)
+        counts[surv_ids[centers[rnd]]] += 1
+    budget = len(surv_ids) // 2
+    stot = 0.0
+    for cid in sorted(counts):
+        stot += math.sqrt(float(counts[cid]))
+    expect = {
+        cid: (counts[cid], math.floor(float(budget) * math.sqrt(float(counts[cid])) / stot))
+        for cid in counts
+    }
+    got = {
+        int(r["center_id"]): (int(r["n_assigned"]), int(r["alloc_vecs"]))
+        for r in q_curation_diversity_capstone(spark, SF_DIR).collect()
+    }
+    assert got == expect
