@@ -305,3 +305,34 @@ def test_full_join_click_side_boundary(spark, tmp_path):
     assert got_clicks == [202]
     assert sorted(batch[batch.view_id.isna()]["click_id"].astype(int)) == [202]
     assert sorted(live[live.view_id.notna()]["click_id"].dropna().astype(int)) == [200]
+
+
+def test_left_join_view_side_boundary(spark, tmp_path):
+    """Pin the view-side NULL eligibility at its equality boundary: a
+    view whose whole match window ends EXACTLY at the watermark
+    (view_ts == wm - horizon) stays buffered — the twin's strict '<' is
+    Spark's actual behavior, live and batch agreeing row-for-row.
+    max view_ts = max click_ts = T0+10h -> wm = T0+9h, cutoff T0+8h."""
+    import datetime
+
+    T0 = datetime.datetime(2024, 1, 1)
+    H = datetime.timedelta(hours=1)
+    rows = [
+        ("view", 1, 100, T0 + 10 * H),
+        ("click", 1, 200, T0 + 10 * H),  # matches view 100
+        ("view", 2, 101, T0 + 8 * H),  # EXACTLY at cutoff -> buffered
+        ("view", 3, 102, T0 + 7 * H),  # below cutoff -> NULL row emitted
+        ("view", 4, 103, T0 + 8 * H + H / 2),  # above cutoff -> buffered
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, user_id INT, event_id INT, ts TIMESTAMP"
+    ).withColumn("value", F.lit(1.0))
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    live = ops.run_stream_to_df(
+        ops.view_click_left_join(sdf), output_mode="append"
+    ).toPandas()
+    batch = ops.view_click_left_join(df).toPandas()
+    assert sorted(live[live.click_id.isna()]["view_id"].astype(int)) == [102]
+    assert sorted(batch[batch.click_id.isna()]["view_id"].astype(int)) == [102]
