@@ -81,6 +81,7 @@ _CHECK_FIRST: list[str] = [
     "curation_diversity_capstone",
     "matryoshka_recall_contract",
     "dedup_minhash_recall_contract",
+    "bpe_roundtrip_contract",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",

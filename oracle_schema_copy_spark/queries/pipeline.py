@@ -4333,3 +4333,48 @@ def q_dedup_minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFra
             F.expr("n_hits * 1000000 DIV n_cands").cast("long").alias("precision_micro"),
         )
     )
+
+
+@query(
+    "bpe_roundtrip_contract",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(0 AS BIGINT) AS n_roundtrip_fail,
+           TRUE AS roundtrip_ok
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_bpe_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer integrity contract: decode(encode(w)) == w for EVERY
+    corpus word under the learned K-merge BPE — encode applies the merge
+    chain in training order, decode expands the private-use-area merge
+    symbols in REVERSE order (later merges may contain earlier symbols,
+    so reverse expansion is what reconstructs chained merges). The
+    symbols live outside the text alphabet, so the round-trip must be
+    lossless; a merge-table ordering or symbol-collision regression
+    makes n_roundtrip_fail nonzero and turns the row red. Corpus work:
+    one explode + 2K replace calls per word + a per-lang aggregate."""
+    merges = _bpe_learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    enc = F.col("w")
+    for k, pair, _n in merges:
+        enc = F.replace(enc, F.lit(pair), F.lit(_BPE_SYMS[k - 1]))
+    dec = enc
+    for k, pair, _n in reversed(merges):
+        dec = F.replace(dec, F.lit(_BPE_SYMS[k - 1]), F.lit(pair))
+    per = words.select(
+        "lang", (dec != F.col("w")).cast("long").alias("__fail")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("__fail").cast("long").alias("n_roundtrip_fail"),
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        "n_roundtrip_fail",
+        (F.col("n_roundtrip_fail") == 0).alias("roundtrip_ok"),
+    )
