@@ -381,3 +381,148 @@ def repeated_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the rewrite pass of Lee et al. 2022
+    (ExactSubstr): excise every length-L token window whose hash occurs
+    more than once in the corpus (the signal :func:`repeated_spans`
+    profiles) and keep the remainder of each document. Overlapping
+    flagged windows merge naturally: a token is removed when ANY flagged
+    window covers it, so the kept text is the complement of the union of
+    flagged [s, s + L) intervals.
+
+    Output: (id, n_tok, n_kept, n_removed, kept_text) — one row per input
+    document, kept_text = '' when the whole document is duplicated
+    material, untouched docs (and docs shorter than L) pass through.
+
+    Scale shape: window hashing is per-row expression work; the shuffles
+    carry (id, hash) pairs and (id, start-index) pairs — never text
+    bodies. The flagged-start sets come back as one per-document array
+    (bounded by doc length), and the excision itself is per-row array
+    arithmetic (filter over token indices vs the merged interval union).
+    Both copies of a duplicated span are removed, like the paper's
+    conservative variant — dedup-then-keep-one needs a keeper rule, which
+    :func:`paragraph_dedup_docs` demonstrates at paragraph granularity.
+    """
+    toks = f"split({text_col}, ' ')"
+    spans = (
+        f"transform(sequence(1, size({toks}) - {span_tokens - 1}), "
+        f"s -> md5(array_join(slice({toks}, s, {span_tokens}), ' ')))"
+    )
+    # posexplode gives the 0-based window offset; +1 makes it the 1-based
+    # token start index. localCheckpoint: the hash stream feeds the counts
+    # aggregate AND the join probe (see repeated_spans).
+    ex = (
+        spread(docs)
+        .filter(F.size(F.split(F.col(text_col), " ")) >= span_tokens)
+        .select(F.col(id_col), F.posexplode_outer(F.expr(spans)).alias("__s0", "__h"))
+        .select(F.col(id_col), (F.col("__s0") + 1).alias("__s"), "__h")
+        .localCheckpoint()
+    )
+    counts = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    flagged = (
+        ex.join(counts.filter(F.col("__cnt") > 1), "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__s").alias("__starts"))
+    )
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+        flagged, id_col, "left"
+    )
+    # keep token p (1-based) iff no flagged start s covers it:
+    # NOT exists(starts, s -> s <= p AND p < s + L)
+    kept = (
+        "filter(transform(split({t}, ' '), (tok, i) -> struct(i + 1 AS p, tok)),"
+        " x -> __starts IS NULL OR NOT exists(__starts,"
+        " s -> s <= x.p AND x.p < s + {L}))"
+    ).format(t=text_col, L=span_tokens)
+    return joined.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        F.expr(kept).alias("__kept"),
+    ).select(
+        F.col(id_col),
+        "n_tok",
+        F.size("__kept").cast("long").alias("n_kept"),
+        (F.col("n_tok") - F.size("__kept")).cast("long").alias("n_removed"),
+        F.array_join(F.expr("transform(__kept, x -> x.tok)"), " ").alias(
+            "kept_text"
+        ),
+    )
+
+
+def paragraph_dedup_docs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 5,
+) -> DataFrame:
+    """Paragraph-level dedup + document reconstruction — the CCNet /
+    RefinedWeb shape: hash normalized paragraphs, keep only the
+    corpus-wide FIRST occurrence of each paragraph (deterministic keeper:
+    smallest (doc_id, paragraph-index)), and rebuild every document from
+    its surviving paragraphs in original order.
+
+    Real corpora split paragraphs on blank lines; the fixture's documents
+    are single-line, so a paragraph here is a fixed ``para_tokens`` token
+    chunk (the same stand-in :func:`chunk_documents` uses) — the dedup /
+    keeper / reconstruction machinery is delimiter-agnostic.
+
+    Output: (id, n_paras, n_kept, deduped_text) — one row per input
+    document; a document whose every paragraph appeared earlier
+    reconstructs to ''.
+
+    Scale shape: one explode (paragraphs with their in-document index),
+    one window argmin per paragraph hash (shuffle carries
+    (hash, doc_id, idx) triples — text rides along only as the paragraph
+    being kept), one re-aggregate by document ordered by the original
+    index. No all-pairs anything; state per hash is one row.
+    """
+    toks = f"split({text_col}, ' ')"
+    # fixed-size chunks, 1-based slice; last chunk may be short
+    paras = (
+        f"transform(sequence(0, (size({toks}) - 1) DIV {para_tokens}), "
+        f"s -> array_join(slice({toks}, s * {para_tokens} + 1, {para_tokens}), ' '))"
+    )
+    ex = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(F.expr(paras)).alias("__idx", "__para"),
+    )
+    # normalized hash key (fixture text is already lowercased; trim keeps
+    # the normalization explicit and mirrors the SQL twin)
+    keyed = ex.select(
+        F.col(id_col),
+        "__idx",
+        "__para",
+        F.md5(F.trim(F.lower(F.col("__para")))).alias("__h"),
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__idx"))
+    survivors = keyed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(__idx, __para))),"
+                   " x -> x.__para)"),
+            " ",
+        ).alias("deduped_text"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        (((F.size(F.split(F.col(text_col), " ")) - 1) / para_tokens).cast("long") + 1)
+        .alias("n_paras"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+    )

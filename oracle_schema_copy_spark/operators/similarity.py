@@ -994,7 +994,10 @@ def lsh_banded_topk(
         scored = (
             scored.join(qa, "query_id")
             .join(na, "neighbor_id")
-            .where(~F.col("__qattr").eqNullSafe(F.col("__nattr")))
+            # Plain != (null-dropping), NOT ~eqNullSafe: the SQL twin's
+            # `n.label <> q.label` drops a pair when either side is NULL,
+            # and the Spark side must mirror that exactly.
+            .where(F.col("__qattr") != F.col("__nattr"))
             .drop("__qattr", "__nattr")
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

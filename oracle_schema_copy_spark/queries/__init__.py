@@ -64,7 +64,21 @@ def _load_all() -> None:
 # least fresh information.  Names absent from both lists keep registry
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
-    # (r7) new in round 7 — no driver row exists yet
+    # (r8) new in round 8 — no driver row exists yet
+    "text_exactsubstr_removal",
+    "dedup_paragraph_reconstruct",
+    "corpus_doremi_weights",
+    "stream_stream_right_join_live",
+    "stream_dedup_keys_watermarked_live",
+    # (m8) modified in round 8 — re-gate after the change (ADVICE r7
+    # fixes: DSIR empty-bigram guard, perplexity micro-unit rank key,
+    # outer-join stalled-watermark bound, hard-negative NULL exclusion)
+    "sample_dsir_importance",
+    "quality_perplexity_buckets",
+    "stream_stream_left_join_live",
+    "stream_stream_full_join_live",
+    "mine_hard_negatives",
+    # (r7) new in round 7 — first driver rows recorded r7
     "embedding_gram_matrix",
     "embedding_pca_projection",
     "embedding_covariance_matrix",
@@ -72,9 +86,7 @@ _CHECK_FIRST: list[str] = [
     "ivf_ndcg_contract",
     "sample_kcenter_coreset",
     "embedding_standardize_outliers",
-    "stream_stream_left_join_live",
     "stream_session_window_live",
-    "stream_stream_full_join_live",
     "stream_scd2_temporal_join_live",
     "stream_hll_daily_users_live",
     "stream_sliding_window_live",
@@ -87,16 +99,13 @@ _CHECK_FIRST: list[str] = [
     "ivf_recall_contract",
     "similarity_topk_pq_adc",
     "similarity_topk_ivfpq",
-    "quality_perplexity_buckets",
     "stream_cdc_upsert_live",
     "events_session_funnel",
     "graph_k_core_decomposition",
     "quality_gopher_rules",
-    "sample_dsir_importance",
     "ivfpq_recall_contract",
     "similarity_topk_ivfpq_rerank",
     "bpe_fertility_by_lang",
-    "mine_hard_negatives",
     "corpus_unimax_budgets",
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",

@@ -159,6 +159,95 @@ def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_exactsubstr_removal",
+    """
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    w AS (
+        SELECT doc_id, gs.s AS s, md5(array_to_string(t[gs.s:gs.s+15], ' ')) AS h
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 15)) AS s) gs
+        WHERE len(t) >= 16),
+    c AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+    flag AS (SELECT w.doc_id, w.s FROM w JOIN c USING (h)),
+    tp AS (SELECT doc_id, gs.p AS p, t[gs.p] AS tok
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) gs),
+    keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+             WHERE NOT EXISTS (SELECT 1 FROM flag f
+                               WHERE f.doc_id = tp.doc_id
+                                 AND f.s <= tp.p AND tp.p < f.s + 16)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS kept_text
+            FROM keep GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_text_exactsubstr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2022, the ExactSubstr
+    rewrite stage): excise every 16-token window whose hash recurs
+    anywhere in the corpus (both copies — the paper's conservative
+    variant) and emit the rewritten corpus with overlapping flagged
+    windows merged. Row-level gate at corpus cardinality: n_tok / n_kept
+    / n_removed AND the rewritten text of every document are pinned.
+    The fixture carries real cross-document duplicate spans (~1.7k dup
+    windows at sf0.01), so the excision path fires, not just the
+    passthrough. Scale: shuffles carry (id, hash) and (id, start) pairs
+    only; the excision is per-row array arithmetic against a
+    per-document flagged-starts array."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.remove_repeated_spans(
+        load_table(spark, sf_dir, "documents"), span_tokens=16
+    )
+
+
+@query(
+    "dedup_paragraph_reconstruct",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    p AS (SELECT doc_id, gs.s AS idx,
+                 array_to_string(t[(gs.s*5+1):(gs.s*5+5)], ' ') AS para
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//5)) AS s) gs),
+    k AS (SELECT doc_id, idx, para, md5(trim(lower(para))) AS h FROM p),
+    surv AS (SELECT doc_id, idx, para,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+             FROM k),
+    reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(para, ' ' ORDER BY idx) AS deduped_text
+            FROM surv WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST((len(string_split(d.text, ' ')) - 1) // 5 + 1 AS BIGINT) AS n_paras,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.deduped_text, '') AS deduped_text
+    FROM documents d LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_dedup_paragraph_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup + document reconstruction (the CCNet /
+    RefinedWeb pipeline shape): hash normalized paragraphs, keep only the
+    corpus-wide first occurrence (deterministic keeper = smallest
+    (doc_id, index)), rebuild every document from its surviving
+    paragraphs in original order. The fixture's documents are single-line
+    word streams, so a paragraph is a fixed 5-token chunk (320 duplicate
+    paragraphs at sf0.01, 3.8k at sf0.1 — the drop/rebuild path fires);
+    real corpora split on blank lines, and the machinery is
+    delimiter-agnostic. Row-level gate: every document's reconstructed
+    text is pinned. Scale: one explode + one per-hash argmin window
+    (shuffle carries (hash, doc_id, idx) + the 5-token paragraph) + one
+    ordered re-aggregate by document."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    return corpus.paragraph_dedup_docs(
+        load_table(spark, sf_dir, "documents"), para_tokens=5
+    )
+
+
 # Twin of prefix_filter_jaccard_pairs: the prefix filter is LOSSLESS, so
 # the oracle is simply the brute-force exact-Jaccard pair set at t=0.3 —
 # the oracle literally cannot know the filter exists, which is the point.
@@ -2419,15 +2508,21 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
     freq AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
     total AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM freq),
+    lpu AS (SELECT freq.t,
+                   CAST(round(ln(freq.n / total.tot) * 1000000) AS BIGINT) AS lp_u
+            FROM freq CROSS JOIN total),
     lp AS (
         SELECT tok.doc_id,
-               round(sum(ln(freq.n / total.tot)) / count(*), 6) AS avg_logprob
-        FROM tok JOIN freq USING (t) CROSS JOIN total
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(lpu.lp_u) AS BIGINT) AS sum_u
+        FROM tok JOIN lpu USING (t)
         GROUP BY tok.doc_id)
-    SELECT d.doc_id, d.lang, lp.avg_logprob,
+    SELECT d.doc_id, d.lang,
+           round(lp.sum_u / 1000000.0 / lp.n_tok, 6) AS avg_logprob,
            CAST(ntile(3) OVER (
                PARTITION BY d.lang
-               ORDER BY lp.avg_logprob DESC, d.doc_id) AS INTEGER) AS ppl_bucket
+               ORDER BY CAST(lp.sum_u AS DOUBLE) / lp.n_tok DESC, d.doc_id)
+               AS INTEGER) AS ppl_bucket
     FROM documents d JOIN lp ON lp.doc_id = d.doc_id
     """,
 )
@@ -2440,9 +2535,13 @@ def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language partition is what makes the filter fair across
     high/low-resource languages — a global cut would discard whole
     languages. Row-level gate at corpus cardinality: the bucket of EVERY
-    document is pinned (ntile tie-broken by doc_id after the 6-decimal
-    logprob rounding, so both engines agree exactly; Spark and DuckDB
-    share the same first-buckets-get-extras ntile semantics).
+    document is pinned — the per-TOKEN log-prob is frozen to integer
+    MICRO-UNITS first (the PQ/DSIR convention), so the per-document score
+    is an exact BIGINT sum whose ordering cannot flip on float
+    summation-order last-ulp differences (the ntile rank key is the
+    deterministic double division of two exact integers, tie-broken by
+    doc_id; Spark and DuckDB share the same first-buckets-get-extras
+    ntile semantics).
 
     Scale: the LM table is corpus-derived and broadcast; one explode +
     broadcast join + per-doc aggregate, then one window over (lang)
@@ -2451,24 +2550,31 @@ def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tf.tokens(F.col("text"))).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n").cast("double").alias("tot"))
+    lpu = freq.join(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("n") / F.col("tot")) * 1_000_000)
+        .cast("long")
+        .alias("lp_u"),
+    )
     lp = (
-        tok.join(F.broadcast(freq), "t")
-        .join(F.broadcast(total))
+        tok.join(F.broadcast(lpu), "t")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.log(F.col("n") / F.col("tot"))) / F.count(F.lit(1)), 6
-            ).alias("avg_logprob")
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("lp_u").cast("long").alias("sum_u"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    rank_key = (F.col("sum_u").cast("double") / F.col("n_tok")).desc()
+    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
     return (
         docs.select("doc_id", "lang")
         .join(lp, "doc_id")
         .select(
             "doc_id",
             "lang",
-            "avg_logprob",
+            F.round(F.col("sum_u") / 1_000_000.0 / F.col("n_tok"), 6).alias(
+                "avg_logprob"
+            ),
             F.ntile(3).over(w).cast("int").alias("ppl_bucket"),
         )
     )
@@ -2634,9 +2740,15 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
+            # size(ws) < 2 must yield ZERO bigrams: Spark's sequence()
+            # auto-steps -1 when start > stop, so sequence(0, -1) would
+            # emit [0, -1] and two NULL-bigram rows per 1-word doc; the
+            # DuckDB twin's generate_series(1, len-1) is empty there.
             F.expr(
-                "transform(sequence(0, size(ws) - 2),"
+                "CASE WHEN size(ws) >= 2 THEN"
+                " transform(sequence(0, size(ws) - 2),"
                 " i -> concat(ws[i], ' ', ws[i+1]))"
+                " ELSE array() END"
             )
         ).alias("bgram"),
     ).select(
@@ -2926,7 +3038,8 @@ def _triangle_capped_oracle() -> str:
 
 @query("graph_triangle_counts_capped", _triangle_capped_oracle())
 def q_graph_triangle_counts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counts on the degree-capped (<= 40) induced co-purchase
+    """Triangle counts on the degree-capped (<= _TRIANGLE_MAX_DEGREE,
+    currently 100) induced co-purchase
     subgraph — the scale-subset gate for graph_triangle_counts (r6
     VERDICT ask #4): the FULL-graph DuckDB oracle is wedge-join
     infeasible at sf1 (>80 GB spill), so the full query's sf1 row was a
@@ -3829,6 +3942,131 @@ def q_corpus_temperature_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("alloc_tok"),
         )
+    )
+
+
+# DoReMi one-shot reweighting constants — mirrored verbatim into the SQL
+# twin (the oracle contract): multiplicative-update surrogate
+# m(e) = 1 + e + e^2/2 in micro-units (the 2nd-order Taylor expansion of
+# exp(e); exp itself is NOT correctly-rounded across libm implementations,
+# so the surrogate keeps the whole allocation in exact BIGINT arithmetic —
+# same determinism reasoning as the PQ/DSIR micro-unit convention), then
+# 1/5 uniform smoothing (DoReMi's epsilon).
+_DOREMI_MICRO = 1_000_000
+_DOREMI_SMOOTH_KEEP = 800_000  # (1 - eps) in micro-units
+_DOREMI_SMOOTH_EPS = 200_000  # eps in micro-units
+
+
+@query(
+    "corpus_doremi_weights",
+    f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    freq AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM freq),
+    lpu AS (SELECT freq.t,
+                   CAST(round(ln(freq.n / total.tot) * {_DOREMI_MICRO}) AS BIGINT)
+                       AS lp_u
+            FROM freq CROSS JOIN total),
+    dom AS (SELECT tok.source, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(lpu.lp_u) AS BIGINT) AS sum_u
+            FROM tok JOIN lpu USING (t) GROUP BY tok.source),
+    ref AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+                   CAST((-sum(sum_u)) // sum(n_tok) AS BIGINT) AS ref_loss_micro
+            FROM dom),
+    sc AS (SELECT d.source, d.n_tok,
+                  CAST((-d.sum_u) // d.n_tok AS BIGINT) AS loss_micro,
+                  CAST(greatest(0, (-d.sum_u) // d.n_tok - r.ref_loss_micro)
+                       AS BIGINT) AS excess_micro,
+                  CAST(d.n_tok * {_DOREMI_MICRO} // r.tot_tok AS BIGINT)
+                      AS u_share_micro
+           FROM dom d CROSS JOIN ref r),
+    m AS (SELECT source, n_tok, loss_micro, excess_micro, u_share_micro,
+                 CAST({_DOREMI_MICRO} + excess_micro
+                      + excess_micro * excess_micro // {2 * _DOREMI_MICRO}
+                      AS BIGINT) AS m_micro
+          FROM sc),
+    z AS (SELECT CAST(sum(u_share_micro * m_micro) AS BIGINT) AS zs,
+                 CAST(count(*) AS BIGINT) AS k FROM m)
+    SELECT m.source, m.n_tok, m.loss_micro, m.excess_micro,
+           CAST(m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs AS BIGINT)
+               AS raw_share_micro,
+           CAST({_DOREMI_SMOOTH_KEEP}
+                * (m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs)
+                // {_DOREMI_MICRO}
+                + {_DOREMI_SMOOTH_EPS} // z.k AS BIGINT) AS weight_micro
+    FROM m CROSS JOIN z
+    """,
+)
+def q_corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) — the third
+    training-mix policy next to UniMax water-filling and temperature
+    sampling: a one-shot Group-DRO multiplicative update over per-domain
+    EXCESS loss. Per domain (the ``source`` column): proxy loss = the
+    corpus-unigram-LM negative avg logprob (the same lp_u micro-unit
+    table quality_perplexity_buckets uses), reference loss = the
+    corpus-wide average, excess = max(0, domain - reference); weight
+    share ∝ baseline-token-share × m(excess) with
+    m(e) = 1 + e + e²/2 (the 2nd-order surrogate of DoReMi's exp(η·e),
+    η = 1 — exp is not correctly-rounded across libm implementations, so
+    the surrogate keeps every step in exact BIGINT micro-units; it is
+    monotone in e, preserving the DRO ordering), then ε = 0.2 uniform
+    smoothing, DoReMi eq. (3). All divisions are integer DIV on
+    non-negative operands — bit-exact on both engines.
+
+    Scale: the LM table is vocabulary-sized and broadcast; one explode +
+    two map-side-combined aggregations; the allocation arithmetic runs on
+    |domains| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tf.tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = freq.agg(F.sum("n").cast("double").alias("tot"))
+    lpu = freq.join(F.broadcast(total)).selectExpr(
+        "t",
+        f"CAST(round(ln(n / tot) * {_DOREMI_MICRO}) AS BIGINT) AS lp_u",
+    )
+    dom = (
+        tok.join(F.broadcast(lpu), "t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("lp_u").cast("long").alias("sum_u"),
+        )
+    )
+    ref = dom.agg(
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+        F.expr("CAST((-sum(sum_u)) DIV sum(n_tok) AS BIGINT)").alias(
+            "ref_loss_micro"
+        ),
+    )
+    m = dom.crossJoin(F.broadcast(ref)).selectExpr(
+        "source",
+        "n_tok",
+        "CAST((-sum_u) DIV n_tok AS BIGINT) AS loss_micro",
+        "CAST(greatest(0, (-sum_u) DIV n_tok - ref_loss_micro) AS BIGINT)"
+        " AS excess_micro",
+        f"CAST(n_tok * {_DOREMI_MICRO} DIV tot_tok AS BIGINT) AS u_share_micro",
+    ).selectExpr(
+        "*",
+        f"CAST({_DOREMI_MICRO} + excess_micro"
+        f" + excess_micro * excess_micro DIV {2 * _DOREMI_MICRO} AS BIGINT)"
+        " AS m_micro",
+    )
+    z = m.agg(
+        F.sum(F.col("u_share_micro") * F.col("m_micro")).cast("long").alias("zs"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return m.crossJoin(F.broadcast(z)).selectExpr(
+        "source",
+        "n_tok",
+        "loss_micro",
+        "excess_micro",
+        f"CAST(u_share_micro * m_micro * {_DOREMI_MICRO} DIV zs AS BIGINT)"
+        " AS raw_share_micro",
+        f"CAST({_DOREMI_SMOOTH_KEEP}"
+        f" * (u_share_micro * m_micro * {_DOREMI_MICRO} DIV zs)"
+        f" DIV {_DOREMI_MICRO}"
+        f" + {_DOREMI_SMOOTH_EPS} DIV k AS BIGINT) AS weight_micro",
     )
 
 

@@ -209,9 +209,13 @@ def q_stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events WHERE event_type = 'view'),
     c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
           FROM events WHERE event_type = 'click'),
-    b AS (SELECT least(max(CASE WHEN event_type = 'view' THEN ts END),
-                       max(CASE WHEN event_type = 'click' THEN ts END))
-                 - INTERVAL 1 HOUR - INTERVAL 1 HOUR AS emit_before
+    b AS (SELECT CASE WHEN max(CASE WHEN event_type = 'view' THEN ts END)
+                           IS NOT NULL
+                       AND max(CASE WHEN event_type = 'click' THEN ts END)
+                           IS NOT NULL
+                 THEN least(max(CASE WHEN event_type = 'view' THEN ts END),
+                            max(CASE WHEN event_type = 'click' THEN ts END))
+                      - INTERVAL 1 HOUR - INTERVAL 1 HOUR END AS emit_before
           FROM events)
     SELECT v.user_id, v.view_id, v.view_ts, c.click_id, c.click_ts
     FROM v
@@ -245,9 +249,13 @@ def q_stream_stream_left_join_live(spark: SparkSession, sf_dir: str) -> DataFram
                FROM events WHERE event_type = 'view'),
     c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
           FROM events WHERE event_type = 'click'),
-    b AS (SELECT least(max(CASE WHEN event_type = 'view' THEN ts END),
-                       max(CASE WHEN event_type = 'click' THEN ts END))
-                 - INTERVAL 1 HOUR AS wm
+    b AS (SELECT CASE WHEN max(CASE WHEN event_type = 'view' THEN ts END)
+                           IS NOT NULL
+                       AND max(CASE WHEN event_type = 'click' THEN ts END)
+                           IS NOT NULL
+                 THEN least(max(CASE WHEN event_type = 'view' THEN ts END),
+                            max(CASE WHEN event_type = 'click' THEN ts END))
+                      - INTERVAL 1 HOUR END AS wm
           FROM events)
     SELECT coalesce(v.user_id, c.c_user_id) AS user_id,
            v.view_id, v.view_ts, c.click_id, c.click_ts
@@ -272,6 +280,45 @@ def q_stream_stream_full_join_live(spark: SparkSession, sf_dir: str) -> DataFram
     predicates; user_id coalesces across sides."""
     return ops.run_stream_to_df(
         ops.view_click_full_join(ops.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@query(
+    "stream_stream_right_join_live",
+    """
+    WITH v AS (SELECT user_id AS v_user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    b AS (SELECT CASE WHEN max(CASE WHEN event_type = 'view' THEN ts END)
+                           IS NOT NULL
+                       AND max(CASE WHEN event_type = 'click' THEN ts END)
+                           IS NOT NULL
+                 THEN least(max(CASE WHEN event_type = 'view' THEN ts END),
+                            max(CASE WHEN event_type = 'click' THEN ts END))
+                      - INTERVAL 1 HOUR END AS wm
+          FROM events)
+    SELECT c.user_id, v.view_id, v.view_ts, c.click_id, c.click_ts
+    FROM v
+    RIGHT JOIN c ON c.user_id = v.v_user_id
+           AND c.click_ts >= v.view_ts
+           AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+    CROSS JOIN b
+    WHERE v.view_id IS NOT NULL OR c.click_ts < b.wm
+    """,
+)
+def q_stream_stream_right_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream RIGHT OUTER join: clicks right-joined to views
+    within a 1-hour horizon — completes the outer-join matrix (inner,
+    LEFT, FULL are gated). The NULL side carries the click-side
+    eligibility rule already pinned in the FULL join's boundary pytests:
+    an unmatched click is emitted once the min-of-sides watermark is
+    STRICTLY past it (a click exactly AT the watermark stays buffered);
+    the watermark stalls (nothing emitted) when either side is empty.
+    The oracle mirrors exactly that predicate."""
+    return ops.run_stream_to_df(
+        ops.view_click_right_join(ops.events_stream(spark, sf_dir)),
         output_mode="append",
     )
 
@@ -362,6 +409,30 @@ def q_stream_dedup_keys_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, batch and the DISTINCT oracle agree exactly."""
     return ops.run_stream_to_df(
         ops.daily_key_dedup(ops.events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@query(
+    "stream_dedup_keys_watermarked_live",
+    """
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS w_day
+    FROM events
+    """,
+)
+def q_stream_dedup_keys_watermarked_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    on (user, event_type, day) — the production swap for
+    stream_dedup_keys_live, whose ``dropDuplicates`` state never evicts.
+    A single-batch availableNow drain (the fixture is one file) dedups
+    exactly, so the DISTINCT oracle is a hard gate; the multi-batch
+    eviction/re-emission boundary is pinned by a synthetic pytest
+    (tests/test_streaming.py::test_dedup_within_watermark_boundary)."""
+    return ops.run_stream_to_df(
+        ops.daily_key_dedup_watermarked(ops.events_stream(spark, sf_dir)),
         output_mode="append",
     )
 

@@ -281,14 +281,18 @@ def view_click_left_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
         # The watermark node on each side sees only its filtered rows, so
         # the global (min) watermark keys off the EARLIER of the two
         # per-side max event times.
+        # least() SKIPS NULLs, but a side with zero rows means that side's
+        # watermark node never advances and the stream emits NO unmatched
+        # rows — so the bound must be NULL (comparisons then filter all
+        # NULL-side rows), not the other side's max.
+        max_v = F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+        max_c = F.max(F.when(F.col("event_type") == "click", F.col("ts")))
         bound = df.agg(
-            (
-                F.least(
-                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
-                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                )
+            F.when(
+                max_v.isNotNull() & max_c.isNotNull(),
+                F.least(max_v, max_c)
                 - F.expr(f"INTERVAL {WATERMARK_DELAY}")
-                - F.expr(f"INTERVAL {horizon}")
+                - F.expr(f"INTERVAL {horizon}"),
             ).alias("emit_before")
         )
         joined = (
@@ -341,13 +345,15 @@ def view_click_full_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
         c = c.withWatermark("click_ts", WATERMARK_DELAY)
         joined = v.join(c, cond, "fullOuter")
     else:
+        # same NULL-stalled-watermark rule as view_click_left_join: an
+        # empty side pins the global watermark, so the bound is NULL
+        # (all unmatched rows filtered) rather than the other side's max.
+        max_v = F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+        max_c = F.max(F.when(F.col("event_type") == "click", F.col("ts")))
         bound = df.agg(
-            (
-                F.least(
-                    F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
-                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                )
-                - F.expr(f"INTERVAL {WATERMARK_DELAY}")
+            F.when(
+                max_v.isNotNull() & max_c.isNotNull(),
+                F.least(max_v, max_c) - F.expr(f"INTERVAL {WATERMARK_DELAY}"),
             ).alias("__wm")
         )
         joined = (
@@ -375,6 +381,63 @@ def view_click_full_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
     )
 
 
+def view_click_right_join(df: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream RIGHT OUTER join — completes the outer-join matrix
+    next to :func:`view_click_left_join` / :func:`view_click_full_join`.
+    All (view, click) matches inside ``horizon``, plus every unmatched
+    CLICK. The NULL-side eligibility is exactly the click-side rule
+    already pinned in the FULL join's boundary pytests: an unmatched
+    click is emitted once the watermark is STRICTLY past it
+    (``click_ts < wm`` — clicks match only views at-or-before them, and
+    views older than the watermark can no longer arrive; a click exactly
+    AT the watermark stays buffered). ``wm = least(max view_ts,
+    max click_ts) - delay``, NULL (stalled — nothing emitted) when
+    either side is empty. The batch twin and SQL oracle mirror the
+    predicate; ``user_id`` comes from the click side so unmatched clicks
+    keep their key."""
+    streaming = df.isStreaming
+    v = df.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    if streaming:
+        v = v.withWatermark("view_ts", WATERMARK_DELAY)
+        c = c.withWatermark("click_ts", WATERMARK_DELAY)
+        joined = v.join(c, cond, "rightOuter")
+    else:
+        # batch twin: inner matches, plus unmatched clicks strictly below
+        # the (NULL-stalled) min-of-sides final watermark.
+        max_v = F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+        max_c = F.max(F.when(F.col("event_type") == "click", F.col("ts")))
+        bound = df.agg(
+            F.when(
+                max_v.isNotNull() & max_c.isNotNull(),
+                F.least(max_v, max_c) - F.expr(f"INTERVAL {WATERMARK_DELAY}"),
+            ).alias("__wm")
+        )
+        joined = (
+            v.join(c, cond, "rightOuter")
+            .join(F.broadcast(bound))
+            .where(
+                F.col("view_id").isNotNull()
+                | (F.col("click_ts") < F.col("__wm"))
+            )
+            .drop("__wm")
+        )
+    return joined.select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+
+
 def daily_key_dedup(df: DataFrame) -> DataFrame:
     """Streaming deduplication: first occurrence of each
     (user_id, event_type, day) key wins; output is the distinct key set
@@ -384,9 +447,9 @@ def daily_key_dedup(df: DataFrame) -> DataFrame:
     late-arriving FIRST occurrences in multi-micro-batch drains, silently
     diverging from the batch DISTINCT (the oracle). The cost is dedup
     state that never evicts — fine for bounded backfills; for an endless
-    production stream swap in ``dropDuplicatesWithinWatermark`` (plus a
-    watermark), which bounds state in exchange for may-rededup semantics
-    beyond the delay horizon.
+    production stream use :func:`daily_key_dedup_watermarked`, which
+    bounds state in exchange for may-rededup semantics beyond the delay
+    horizon.
     """
     keyed = df.select(
         "ts",
@@ -397,6 +460,45 @@ def daily_key_dedup(df: DataFrame) -> DataFrame:
     return keyed.dropDuplicates(["user_id", "event_type", "w_day"]).select(
         "user_id", "event_type", "w_day"
     )
+
+
+def daily_key_dedup_watermarked(
+    df: DataFrame, delay: str = WATERMARK_DELAY
+) -> DataFrame:
+    """BOUNDED-STATE streaming deduplication via
+    ``dropDuplicatesWithinWatermark``: first (user_id, event_type, day)
+    occurrence wins, and a key's dedup state is EVICTED once the
+    event-time watermark passes its event time + ``delay`` — the
+    production swap for :func:`daily_key_dedup`, whose state grows
+    without bound on an endless stream.
+
+    The contract this trades away: duplicates separated by MORE than
+    ``delay`` of event time across micro-batches may be re-emitted (the
+    first copy's state has been evicted by the time the second arrives).
+    Within one micro-batch the dedup is exact regardless of spacing —
+    state eviction happens at batch boundaries — so a single-batch
+    availableNow drain matches the batch DISTINCT exactly; the
+    multi-batch re-emission boundary is pinned by a synthetic pytest
+    (tests/test_streaming.py), the same pattern as session-window
+    finalization.
+
+    Output is the surviving key set (ts projected away) so batch and
+    stream agree whichever physical copy survived.
+    """
+    keyed = df.select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("w_day"),
+    )
+    if keyed.isStreaming:
+        keyed = keyed.withWatermark("ts", delay)
+        deduped = keyed.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "w_day"]
+        )
+    else:
+        deduped = keyed.dropDuplicates(["user_id", "event_type", "w_day"])
+    return deduped.select("user_id", "event_type", "w_day")
 
 
 def stream_upsert_to_parquet(

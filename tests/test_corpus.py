@@ -82,3 +82,76 @@ def test_bm25_rewards_tf_and_penalizes_length(spark):
     got = corpus.bm25_topk(docs, ["hash"], k=10).collect()
     assert [r.doc_id for r in got] == [1, 2]  # doc 3 never appears
     assert got[0].bm25 > got[1].bm25 > 0
+
+
+def test_remove_repeated_spans_excises_planted_duplicates(spark):
+    """Two docs share a 16-token span (planted cross-document duplicate):
+    both copies are excised, the unique prefix/suffix survive in order,
+    an untouched doc and a short (<16 tokens) doc pass through verbatim."""
+    span = " ".join(f"dup{i}" for i in range(16))
+    rows = [
+        (1, "p1 p2 p3 p4 p5 " + span + " s1 s2 s3 s4 s5"),
+        (2, "q1 q2 q3 " + span + " t1 t2"),
+        (3, " ".join(f"u{i}" for i in range(20))),
+        (4, "tiny doc under sixteen tokens"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in corpus.remove_repeated_spans(_docs(spark, rows)).collect()
+    }
+    assert out[1].kept_text == "p1 p2 p3 p4 p5 s1 s2 s3 s4 s5"
+    assert (out[1].n_tok, out[1].n_kept, out[1].n_removed) == (26, 10, 16)
+    assert out[2].kept_text == "q1 q2 q3 t1 t2"
+    assert (out[2].n_tok, out[2].n_kept, out[2].n_removed) == (21, 5, 16)
+    assert out[3].kept_text == rows[2][1] and out[3].n_removed == 0
+    assert out[4].kept_text == rows[3][1] and out[4].n_removed == 0
+
+
+def test_remove_repeated_spans_merges_overlapping_windows(spark):
+    """A 17-token duplicated run produces TWO flagged 16-token windows
+    offset by one; the union removes all 17 tokens, not 32."""
+    run = " ".join(f"d{i}" for i in range(17))
+    rows = [(1, "a1 a2 " + run + " z1 z2"), (2, "b1 " + run + " y1")]
+    out = {
+        r.doc_id: r
+        for r in corpus.remove_repeated_spans(_docs(spark, rows)).collect()
+    }
+    assert out[1].kept_text == "a1 a2 z1 z2"
+    assert (out[1].n_tok, out[1].n_removed) == (21, 17)
+    assert out[2].kept_text == "b1 y1"
+
+
+def test_paragraph_dedup_keeps_first_and_reconstructs(spark):
+    """Corpus-wide paragraph dedup with deterministic keeper (smallest
+    (doc_id, index)) and in-order reconstruction; a doc made entirely of
+    already-seen paragraphs rebuilds to ''. Paragraphs = 5-token chunks."""
+    p_shared = "s1 s2 s3 s4 s5"
+    p_a = "a1 a2 a3 a4 a5"
+    p_b = "b1 b2 b3 b4 b5"
+    rows = [
+        (1, p_a + " " + p_shared),          # keeps both (first occurrence)
+        (2, p_shared + " " + p_b),          # loses shared, keeps b
+        (3, p_shared),                      # loses everything -> ''
+        (4, p_shared + " " + p_shared),     # within-doc dup: both lost
+    ]
+    out = {
+        r.doc_id: r
+        for r in corpus.paragraph_dedup_docs(_docs(spark, rows)).collect()
+    }
+    assert out[1].deduped_text == p_a + " " + p_shared
+    assert (out[1].n_paras, out[1].n_kept) == (2, 2)
+    assert out[2].deduped_text == p_b and out[2].n_kept == 1
+    assert out[3].deduped_text == "" and out[3].n_kept == 0
+    assert out[4].deduped_text == "" and (out[4].n_paras, out[4].n_kept) == (2, 0)
+
+
+def test_paragraph_dedup_short_tail_chunk(spark):
+    """The last paragraph may be shorter than the chunk size; it dedups
+    and reconstructs like any other."""
+    rows = [(1, "x1 x2 x3 x4 x5 tail"), (2, "tail")]
+    out = {
+        r.doc_id: r
+        for r in corpus.paragraph_dedup_docs(_docs(spark, rows)).collect()
+    }
+    assert out[1].deduped_text == rows[0][1] and out[1].n_paras == 2
+    assert out[2].deduped_text == "" and out[2].n_paras == 1

@@ -243,3 +243,74 @@ def test_auto_lsh_r_memoized_one_count_job(spark):
     assert pl._LSH_R_BY_DIR[sf] == pl.similarity.auto_planes_per_band(
         spark.read.parquet(f"{sf}/embeddings.parquet").count(), max_bucket=1000
     )
+
+
+def test_dsir_single_word_docs_contribute_no_bigrams(spark, tmp_path):
+    """ADVICE r7: Spark's sequence(0, -1) DESCENDS, so an unguarded bigram
+    build emits two NULL-bigram rows per 1-word document, silently
+    shifting every DSIR bucket ratio. Pin the guard against the DuckDB
+    twin on a corpus WITH single-word (and empty-ish) documents."""
+    import duckdb
+    import pandas as pd
+
+    from oracle_schema_copy_spark.queries import REGISTRY
+    from oracle_schema_copy_spark.queries import pipeline as qp
+
+    rows = [
+        (1, "one", "en", "s0", 3),  # single word -> zero bigrams
+        (2, "two words", "en", "s0", 9),
+        (3, "a b c d e", "xx", "s1", 9),
+        (4, "b c d e f", "en", "s1", 9),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = (
+        qp.q_sample_dsir_importance(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got.loc[got.doc_id == 1, "n_bigrams"].item() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(REGISTRY["sample_dsir_importance"].oracle)
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].astype(str), want[sorted(want.columns)].astype(str)
+    )
+
+
+def test_hard_negative_exclusion_drops_null_labels(spark):
+    """ADVICE r7: exclude_same_col must mirror the SQL twin's
+    `n.label <> q.label`, which DROPS a pair when EITHER side's label is
+    NULL (the old ~eqNullSafe kept it). Identical embeddings guarantee
+    bucket collisions, so eligibility is decided by the exclusion alone."""
+    from oracle_schema_copy_spark.operators.similarity import lsh_banded_topk
+
+    v = [1.0] + [0.0] * 63
+    corpus = spark.createDataFrame(
+        [(1, "a", v), (2, "b", v), (3, None, v)],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(10, "a", v), (11, None, v)],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    got = lsh_banded_topk(
+        corpus, queries, k=5, exclude_same_col="label"
+    ).toPandas()
+    # query 10 (label a): neighbor 1 shares the label -> excluded;
+    # neighbor 3 has a NULL label -> DROPPED, not kept; only 2 survives.
+    assert sorted(
+        got[got.query_id == 10]["neighbor_id"].astype(int)
+    ) == [2]
+    # query 11 (NULL label): every comparison is NULL -> nothing survives.
+    assert (got.query_id == 11).sum() == 0

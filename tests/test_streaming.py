@@ -336,3 +336,151 @@ def test_left_join_view_side_boundary(spark, tmp_path):
     batch = ops.view_click_left_join(df).toPandas()
     assert sorted(live[live.click_id.isna()]["view_id"].astype(int)) == [102]
     assert sorted(batch[batch.click_id.isna()]["view_id"].astype(int)) == [102]
+
+
+def test_right_join_click_side_boundary(spark, tmp_path):
+    """Pin the RIGHT-outer NULL eligibility (the click-side rule, same as
+    the full join's): an unmatched click strictly BELOW the watermark is
+    emitted, one exactly AT it stays buffered, one above is buffered.
+    max view_ts = max click_ts = T0+10h -> wm = T0+9h."""
+    import datetime
+
+    T0 = datetime.datetime(2024, 1, 1)
+    H = datetime.timedelta(hours=1)
+    rows = [
+        ("view", 1, 100, T0 + 10 * H),
+        ("click", 1, 200, T0 + 10 * H),  # matches view 100
+        ("click", 2, 201, T0 + 9 * H),  # unmatched, EXACTLY wm -> buffered
+        ("click", 3, 202, T0 + 7 * H),  # unmatched, below wm -> emitted
+        ("click", 4, 203, T0 + 9 * H + H / 2),  # unmatched, above wm -> buffered
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, user_id INT, event_id INT, ts TIMESTAMP"
+    ).withColumn("value", F.lit(1.0))
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    live = ops.run_stream_to_df(
+        ops.view_click_right_join(sdf), output_mode="append"
+    ).toPandas()
+    batch = ops.view_click_right_join(df).toPandas()
+    assert sorted(live[live.view_id.isna()]["click_id"].astype(int)) == [202]
+    assert sorted(batch[batch.view_id.isna()]["click_id"].astype(int)) == [202]
+    assert sorted(live[live.view_id.notna()]["click_id"].astype(int)) == [200]
+
+
+def test_stream_right_join_matches_batch(spark):
+    """Right-outer stream-stream join: drained stream == batch twin, with
+    the NULL side non-degenerate."""
+    batch = ops.view_click_right_join(ops.load_events(spark, SF))
+    live = ops.run_stream_to_df(
+        ops.view_click_right_join(ops.events_stream(spark, SF)),
+        output_mode="append",
+    )
+    bp, lp = _sorted_pdf(batch), _sorted_pdf(live)
+    assert bp["view_id"].isna().sum() > 0
+    pd.testing.assert_frame_equal(lp, bp)
+
+
+def test_outer_join_stalled_watermark_on_empty_side(spark, tmp_path):
+    """ADVICE r7: with ZERO clicks the click-side watermark node never
+    advances, so the global watermark stalls and the stream emits NO
+    unmatched views — the batch twins must mirror that (a NULL bound,
+    not least() skipping the NULL side)."""
+    import datetime
+
+    T0 = datetime.datetime(2024, 1, 1)
+    H = datetime.timedelta(hours=1)
+    rows = [("view", 1, 100, T0), ("view", 2, 101, T0 + 10 * H)]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, user_id INT, event_id INT, ts TIMESTAMP"
+    ).withColumn("value", F.lit(1.0))
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    for fn in (ops.view_click_left_join, ops.view_click_full_join):
+        assert fn(df).count() == 0, fn.__name__
+        assert ops.run_stream_to_df(fn(sdf), output_mode="append").count() == 0
+    # right join with zero VIEWS: same stall, mirrored
+    rows_c = [("click", 1, 200, T0), ("click", 2, 201, T0 + 10 * H)]
+    dfc = spark.createDataFrame(
+        rows_c, "event_type STRING, user_id INT, event_id INT, ts TIMESTAMP"
+    ).withColumn("value", F.lit(1.0))
+    srcc = str(tmp_path / "evc")
+    dfc.coalesce(1).write.parquet(srcc)
+    sdfc = spark.readStream.schema(dfc.schema).parquet(srcc)
+    assert ops.view_click_right_join(dfc).count() == 0
+    assert (
+        ops.run_stream_to_df(
+            ops.view_click_right_join(sdfc), output_mode="append"
+        ).count()
+        == 0
+    )
+
+
+def test_dedup_within_watermark_boundary(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark's bounded-state contract across
+    micro-batches (delay = 1h):
+
+    - batch 1: first occurrences of keys 1 (T0) and 2 (T0+10h) both emit;
+      the closing max event time sets next batch's watermark to
+      T0+10h - 1h = T0+9h;
+    - batch 2 (filler key 3): runs under wm = T0+9h, whose end-of-batch
+      state cleanup EVICTS key 1 (expired T0+1h) and keeps key 2
+      (expires T0+11h) — the watermark and the eviction each lag one
+      batch behind the data that produced them;
+    - batch 3: a duplicate of key 1 at T0+9h30 RE-EMITS (state gone —
+      the may-rededup trade), a duplicate of key 2 at T0+10h is dropped
+      (state alive).
+    """
+    import datetime
+
+    T0 = datetime.datetime(2024, 1, 1)
+    H = datetime.timedelta(hours=1)
+    schema = "event_type STRING, user_id INT, event_id INT, ts TIMESTAMP"
+    b1 = spark.createDataFrame(
+        [("view", 1, 100, T0), ("view", 2, 101, T0 + 10 * H)], schema
+    ).withColumn("value", F.lit(1.0))
+    b2 = spark.createDataFrame(
+        [("view", 3, 102, T0 + 10 * H)], schema
+    ).withColumn("value", F.lit(1.0))
+    b3 = spark.createDataFrame(
+        [("view", 1, 103, T0 + 9 * H + H / 2), ("view", 2, 104, T0 + 10 * H)],
+        schema,
+    ).withColumn("value", F.lit(1.0))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    b1.coalesce(1).write.parquet(str(tmp_path / "a"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "b"))
+    b3.coalesce(1).write.parquet(str(tmp_path / "c"))
+    n = 0
+    for sub in ("a", "b", "c"):
+        for f in sorted(os.listdir(str(tmp_path / sub))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{n}.parquet")
+                os.rename(os.path.join(str(tmp_path / sub), f), dst)
+                # the file source orders micro-batches by mtime: pin it
+                os.utime(dst, (1_700_000_000 + n * 100, 1_700_000_000 + n * 100))
+                n += 1
+    assert n == 3
+    sdf = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = ops.run_stream_to_df(
+        ops.daily_key_dedup_watermarked(sdf), output_mode="append"
+    ).toPandas()
+    per_user = out.groupby("user_id").size().to_dict()
+    assert per_user == {1: 2, 2: 1, 3: 1}
+
+
+def test_dedup_watermarked_single_batch_matches_distinct(spark):
+    """A single-batch availableNow drain dedups exactly (state eviction
+    only happens at batch boundaries): stream == batch DISTINCT."""
+    live = ops.run_stream_to_df(
+        ops.daily_key_dedup_watermarked(ops.events_stream(spark, SF)),
+        output_mode="append",
+    )
+    batch = ops.daily_key_dedup_watermarked(ops.load_events(spark, SF))
+    pd.testing.assert_frame_equal(_sorted_pdf(live), _sorted_pdf(batch))
