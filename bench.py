@@ -139,6 +139,36 @@ def _trimmed_median(xs: list[float]) -> float:
     return _median(s[: len(s) - drop])
 
 
+def _cpu_probe() -> dict:
+    """Machine-speed calibration recorded alongside the timings: a fixed
+    single-thread Python workload plus the /proc/stat steal share over a
+    2 s window. Loadavg alone cannot distinguish "this round's sandbox is
+    simply slower / more stolen-from" from a plan regression — r8 measured
+    a quiet-loadavg machine running the identical committed queries ~1.5×
+    slower than r6 with ~6% steal at idle. Cross-round comparisons should
+    normalize by probe_sec (same fixed work every round)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    probe = round(time.perf_counter() - t0, 4)
+    steal = None
+    try:
+        def snap():
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:]))
+        a = snap()
+        time.sleep(2)
+        b = snap()
+        d = [y - x for x, y in zip(a, b)]
+        tot = sum(d)
+        if tot > 0 and len(d) >= 8:
+            steal = round(100.0 * d[7] / tot, 2)
+    except OSError:
+        pass
+    return {"probe_sec": probe, "steal_pct": steal}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -152,6 +182,7 @@ def main() -> None:
     set_name, fns = _query_set()
     names = list(fns)
     load0 = os.getloadavg()[0]
+    probe0 = _cpu_probe()
     per_query: dict[str, dict] = {}
 
     if isolate:
@@ -208,6 +239,7 @@ def main() -> None:
                 "isolated": isolate,
                 "cpus": cpus,
                 "loadavg": [round(load0, 2), round(os.getloadavg()[0], 2)],
+                "machine": {"before": probe0, "after": _cpu_probe()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -411,27 +411,48 @@ def remove_repeated_spans(
     conservative variant — dedup-then-keep-one needs a keeper rule, which
     :func:`paragraph_dedup_docs` demonstrates at paragraph granularity.
     """
-    toks = f"split({text_col}, ' ')"
-    spans = (
-        f"transform(sequence(1, size({toks}) - {span_tokens - 1}), "
-        f"s -> md5(array_join(slice({toks}, s, {span_tokens}), ' ')))"
-    )
-    # posexplode gives the 0-based window offset; +1 makes it the 1-based
-    # token start index. localCheckpoint: the hash stream feeds the counts
-    # aggregate AND the join probe (see repeated_spans).
-    ex = (
-        spread(docs)
-        .filter(F.size(F.split(F.col(text_col), " ")) >= span_tokens)
-        .select(F.col(id_col), F.posexplode_outer(F.expr(spans)).alias("__s0", "__h"))
-        .select(F.col(id_col), (F.col("__s0") + 1).alias("__s"), "__h")
-        .localCheckpoint()
-    )
+    ex = _span_starts(docs, id_col, text_col, span_tokens).localCheckpoint()
     counts = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
     flagged = (
         ex.join(counts.filter(F.col("__cnt") > 1), "__h")
         .groupBy(id_col)
         .agg(F.collect_set("__s").alias("__starts"))
     )
+    return _excise_flagged_starts(docs, flagged, id_col, text_col, span_tokens)
+
+
+def _span_starts(
+    docs: DataFrame, id_col: str, text_col: str, span_tokens: int
+) -> DataFrame:
+    """(id, __s, __h): the 1-based start index and md5 of every length-L
+    sliding token window. posexplode gives the 0-based window offset; +1
+    makes it the 1-based token start index. Per-row expression work —
+    the caller decides what (if anything) to shuffle."""
+    toks = f"split({text_col}, ' ')"
+    spans = (
+        f"transform(sequence(1, size({toks}) - {span_tokens - 1}), "
+        f"s -> md5(array_join(slice({toks}, s, {span_tokens}), ' ')))"
+    )
+    return (
+        spread(docs)
+        .filter(F.size(F.split(F.col(text_col), " ")) >= span_tokens)
+        .select(F.col(id_col), F.posexplode_outer(F.expr(spans)).alias("__s0", "__h"))
+        .select(F.col(id_col), (F.col("__s0") + 1).alias("__s"), "__h")
+    )
+
+
+def _excise_flagged_starts(
+    docs: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int,
+) -> DataFrame:
+    """Remove from each document the union of [s, s + L) token intervals
+    in ``flagged`` (one row per id: ``__starts`` array) and emit
+    (id, n_tok, n_kept, n_removed, kept_text). Overlapping intervals
+    merge by construction — a token goes when ANY flagged start covers
+    it. Per-row array arithmetic after one left join."""
     joined = docs.select(F.col(id_col), F.col(text_col)).join(
         flagged, id_col, "left"
     )
@@ -455,6 +476,46 @@ def remove_repeated_spans(
             "kept_text"
         ),
     )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Span-level DECONTAMINATION — the surgical variant of the
+    document-level contamination screen (operators/contamination.py):
+    instead of dropping a whole training document that overlaps the
+    held-out eval set, excise exactly the token windows that collide
+    with any eval-set window and keep the remainder (the GPT-3/PaLM
+    appendix-style n-gram scrub). Same interval-union excision as
+    :func:`remove_repeated_spans`; the flagged set comes from a join
+    against the DISTINCT eval window hashes instead of corpus-frequency
+    counts.
+
+    Output: one row per TRAINING document (eval docs are not rewritten),
+    (id, n_tok, n_kept, n_removed, kept_text).
+
+    Scale shape: the eval hash set is benchmark-sized (thousands of
+    docs), aggregates to distinct hashes and broadcasts; training-side
+    work is per-row window hashing plus one broadcast-join probe — the
+    100 TB corpus never shuffles on anything wider than (id, start).
+    """
+    ev = (
+        _span_starts(eval_docs, id_col, text_col, span_tokens)
+        .select("__h")
+        .distinct()
+    )
+    tr = _span_starts(docs, id_col, text_col, span_tokens)
+    flagged = (
+        tr.join(F.broadcast(ev), "__h")
+        .groupBy(id_col)
+        .agg(F.collect_set("__s").alias("__starts"))
+    )
+    return _excise_flagged_starts(docs, flagged, id_col, text_col, span_tokens)
 
 
 def paragraph_dedup_docs(

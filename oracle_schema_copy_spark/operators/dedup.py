@@ -845,3 +845,67 @@ def semantic_cluster_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def edit1_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    keep_dist0: bool = False,
+) -> DataFrame:
+    """Edit-distance-1 similarity self-join via FastSS deletion
+    neighborhoods (Bocek et al. 2007) — the entity-resolution /
+    typo-matching shape none of the token- or embedding-based dedup
+    families cover. Every string emits its deletion neighborhood (the
+    string itself + the string with position i removed, for every i);
+    two strings within edit distance 1 necessarily share a neighborhood
+    member (substitution: delete the differing position from both;
+    indel: the shorter string IS a deletion of the longer), so the
+    signature equi-join is a LOSSLESS candidate filter — pinned against
+    brute force by pytest. Candidates are verified with the exact
+    ``levenshtein`` built-in (identical semantics on both engines), so
+    false candidates drop out.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist <= 1 (0 only when
+    ``keep_dist0`` — exact duplicates are the exact-dedup family's job).
+
+    Scale shape: signature generation is per-row expression work emitting
+    len+1 rows per string; the one shuffle carries (signature, id) pairs;
+    bucket sizes are alphabet-bounded (a deletion signature matches at
+    most |alphabet| substitution variants), so no hot buckets — unlike
+    prefix/segment blocking, which degenerates on shared-prefix corpora
+    like 'Supplier#0000...'. Verification touches candidates only.
+    """
+    # empty-string guard: sequence(1, 0) DESCENDS in Spark (the DSIR
+    # lesson); an empty name's deletion neighborhood is just itself
+    sigs = (
+        "explode(array_union("
+        f" array({name_col}),"
+        f" CASE WHEN length({name_col}) >= 1 THEN"
+        f" transform(sequence(1, length({name_col})),"
+        f"  i -> concat(substr({name_col}, 1, i - 1),"
+        f"              substr({name_col}, i + 1)))"
+        " ELSE array() END"
+        ")) AS __sig"
+    )
+    ex = spread(df).selectExpr(f"{id_col}", f"{name_col}", sigs)
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("__na"), "__sig"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("__nb"), "__sig"
+    )
+    min_d = 0 if keep_dist0 else 1
+    return (
+        a.join(b, "__sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__na", "__nb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__na", "__nb").cast("long").alias("dist"),
+        )
+        .where((F.col("dist") <= 1) & (F.col("dist") >= min_d))
+    )

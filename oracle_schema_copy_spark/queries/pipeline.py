@@ -128,6 +128,37 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_edit1_supplier_names",
+    """
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND abs(length(a.s_name) - length(b.s_name)) <= 1
+    WHERE levenshtein(a.s_name, b.s_name) = 1
+    """,
+)
+def q_dedup_edit1_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 entity-resolution self-join over supplier names via
+    FastSS deletion-neighborhood signatures — typo-level matching, the
+    string-edit shape none of the token/embedding dedup families cover.
+    The signature filter is LOSSLESS for ed <= 1 (pytest-pinned against
+    brute force), so the oracle is the brute-force levenshtein pair set —
+    it cannot know the filter exists, which is the point (the
+    prefix-filter convention). Supplier names share a long constant
+    prefix, exactly the corpus shape where prefix/segment blocking
+    degenerates into one hot bucket; deletion signatures keep buckets
+    alphabet-bounded. Scale: len+1 signature rows per string, one
+    (signature, id) shuffle, exact verification on candidates only."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return dedup.edit1_pairs(sup, id_col="s_suppkey", name_col="s_name").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+    )
+
+
+@query(
     "text_repeated_spans",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -203,6 +234,57 @@ def q_text_exactsubstr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return corpus.remove_repeated_spans(
         load_table(spark, sf_dir, "documents"), span_tokens=16
+    )
+
+
+@query(
+    "text_decontamination_removal",
+    """
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    w AS (
+        SELECT doc_id, gs.s AS s, md5(array_to_string(t[gs.s:gs.s+15], ' ')) AS h
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 15)) AS s) gs
+        WHERE len(t) >= 16),
+    ev AS (SELECT DISTINCT h FROM w WHERE doc_id % 7 = 0),
+    flag AS (SELECT w.doc_id, w.s FROM w JOIN ev USING (h) WHERE w.doc_id % 7 <> 0),
+    tp AS (SELECT doc_id, gs.p AS p, t[gs.p] AS tok
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) gs
+           WHERE doc_id % 7 <> 0),
+    keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+             WHERE NOT EXISTS (SELECT 1 FROM flag f
+                               WHERE f.doc_id = tp.doc_id
+                                 AND f.s <= tp.p AND tp.p < f.s + 16)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS kept_text
+            FROM keep GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.doc_id % 7 <> 0
+    """,
+)
+def q_text_decontamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION: excise from every TRAINING
+    document exactly the 16-token windows that collide with the held-out
+    eval slice's window-hash set (doc_id % 7 == 0 stands in for the
+    benchmark; 538 flagged windows across 8 training docs at sf0.01,
+    1951/49 at sf0.1 — the scrub path fires), keeping the remainder —
+    the GPT-3/PaLM n-gram scrub, surgical where text_contamination's
+    document-level screen is all-or-nothing. Row-level gate pins counts
+    and rewritten text of every training document. Scale: the eval hash
+    set is benchmark-sized and BROADCAST; the corpus never shuffles
+    wider than (id, start)."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.remove_contaminated_spans(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        span_tokens=16,
     )
 
 

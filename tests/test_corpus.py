@@ -155,3 +155,27 @@ def test_paragraph_dedup_short_tail_chunk(spark):
     }
     assert out[1].deduped_text == rows[0][1] and out[1].n_paras == 2
     assert out[2].deduped_text == "" and out[2].n_paras == 1
+
+
+def test_remove_contaminated_spans_scrubs_eval_overlap(spark):
+    """Training docs lose exactly the 16-token windows that collide with
+    the eval set; eval-internal text is untouched elsewhere and training
+    docs without overlap pass through."""
+    span = " ".join(f"e{i}" for i in range(16))
+    train = _docs(
+        spark,
+        [
+            (1, "p1 p2 " + span + " s1 s2"),
+            (2, " ".join(f"u{i}" for i in range(20))),
+        ],
+    )
+    ev = _docs(spark, [(100, "h1 h2 " + span + " h3")])
+    out = {
+        r.doc_id: r
+        for r in corpus.remove_contaminated_spans(train, ev).collect()
+    }
+    assert out[1].kept_text == "p1 p2 s1 s2"
+    assert (out[1].n_tok, out[1].n_removed) == (20, 16)
+    assert out[2].kept_text == train.collect()[1].text
+    assert out[2].n_removed == 0
+    assert set(out) == {1, 2}  # eval docs are not rewritten

@@ -81,3 +81,47 @@ def test_star_handles_long_chain_in_log_rounds(spark):
         near_dup_components(df, max_iter=6)
     got = _components_star(spark, chain, max_iter=6)
     assert got == {i: 1 for i in range(1, 34)}
+
+
+def test_edit1_pairs_lossless_vs_brute_force(spark):
+    """The FastSS deletion-neighborhood filter is LOSSLESS for ed <= 1:
+    substitution, insertion, and deletion pairs are all found; ed-2
+    pairs are not emitted. Verified against brute-force levenshtein."""
+    from pyspark.sql import functions as F
+
+    from oracle_schema_copy_spark.operators.dedup import edit1_pairs
+
+    names = [
+        (1, "kitten"),
+        (2, "sitten"),   # substitution of 1
+        (3, "kitte"),    # deletion of 1
+        (4, "kittens"),  # insertion of 1
+        (5, "sittin"),   # ed 2 from kitten -> excluded; ed 1 of sitten
+        (6, "zebra"),    # unrelated
+        (7, "kitten"),   # exact dup: dist 0 excluded by default
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit1_pairs(df, id_col="id", name_col="name").collect()
+    }
+    a = df.selectExpr("id AS id_a", "name AS na")
+    b = df.selectExpr("id AS id_b", "name AS nb")
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("na", "nb").cast("long").alias("dist"))
+        .where(F.col("dist") == 1)
+        .collect()
+    }
+    assert got == brute
+    assert (1, 2, 1) in got and (1, 3, 1) in got and (1, 4, 1) in got
+    assert not any(p[:2] == (1, 5) for p in got)
+    # keep_dist0 surfaces exact duplicates too
+    with_zero = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit1_pairs(
+            df, id_col="id", name_col="name", keep_dist0=True
+        ).collect()
+    }
+    assert (1, 7, 0) in with_zero
