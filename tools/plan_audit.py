@@ -95,6 +95,7 @@ INTENTIONAL_CROSS = {
     "corpus_temperature_budgets",  # 1x1 sqrt-total frame and 1x1 budget frame broadcast into |languages| rows
     "ivf_ndcg_contract",  # brute-force baseline side of the NDCG measurement (same as the recall contracts)
     "curation_diversity_capstone",  # 1x1 sqrt-total and budget frames broadcast into the 8-center table
+    "corpus_doremi_weights",  # 1x1 vocab-total, 1x1 reference-loss, 1x1 normalizer frames broadcast into |domains| rows
 }
 
 
