@@ -330,6 +330,122 @@ def q_dedup_paragraph_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Final keep rule of the cleaning capstone — mirrored into its SQL twin
+# (kept in sync with _GOPHER_MIN_WORDS by tests/test_registry-style value
+# equality below the Gopher constants; both are 25 by design).
+_CLEAN_MIN_TOK = 25
+
+
+@query(
+    "curation_cleaning_capstone",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    p AS (SELECT doc_id, gs.s AS idx,
+                 array_to_string(t[(gs.s*5+1):(gs.s*5+5)], ' ') AS para
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(0, (len(t)-1)//5)) AS s) gs),
+    k AS (SELECT doc_id, idx, para, md5(trim(lower(para))) AS h FROM p),
+    surv AS (SELECT doc_id, idx, para,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+             FROM k),
+    reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(para, ' ' ORDER BY idx) AS deduped_text
+            FROM surv WHERE rn = 1 GROUP BY doc_id),
+    t2 AS (SELECT doc_id, string_split(deduped_text, ' ') AS t FROM reb
+           WHERE n_kept > 0),
+    w2 AS (SELECT doc_id, gs.s AS s,
+                  md5(array_to_string(t[gs.s:gs.s+15], ' ')) AS h
+           FROM t2, LATERAL (SELECT unnest(generate_series(1, len(t) - 15)) AS s) gs
+           WHERE len(t) >= 16),
+    c2 AS (SELECT h FROM w2 GROUP BY h HAVING count(*) > 1),
+    fl2 AS (SELECT w2.doc_id, w2.s FROM w2 JOIN c2 USING (h)),
+    tp2 AS (SELECT doc_id, gs.p AS p, t[gs.p] AS tok
+            FROM t2, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) gs),
+    keep2 AS (SELECT tp2.doc_id, tp2.p, tp2.tok FROM tp2
+              WHERE NOT EXISTS (SELECT 1 FROM fl2 f
+                                WHERE f.doc_id = tp2.doc_id
+                                  AND f.s <= tp2.p AND tp2.p < f.s + 16)),
+    agg2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fin,
+                    string_agg(tok, ' ' ORDER BY p) AS fin_text
+             FROM keep2 GROUP BY doc_id)
+    SELECT d.doc_id, d.lang,
+           CAST((len(string_split(d.text, ' ')) - 1) // 5 + 1 AS BIGINT) AS n_paras,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_paras_kept,
+           CAST(CASE WHEN coalesce(reb.n_kept, 0) > 0
+                THEN len(string_split(reb.deduped_text, ' ')) ELSE 0 END
+                AS BIGINT) AS n_tok_rebuilt,
+           CAST(coalesce(a.n_fin, 0) AS BIGINT) AS n_tok_final,
+           coalesce(a.fin_text, '') AS final_text,
+           coalesce(a.n_fin, 0) >= {_CLEAN_MIN_TOK} AS kept
+    FROM documents d
+    LEFT JOIN reb USING (doc_id)
+    LEFT JOIN agg2 a USING (doc_id)
+    """,
+)
+def q_curation_cleaning_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus CLEANING pipeline capstone — the RefinedWeb /
+    SlimPajama shape, composing the round-8 rewrite stages in their
+    production order: (1) corpus-wide paragraph dedup with first-
+    occurrence keeper and document reconstruction, (2) ExactSubstr
+    duplicated-span excision over the REBUILT corpus (recurrence is
+    recomputed post-dedup — stage 1 already removed whole-paragraph
+    recurrences, stage 2 catches the cross-paragraph remainder),
+    (3) a Gopher-style minimum-length keep rule (>= _CLEAN_MIN_TOK
+    surviving tokens) on the final text. One row per input document with
+    per-stage counts and the final rewritten text — row-level gate over
+    the entire three-stage composition; the oracle chains the same CTE
+    pipelines verbatim.
+
+    Scale: stage shuffles carry (hash, doc_id, idx) / (id, hash) /
+    (id, start) — text bodies ride only inside their own document's
+    row; the keep rule is per-row arithmetic."""
+    from oracle_schema_copy_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    reb = corpus.paragraph_dedup_docs(docs, para_tokens=5)
+    reb2 = reb.filter(F.col("n_kept") > 0).select(
+        "doc_id", F.col("deduped_text").alias("text")
+    )
+    sc = corpus.remove_repeated_spans(reb2, span_tokens=16)
+    return (
+        docs.select("doc_id", "lang")
+        .join(
+            reb.select(
+                "doc_id",
+                F.col("n_paras").cast("long").alias("n_paras"),
+                F.col("n_kept").cast("long").alias("n_paras_kept"),
+            ),
+            "doc_id",
+        )
+        .join(
+            sc.select(
+                "doc_id",
+                F.col("n_tok").cast("long").alias("n_tok_rebuilt"),
+                F.col("n_kept").cast("long").alias("n_tok_final"),
+                F.col("kept_text").alias("final_text"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_paras",
+            "n_paras_kept",
+            F.coalesce(F.col("n_tok_rebuilt"), F.lit(0))
+            .cast("long")
+            .alias("n_tok_rebuilt"),
+            F.coalesce(F.col("n_tok_final"), F.lit(0))
+            .cast("long")
+            .alias("n_tok_final"),
+            F.coalesce(F.col("final_text"), F.lit("")).alias("final_text"),
+            (F.coalesce(F.col("n_tok_final"), F.lit(0)) >= _CLEAN_MIN_TOK).alias(
+                "kept"
+            ),
+        )
+    )
+
+
 # Twin of prefix_filter_jaccard_pairs: the prefix filter is LOSSLESS, so
 # the oracle is simply the brute-force exact-Jaccard pair set at t=0.3 —
 # the oracle literally cannot know the filter exists, which is the point.
