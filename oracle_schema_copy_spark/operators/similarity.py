@@ -1138,3 +1138,98 @@ def kcenter_greedy(
         pick["cid"].cast("long").alias("center_id"),
         pick["d2"].cast("long").alias("d2_min"),
     )
+
+
+def sq8_quantize(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the SQ8 index of
+    FAISS/embedding stores): codes = floor(x * 127 / max_abs + 0.5)
+    (exact floor(x+0.5) rounding — identical on both engines, unlike
+    round()'s half-up/half-even ambiguity; the embedding_int8_quantize_
+    error convention) plus the per-vector scale FROZEN to integer
+    micro-units so every downstream product is exact BIGINT. Vectors
+    with max_abs == 0 carry no direction and are dropped, mirroring the
+    quantize-error query's filter."""
+    x = "CAST(x AS DOUBLE)"
+    return (
+        emb.selectExpr(
+            id_col,
+            vec_col,
+            f"array_max(transform({vec_col}, x -> abs({x}))) AS __max_abs",
+        )
+        .filter("__max_abs > 0")
+        .selectExpr(
+            id_col,
+            vec_col,
+            "CAST(floor(__max_abs * 1000000 + 0.5) AS BIGINT) AS __su",
+            f"transform({vec_col},"
+            f" x -> CAST(floor({x} * 127 / __max_abs + 0.5) AS BIGINT)) AS __qv",
+        )
+    )
+
+
+def sq8_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist_k: int = 20,
+    dim: int | None = 64,
+) -> DataFrame:
+    """Scalar-quantization ANN serving path — the SQ sibling of
+    ``ivfpq_rerank_topk``, completing the quantized-serving triad
+    (PQ-ADC, IVF-PQ + refine, SQ8 + rescore): rank by the EXACT-BIGINT
+    surrogate int_dot(qa, qb) * scale_b (per-query the true dot is
+    ~ scale_a * scale_b * int_dot / 127², and scale_a/127² is constant
+    within a query's ranking, so the surrogate preserves the quantized
+    order without any float), take a ``shortlist_k`` shortlist, re-rank
+    the shortlist with the exact sequential-double dot against the RAW
+    vectors. Int8 codes are 4 bytes/dim smaller at rest and the
+    surrogate dot is integer SIMD at scale; the raw corpus is touched
+    only for shortlist_k rows per query.
+    """
+    qz = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    d = dim or 64
+    int_dot = "(" + " + ".join(f"(__qa[{i}] * __qb[{i}])" for i in range(d)) + ")"
+    qs = (
+        qz.join(queries.select(id_col), id_col, "semi")
+        .selectExpr(f"{id_col} AS query_id", "__qv AS __qa")
+    )
+    ns = qz.selectExpr(f"{id_col} AS neighbor_id", "__qv AS __qb", "__su AS __sbu")
+    approx = (
+        spread(ns)
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .selectExpr("query_id", "neighbor_id", f"{int_dot} * __sbu AS approx_u")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_u"), F.asc("neighbor_id")
+    )
+    short = (
+        approx.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist_k)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qe"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__ne"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _exact_dot("__ne", "__qe", dim).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -65,6 +65,8 @@ def _load_all() -> None:
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
     # (r8) new in round 8 — no driver row exists yet
+    "sq8_recall_contract",
+    "similarity_topk_sq8_rescore",
     "curation_cleaning_capstone",
     "dedup_edit1_supplier_names",
     "text_decontamination_removal",

@@ -878,6 +878,154 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _sql_int_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        "("
+        + " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
+        + ")"
+    )
+
+
+# SQ8 quantization chain, mirrored between engines: exact floor(x+0.5)
+# rounding, per-vector scale frozen to BIGINT micro-units (see
+# operators/similarity.py sq8_quantize).
+_SQ8_CTES = """
+    base AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS max_abs
+        FROM embeddings),
+    qz AS (
+        SELECT vec_id, embedding,
+               CAST(floor(max_abs * 1000000 + 0.5) AS BIGINT) AS su,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127 / max_abs + 0.5)
+                             AS BIGINT)) AS qv
+        FROM base WHERE max_abs > 0)
+"""
+
+
+@query(
+    "similarity_topk_sq8_rescore",
+    f"""
+    WITH {_SQ8_CTES},
+    qs AS (SELECT vec_id AS query_id, qv AS qa FROM qz WHERE vec_id < 20),
+    approx AS (
+        SELECT qs.query_id, n.vec_id AS neighbor_id,
+               {_sql_int_dot('n.qv', 'qs.qa')} * n.su AS approx_u
+        FROM qz n CROSS JOIN qs WHERE n.vec_id <> qs.query_id),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx_u DESC, neighbor_id) AS r
+            FROM approx) WHERE r <= 20),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_sql_dot('ne.embedding', 'qe.embedding')} AS score
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                   AS BIGINT) AS rank
+        FROM rer) WHERE rank <= 5
+    """,
+)
+def q_similarity_topk_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN serving path — completes the
+    quantized-serving triad next to pure PQ-ADC and IVF-PQ + refine:
+    rank by the exact-BIGINT surrogate int_dot(codes) * neighbor-scale
+    (within one query's ranking the true dot is the surrogate times a
+    per-query constant, so the quantized order is preserved with NO
+    float anywhere), shortlist 20, exact re-rank of the shortlist
+    against the raw vectors. At rest the codes are 4 bytes/dim smaller
+    and the surrogate dot is integer SIMD; the raw corpus is touched
+    only for shortlist rows. Every step mirrored in the twin (exact
+    floor(x+0.5) rounding, micro-unit scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_rescore_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist_k=20
+    )
+
+
+@query(
+    "sq8_recall_contract",
+    f"""
+    WITH {_SQ8_CTES},
+    qs AS (SELECT vec_id AS query_id, qv AS qa FROM qz WHERE vec_id < 20),
+    approx AS (
+        SELECT qs.query_id, n.vec_id AS neighbor_id,
+               {_sql_int_dot('n.qv', 'qs.qa')} * n.su AS approx_u
+        FROM qz n CROSS JOIN qs WHERE n.vec_id <> qs.query_id),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx_u DESC, neighbor_id) AS r
+            FROM approx) WHERE r <= 20),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_sql_dot('ne.embedding', 'qe.embedding')} AS score
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ne ON ne.vec_id = s.neighbor_id),
+    sq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                       AS rank
+            FROM rer) WHERE rank <= 5),
+    bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    bscored AS (
+        SELECT bq.query_id, e.vec_id AS neighbor_id,
+               {_sql_dot('e.embedding', 'bq.qv')} AS score
+        FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5)
+    SELECT b.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM brute b LEFT JOIN sq l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_sq8_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SQ8 + exact-rescore path against brute force —
+    completes the quality-contract family across all four ANN serving
+    paths (LSH, IVF, IVF-PQ, now SQ8): an int8 rounding/scale regression
+    that degrades the quantized shortlist turns this row red. SQ8 recall
+    should sit near 1.0 (int8 is the gentlest quantizer; the shortlist
+    is 4x the final k), and because both rankings are deterministic the
+    recall itself is oracle-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    sq = similarity.sq8_rescore_topk(emb, q, k=5, shortlist_k=20).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    brute = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        brute.join(sq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            (F.count("__hit").cast("double") / 5).alias("recall_at_5"),
+        )
+    )
+
+
 @query(
     "similarity_topk_ivf_label",
     f"""

@@ -96,6 +96,8 @@ INTENTIONAL_CROSS = {
     "ivf_ndcg_contract",  # brute-force baseline side of the NDCG measurement (same as the recall contracts)
     "curation_diversity_capstone",  # 1x1 sqrt-total and budget frames broadcast into the 8-center table
     "corpus_doremi_weights",  # 1x1 vocab-total, 1x1 reference-loss, 1x1 normalizer frames broadcast into |domains| rows
+    "similarity_topk_sq8_rescore",  # broadcast 20-query code set scored against the corpus (the brute-force-shaped surrogate stage)
+    "sq8_recall_contract",  # brute-force baseline side of the recall measurement + the same broadcast code scoring
 }
 
 
