@@ -179,3 +179,86 @@ def test_remove_contaminated_spans_scrubs_eval_overlap(spark):
     assert out[2].kept_text == train.collect()[1].text
     assert out[2].n_removed == 0
     assert set(out) == {1, 2}  # eval docs are not rewritten
+
+
+def _ref_remove_spans(rows, L):
+    counts = {}
+    for _i, t in rows:
+        ws = t.split(" ")
+        for s in range(len(ws) - L + 1):
+            k = " ".join(ws[s : s + L])
+            counts[k] = counts.get(k, 0) + 1
+    out = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        covered = [False] * len(ws)
+        for s in range(len(ws) - L + 1):
+            if counts[" ".join(ws[s : s + L])] > 1:
+                for p in range(s, s + L):
+                    covered[p] = True
+        kept = [w for w, c in zip(ws, covered) if not c]
+        out[i] = (len(ws), len(kept), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_repeated_spans_random_batch_matches_reference(spark):
+    """One Spark job over a seeded random batch (tiny vocabulary forces
+    organic span collisions) vs a pure-Python third-way reference —
+    independent of both the Spark expressions and the DuckDB twin."""
+    import random
+
+    rng = random.Random(8)
+    rows = [
+        (i, " ".join(rng.choice("abc") for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    got = {
+        r.doc_id: (r.n_tok, r.n_kept, r.n_removed, r.kept_text)
+        for r in corpus.remove_repeated_spans(
+            _docs(spark, rows), span_tokens=4
+        ).collect()
+    }
+    assert got == _ref_remove_spans(rows, 4)
+
+
+def _ref_paragraph_dedup(rows, K):
+    seen = {}
+    order = []
+    for i, t in rows:
+        ws = t.split(" ")
+        paras = [
+            " ".join(ws[s * K : s * K + K]) for s in range((len(ws) - 1) // K + 1)
+        ]
+        for idx, p in enumerate(paras):
+            key = p.strip().lower()
+            if key not in seen:
+                seen[key] = (i, idx)
+            order.append((i, idx, p, key))
+    out = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        n = (len(ws) - 1) // K + 1
+        kept = [
+            p
+            for (d, idx, p, key) in order
+            if d == i and seen[key] == (d, idx)
+        ]
+        out[i] = (n, len(kept), " ".join(kept))
+    return out
+
+
+def test_paragraph_dedup_random_batch_matches_reference(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, " ".join(rng.choice("ab") for _ in range(rng.randint(1, 9))))
+        for i in range(50)
+    ]
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.deduped_text)
+        for r in corpus.paragraph_dedup_docs(
+            _docs(spark, rows), para_tokens=2
+        ).collect()
+    }
+    assert got == _ref_paragraph_dedup(rows, 2)

@@ -125,3 +125,44 @@ def test_edit1_pairs_lossless_vs_brute_force(spark):
         ).collect()
     }
     assert (1, 7, 0) in with_zero
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit1_pairs_random_batch_matches_reference(spark):
+    """Seeded random short strings over a 2-letter alphabet (dense ed-1
+    neighborhoods, plenty of indel/substitution/exact cases) vs a
+    pure-Python Levenshtein brute force — third-way reference."""
+    import random
+
+    from oracle_schema_copy_spark.operators.dedup import edit1_pairs
+
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 5))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit1_pairs(
+            df, id_col="id", name_col="name", keep_dist0=True
+        ).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 1
+    }
+    assert got == want
