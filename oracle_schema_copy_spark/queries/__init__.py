@@ -65,6 +65,8 @@ def _load_all() -> None:
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
     # (r8) new in round 8 — no driver row exists yet
+    "sample_doremi_mixture",
+    "curriculum_interleave_order",
     "sq8_recall_contract",
     "similarity_topk_sq8_rescore",
     "curation_cleaning_capstone",

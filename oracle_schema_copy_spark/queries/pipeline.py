@@ -4302,11 +4302,10 @@ _DOREMI_MICRO = 1_000_000
 _DOREMI_SMOOTH_KEEP = 800_000  # (1 - eps) in micro-units
 _DOREMI_SMOOTH_EPS = 200_000  # eps in micro-units
 
-
-@query(
-    "corpus_doremi_weights",
-    f"""
-    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+# Factored DoReMi CTE chain ending in `wts` — shared verbatim by the
+# weights query and the subset materializer (the _kcenter_parts pattern).
+_DOREMI_CTES = f"""
+    tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
                  FROM documents),
     freq AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
     total AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM freq),
@@ -4333,15 +4332,26 @@ _DOREMI_SMOOTH_EPS = 200_000  # eps in micro-units
                       AS BIGINT) AS m_micro
           FROM sc),
     z AS (SELECT CAST(sum(u_share_micro * m_micro) AS BIGINT) AS zs,
-                 CAST(count(*) AS BIGINT) AS k FROM m)
-    SELECT m.source, m.n_tok, m.loss_micro, m.excess_micro,
-           CAST(m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs AS BIGINT)
-               AS raw_share_micro,
-           CAST({_DOREMI_SMOOTH_KEEP}
-                * (m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs)
-                // {_DOREMI_MICRO}
-                + {_DOREMI_SMOOTH_EPS} // z.k AS BIGINT) AS weight_micro
-    FROM m CROSS JOIN z
+                 CAST(count(*) AS BIGINT) AS k FROM m),
+    wts AS (
+        SELECT m.source, m.n_tok, m.loss_micro, m.excess_micro,
+               CAST(m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs
+                    AS BIGINT) AS raw_share_micro,
+               CAST({_DOREMI_SMOOTH_KEEP}
+                    * (m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs)
+                    // {_DOREMI_MICRO}
+                    + {_DOREMI_SMOOTH_EPS} // z.k AS BIGINT) AS weight_micro
+        FROM m CROSS JOIN z)
+"""
+
+
+@query(
+    "corpus_doremi_weights",
+    f"""
+    WITH {_DOREMI_CTES}
+    SELECT source, n_tok, loss_micro, excess_micro, raw_share_micro,
+           weight_micro
+    FROM wts
     """,
 )
 def q_corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4363,6 +4373,12 @@ def q_corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the LM table is vocabulary-sized and broadcast; one explode +
     two map-side-combined aggregations; the allocation arithmetic runs on
     |domains| rows."""
+    return _doremi_weights(spark, sf_dir)
+
+
+def _doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DoReMi weights frame (see q_corpus_doremi_weights) — factored
+    so sample_doremi_mixture composes the identical chain."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tf.tokens(F.col("text"))).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -4413,6 +4429,139 @@ def q_corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * (u_share_micro * m_micro * {_DOREMI_MICRO} DIV zs)"
         f" DIV {_DOREMI_MICRO}"
         f" + {_DOREMI_SMOOTH_EPS} DIV k AS BIGINT) AS weight_micro",
+    )
+
+
+# Budget for the DoReMi subset materializer: 4/5 of the corpus DOC count
+# (the UniMax/temperature budget convention, document-denominated).
+_DOREMI_BUDGET_NUM, _DOREMI_BUDGET_DEN = 4, 5
+
+
+@query(
+    "sample_doremi_mixture",
+    f"""
+    WITH {_DOREMI_CTES},
+    budget AS (SELECT CAST(count(*) * {_DOREMI_BUDGET_NUM}
+                           // {_DOREMI_BUDGET_DEN} AS BIGINT) AS b
+               FROM documents),
+    alloc AS (SELECT wts.source,
+                     CAST(wts.weight_micro * budget.b // {_DOREMI_MICRO}
+                          AS BIGINT) AS n_take
+              FROM wts CROSS JOIN budget),
+    ranked AS (SELECT doc_id, source,
+                      CAST(row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY {_SQL_BUCKET.format(salt="'doremi'")},
+                                   doc_id) AS BIGINT) AS r
+               FROM documents)
+    SELECT ranked.doc_id, ranked.source, alloc.n_take,
+           ranked.r <= alloc.n_take AS selected
+    FROM ranked JOIN alloc USING (source)
+    """,
+)
+def q_sample_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DoReMi policy MATERIALIZED: turn the domain weight shares into
+    an actual training subset — per-domain document quota = weight_micro
+    x (4/5 corpus budget), membership = the first n_take documents on the
+    domain's deterministic md5 ring (the sampling convention every other
+    subset op uses, so selection is engine- and partitioning-independent).
+    Quota ranking instead of rate thresholding makes the per-domain counts
+    EXACT, not expected-value. Row-level gate at corpus cardinality; the
+    oracle reuses the factored DoReMi CTE chain verbatim.
+
+    Scale: weights are |domains| rows broadcast back; the ring ranking is
+    one window per domain partition keyed by an 8-byte hash."""
+    from oracle_schema_copy_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = _doremi_weights(spark, sf_dir)
+    budget = docs.agg(
+        F.expr(
+            f"CAST(count(*) * {_DOREMI_BUDGET_NUM}"
+            f" DIV {_DOREMI_BUDGET_DEN} AS BIGINT)"
+        ).alias("b")
+    )
+    alloc = wts.crossJoin(F.broadcast(budget)).selectExpr(
+        "source",
+        f"CAST(weight_micro * b DIV {_DOREMI_MICRO} AS BIGINT) AS n_take",
+    )
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id"), "doremi"), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("r", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(alloc), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_take",
+            (F.col("r") <= F.col("n_take")).alias("selected"),
+        )
+    )
+
+
+@query(
+    "curriculum_interleave_order",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id)
+                   AS BIGINT) AS src_rank,
+               CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS src_idx
+        FROM documents),
+    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_src
+           FROM documents)
+    SELECT r.doc_id, r.source, r.src_rank,
+           CAST((r.src_rank - 1) * ns.n_src + r.src_idx AS BIGINT) AS slot
+    FROM r CROSS JOIN ns
+    """,
+)
+def q_curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order curriculum: rank every document within its source by
+    a quality proxy (n_chars, descending — longer documents first), then
+    interleave sources round-robin via strided slots
+    (slot = (rank-1) x n_sources + source_index) — the deterministic
+    'one pass over each source per cycle' ordering training loaders use
+    so no source is exhausted early and quality decays monotonically
+    within each source's subsequence. Slots are a TOTAL order with gaps
+    where a source runs out; consumers sort by slot — a distributed
+    range sort, deliberately NOT densified here because a global
+    row_number would funnel the corpus through one partition. Row-level
+    gate at corpus cardinality.
+
+    Scale: one per-source window + one broadcast source-count frame; no
+    global shuffle beyond the per-source partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    # source indexes on the DISTINCT source frame (|domains| rows — a
+    # single-partition window is fine there), broadcast back; a global
+    # dense_rank over the corpus would funnel it through one partition
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy("source"))
+            .cast("long")
+            .alias("src_idx"),
+        )
+    )
+    ns = docs.agg(F.count_distinct("source").cast("long").alias("n_src"))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+    ).join(F.broadcast(srcs), "source")
+    return ranked.crossJoin(F.broadcast(ns)).select(
+        "doc_id",
+        "source",
+        "src_rank",
+        ((F.col("src_rank") - 1) * F.col("n_src") + F.col("src_idx"))
+        .cast("long")
+        .alias("slot"),
     )
 
 

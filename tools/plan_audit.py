@@ -98,6 +98,8 @@ INTENTIONAL_CROSS = {
     "corpus_doremi_weights",  # 1x1 vocab-total, 1x1 reference-loss, 1x1 normalizer frames broadcast into |domains| rows
     "similarity_topk_sq8_rescore",  # broadcast 20-query code set scored against the corpus (the brute-force-shaped surrogate stage)
     "sq8_recall_contract",  # brute-force baseline side of the recall measurement + the same broadcast code scoring
+    "sample_doremi_mixture",  # the DoReMi 1-row stat frames + 1x1 budget frame broadcast into |domains| quotas
+    "curriculum_interleave_order",  # 1x1 source-count frame broadcast into the slot arithmetic
 }
 
 
