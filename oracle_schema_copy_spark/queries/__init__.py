@@ -65,6 +65,7 @@ def _load_all() -> None:
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
     # (r8) new in round 8 — no driver row exists yet
+    "split_by_dedup_cluster",
     "sample_doremi_mixture",
     "curriculum_interleave_order",
     "sq8_recall_contract",

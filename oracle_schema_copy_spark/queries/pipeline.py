@@ -3330,6 +3330,73 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_by_dedup_cluster",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({_SQL_JACCARD_PAIRS_CAPPED}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT src AS id, dst AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst AS r
+        FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (SELECT d.doc_id,
+                   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT doc_id, cluster,
+           CASE WHEN CAST(('0x' || substr(md5('split'
+                          || CAST(cluster AS VARCHAR)), 1, 7)) AS BIGINT)
+                     % 10000 < 8000
+                THEN 'train' ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def q_split_by_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: hash-split on the NEAR-DUP CLUSTER
+    key (connected component of the capped n-gram-Jaccard pair graph;
+    singletons are their own cluster) instead of the document id, so two
+    near-duplicate documents can never straddle the split — the leakage
+    mode a plain per-id split (train_val_test_split) cannot prevent and a
+    classic eval-contamination bug in LLM corpora ("dedup before you
+    split"). Same md5-ring membership convention as every subset op;
+    80/20. Row-level gate at corpus cardinality pins both the cluster
+    assignment and the split label of every document.
+
+    Scale: pair generation is the df-capped posting-list path, components
+    are the gated min-label propagation (shallow boilerplate clusters),
+    and the split itself is per-row hash arithmetic — no new shuffles
+    beyond the already-gated pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    from oracle_schema_copy_spark.operators.sampling import hash_bucket
+
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    comp = dedup.near_dup_components(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+    return lab.select(
+        "doc_id",
+        "cluster",
+        F.when(hash_bucket(F.col("cluster"), "split") < 8000, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph analytics (round-5 additions)
 # ---------------------------------------------------------------------------
