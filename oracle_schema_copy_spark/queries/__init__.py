@@ -43,6 +43,7 @@ def query(name: str, oracle: str | None, headline: bool = False):
 
 def _load_all() -> None:
     from oracle_schema_copy_spark.queries import (  # noqa: F401
+        livedb,
         pipeline,
         reference_surface,
         relational,
@@ -64,6 +65,9 @@ def _load_all() -> None:
 # least fresh information.  Names absent from both lists keep registry
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
+    # (r9) new in round 9 — no driver row exists yet
+    "jdbc_roundtrip_orders",
+    "jdbc_copy_tree_derby",
     # (r8) new in round 8 — no driver row exists yet
     "split_by_dedup_cluster",
     "sample_doremi_mixture",

@@ -1,0 +1,156 @@
+"""Live-database gated queries: the K1/K4/K5/K6 execution paths run for
+real against embedded Derby (see ``sources/derby.py``), then read back
+through partitioned JDBC so the DuckDB oracle checks the DATABASE's final
+state, not a Spark-side simulation.
+
+This is the reference's core loop (``ExecuteTarget.java:12-32``: create →
+copy → update → delete against a live connection; ``Main.java:46-58``
+connection factory) executed end-to-end:
+
+- DDL through the ordered statement executor (``ExecuteSqlList.java:11-40``)
+- bulk INSERT through parallel batched ``spark.write.jdbc``
+  (``CopyUtils.java:805-834``'s 500-row batches → 10k batches here)
+- upsert as staged write + ONE set-oriented MERGE
+  (``ExecuteTableUpdate.java:10-27``'s per-row UPDATE-else-INSERT,
+  re-expressed O(1)-statements)
+- keyed DELETE batched IN-lists under 100k keys, staged EXISTS above
+  (``DeleteByPk.java:15-43``'s 500-key batches) — the scale switch is
+  automatic, so this same query exercises the inline path at sf≤0.1 and
+  the staged path at sf1.
+
+Scale: embedded Derby is the in-sandbox stand-in; the identical code path
+(JdbcConnection + write_table + jvm_statement_executor) points at any
+server RDBMS. The Spark side stays fully distributed — parallel batched
+writes, partitioned read-back; only key lists (bounded by
+``max_inline_keys``) ever pass through the driver.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_schema_copy_spark.queries import query
+from oracle_schema_copy_spark.sources.derby import DerbyTarget
+from oracle_schema_copy_spark.sources.tables import load_table
+
+_SCRATCH = "/root/repo/.scratch"
+
+# Inserted keys are offset far past any fixture keyspace (sf1 max ~1.5M).
+_INS_OFFSET = 100_000_000
+
+
+@query(
+    "jdbc_roundtrip_orders",
+    f"""
+    WITH upserted AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'RE-PRICED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {_INS_OFFSET}, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT * FROM upserted WHERE o_orderkey % 7 <> 3
+    """,
+)
+def q_jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K3+K4+K5+K6 live: DDL-create ORDERS in embedded Derby, bulk-insert
+    the fixture, MERGE an update+insert set, delete a key set, read the
+    final table back through a partitioned JDBC scan. The oracle recomputes
+    the same final state relationally from the source parquet — so a MERGE
+    that mis-updated, an insert that dropped rows, or a delete that
+    over/under-matched all diverge."""
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = DerbyTarget(spark, f"{_SCRATCH}/derby_rt_{uuid.uuid4().hex[:8]}/db")
+    tgt.create_table("orders", orders.schema, primary_key=["o_orderkey"])
+    tgt.insert("orders", orders)
+
+    key = F.col("o_orderkey")
+    updates = orders.filter(key % 10 == 0).withColumns(
+        {
+            "o_totalprice": F.col("o_totalprice") * 2,
+            "o_orderpriority": F.lit("RE-PRICED"),
+        }
+    )
+    inserts = orders.filter(key % 10 == 5).withColumn(
+        "o_orderkey", key + F.lit(_INS_OFFSET)
+    )
+    tgt.upsert("orders", updates.unionByName(inserts), "o_orderkey")
+
+    # post-upsert keyspace: original keys plus the offset inserts
+    all_keys = orders.select("o_orderkey").unionByName(inserts.select("o_orderkey"))
+    tgt.delete("orders", "o_orderkey", all_keys.filter(key % 7 == 3))
+
+    hi = orders.agg(F.max("o_orderkey")).first()[0]  # 1-row bound probe
+    return tgt.read(
+        "orders",
+        orders.columns,
+        schema=orders.schema,
+        partition_column="O_ORDERKEY",
+        lower_bound=0,
+        upper_bound=int(hi) + _INS_OFFSET + 1,
+        num_partitions=8,
+    )
+
+
+@query(
+    "jdbc_copy_tree_derby",
+    """
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0))
+    """,
+)
+def q_jdbc_copy_tree_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+K1 live: the flagship FK-subgraph walk copied INTO embedded Derby
+    through ``Engine.copy_tree`` with a DerbyTarget, then per-table row
+    counts read back FROM the database (one pushed-down COUNT per table) —
+    proving the copied subgraph actually landed, not just that the walk
+    selected it."""
+    from oracle_schema_copy_spark import catalog as cat
+    from oracle_schema_copy_spark.engine import Engine
+    from oracle_schema_copy_spark.queries.reference_surface import (
+        FLAGSHIP_PATHS,
+        _flagship_roots,
+    )
+    from oracle_schema_copy_spark.sources.jdbc import read_query
+
+    c = cat.tpch_catalog(sf_dir)
+    eng = Engine(spark, c)
+    tgt = DerbyTarget(spark, f"{_SCRATCH}/derby_ct_{uuid.uuid4().hex[:8]}/db")
+    for t in ("customer", "orders", "lineitem"):
+        df = eng.table(t)
+        # the synthetic lineitem fixture is NOT unique on its nominal
+        # composite PK (duplicate (l_orderkey, l_linenumber) pairs exist),
+        # so the live table carries no PK constraint for it — matching the
+        # reference's constraints-after-data export, where data loads into
+        # unconstrained tables first (CopyUtils.java:682-710)
+        pk = None if t == "lineitem" else list(c.primary_keys[t])
+        tgt.create_table(t, df.schema, primary_key=pk)
+    eng.copy_tree(tgt, FLAGSHIP_PATHS, _flagship_roots(spark, sf_dir))
+    # VARCHAR cast: Derby unifies UNION'd CHAR literals to the widest
+    # CHAR and blank-pads the shorter names
+    counts = " UNION ALL ".join(
+        f"SELECT CAST('{t}' AS VARCHAR(16)) AS table_name, COUNT(*) AS n_rows FROM {t.upper()}"
+        for t in ("customer", "orders", "lineitem")
+    )
+    df = read_query(spark, tgt.conn, counts)
+    return df.select(
+        F.col("table_name").cast("string").alias("table_name"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )

@@ -134,9 +134,13 @@ def write_table(
     batchsize: int = 10_000,
     max_connections: int = 16,
     allow_production: bool = False,
+    write_options: dict[str, str] | None = None,
 ) -> None:
     """Batched JDBC write (K1/K3). Caps write parallelism so a wide cluster
-    doesn't open thousands of connections against the database."""
+    doesn't open thousands of connections against the database.
+    ``write_options`` carries per-write, table-specific options — e.g.
+    ``createTableColumnTypes`` so overwrite-mode staging tables get
+    comparable VARCHAR strings instead of a dialect's CLOB default."""
     prod_check(conn.url, allow_production=allow_production)
     # coalesce never increases partition count, so this caps concurrent
     # connections without the plan->RDD conversion a getNumPartitions()
@@ -145,6 +149,7 @@ def write_table(
     (
         df.write.format("jdbc")
         .options(**conn.spark_options())
+        .options(**(write_options or {}))
         .option("dbtable", table)
         .option("batchsize", str(batchsize))
         .mode(mode)

@@ -217,6 +217,7 @@ def jdbc_upsert(
     dialect: str = "ansi",
     batchsize: int = 10_000,
     allow_production: bool = False,
+    write_options: dict[str, str] | None = None,
 ) -> list[str]:
     """Staged set-oriented upsert: bulk-write ``df`` to a staging table
     (parallel batched INSERT across executors), MERGE once, drop staging.
@@ -231,6 +232,7 @@ def jdbc_upsert(
         mode="overwrite",
         batchsize=batchsize,
         allow_production=allow_production,
+        write_options=write_options,
     )
     statements = [
         merge_sql(table, staging, df.columns, keys, dialect=dialect),
@@ -249,6 +251,7 @@ def jdbc_delete(
     executor: StatementExecutor,
     max_inline_keys: int = 100_000,
     allow_production: bool = False,
+    write_options: dict[str, str] | None = None,
 ) -> list[str]:
     """Keyed delete, single-column or composite. Key sets up to
     ``max_inline_keys`` ship as batched IN-list (single column) or
@@ -275,6 +278,7 @@ def jdbc_delete(
                 staging,
                 mode="overwrite",
                 allow_production=allow_production,
+                write_options=write_options,
             )
             statements = [
                 delete_using_staging_sql(table, staging, cols),
