@@ -20,8 +20,15 @@ the median and round-over-round comparisons became undecidable):
   one-sided trimmed median (worst third dropped — contention noise is
   one-sided, see ``_trimmed_median``), plus min, max-min spread, and the
   full sample list so outliers are visible in the record.
-- Machine state (cpu count, 1-min loadavg before/after) is recorded so an
-  overloaded-sandbox run is distinguishable from a plan regression.
+- Machine state (cpu count, 1-min loadavg before/after, fixed CPU-speed
+  probe + steal) is recorded so an overloaded-sandbox run is
+  distinguishable from a plan regression.
+- **Launch gate + probe normalization (v3)**: the run WAITS (bounded by
+  ``SPARK_GRAFT_BENCH_GATE_WAIT``, default 240 s) for probe_sec ≤ 0.25 and
+  loadavg ≤ 1 before starting, records whether the gate passed, and emits
+  ``min_probe_normalized`` — per-query minima rescaled to the reference
+  host speed (``PROBE_REF_SEC``) so cross-round deltas survive the host's
+  silent CPU-speed changes (r8 finding: probe 0.186–0.63 s at ~0 load).
 
 The headline ``value`` is the sum of per-query medians; ``value_min`` sums
 the per-query minima (the contention-free floor).
@@ -164,9 +171,45 @@ def _cpu_probe() -> dict:
         tot = sum(d)
         if tot > 0 and len(d) >= 8:
             steal = round(100.0 * d[7] / tot, 2)
-    except OSError:
-        pass
+    except (OSError, ValueError, IndexError):
+        pass  # advisory telemetry only — a malformed /proc/stat must not
+        # abort the benchmark (ADVICE r8: short first line raised ValueError)
     return {"probe_sec": probe, "steal_pct": steal}
+
+
+# Quiet-window reference probe time (r8 analysis, BENCH_NOTES_r08.md):
+# the fixed _cpu_probe workload takes ~0.19-0.21 s when the host is at
+# full speed. probe-normalized timings divide out host CPU-speed drift.
+PROBE_REF_SEC = 0.20
+# Launch gate (VERDICT r8 #3): headline records taken on a slowed or
+# loaded host are not cross-round comparable. Hold the start until the
+# machine is quiet, up to a bounded wait; past it, proceed but mark the
+# record as gate-failed so readers know to distrust the absolute numbers.
+GATE_PROBE_MAX = 0.25
+GATE_LOAD_MAX = 1.0
+
+
+def _machine_gate() -> dict:
+    """Wait (bounded) for a quiet machine; always returns the launch
+    measurement plus whether the gate passed. ``SPARK_GRAFT_BENCH_GATE_WAIT``
+    caps the wait in seconds (default 240; 0 disables waiting)."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "240"))
+    waited = 0.0
+    while True:
+        load = os.getloadavg()[0]
+        probe = _cpu_probe()
+        ok = probe["probe_sec"] <= GATE_PROBE_MAX and load <= GATE_LOAD_MAX
+        if ok or waited >= max_wait:
+            return {
+                **probe,
+                "loadavg_1m": round(load, 2),
+                "gate_ok": ok,
+                "gate_waited_sec": round(waited, 1),
+                "gate_limits": {"probe_sec": GATE_PROBE_MAX, "loadavg": GATE_LOAD_MAX},
+            }
+        t0 = time.perf_counter()
+        time.sleep(20)
+        waited += time.perf_counter() - t0 + 2  # + the probe's steal window
 
 
 def main() -> None:
@@ -181,8 +224,8 @@ def main() -> None:
 
     set_name, fns = _query_set()
     names = list(fns)
-    load0 = os.getloadavg()[0]
-    probe0 = _cpu_probe()
+    probe0 = _machine_gate()
+    load0 = probe0["loadavg_1m"]
     per_query: dict[str, dict] = {}
 
     if isolate:
@@ -222,6 +265,13 @@ def main() -> None:
     mins = {n: min(r["samples"]) for n, r in per_query.items()}
     spreads = {n: round(max(r["samples"]) - min(r["samples"]), 3) for n, r in per_query.items()}
     total = round(sum(timings.values()), 3)
+    probe1 = _cpu_probe()
+    # normalize by the FASTEST probe observed around the run — the probe
+    # itself is subject to the same one-sided contention as the queries,
+    # so the min is the best estimate of the host's true speed
+    probe_best = min(probe0["probe_sec"], probe1["probe_sec"])
+    norm = PROBE_REF_SEC / probe_best if probe_best > 0 else 1.0
+    mins_norm = {n: round(v * norm, 3) for n, v in mins.items()}
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -232,6 +282,10 @@ def main() -> None:
                 "queries": timings,
                 "value_min": round(sum(mins.values()), 3),
                 "min": mins,
+                "value_min_probe_normalized": round(sum(mins_norm.values()), 3),
+                "min_probe_normalized": mins_norm,
+                "probe_norm_factor": round(norm, 4),
+                "probe_ref_sec": PROBE_REF_SEC,
                 "spread": spreads,
                 "samples": {n: r["samples"] for n, r in per_query.items()},
                 "warmup": {n: r["warmup"] for n, r in per_query.items()},
@@ -239,7 +293,7 @@ def main() -> None:
                 "isolated": isolate,
                 "cpus": cpus,
                 "loadavg": [round(load0, 2), round(os.getloadavg()[0], 2)],
-                "machine": {"before": probe0, "after": _cpu_probe()},
+                "machine": {"before": probe0, "after": probe1},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

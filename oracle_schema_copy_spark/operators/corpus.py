@@ -389,6 +389,7 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = 16,
+    checkpoint_spans: bool = True,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the rewrite pass of Lee et al. 2022
     (ExactSubstr): excise every length-L token window whose hash occurs
@@ -411,7 +412,9 @@ def remove_repeated_spans(
     conservative variant — dedup-then-keep-one needs a keeper rule, which
     :func:`paragraph_dedup_docs` demonstrates at paragraph granularity.
     """
-    ex = _span_starts(docs, id_col, text_col, span_tokens).localCheckpoint()
+    ex = _span_starts(docs, id_col, text_col, span_tokens)
+    if checkpoint_spans:
+        ex = ex.localCheckpoint()
     counts = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
     flagged = (
         ex.join(counts.filter(F.col("__cnt") > 1), "__h")

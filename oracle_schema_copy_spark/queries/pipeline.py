@@ -4402,10 +4402,10 @@ _DOREMI_CTES = f"""
                  CAST(count(*) AS BIGINT) AS k FROM m),
     wts AS (
         SELECT m.source, m.n_tok, m.loss_micro, m.excess_micro,
-               CAST(m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs
+               CAST(m.u_share_micro * m.m_micro // (z.zs // {_DOREMI_MICRO})
                     AS BIGINT) AS raw_share_micro,
                CAST({_DOREMI_SMOOTH_KEEP}
-                    * (m.u_share_micro * m.m_micro * {_DOREMI_MICRO} // z.zs)
+                    * (m.u_share_micro * m.m_micro // (z.zs // {_DOREMI_MICRO}))
                     // {_DOREMI_MICRO}
                     + {_DOREMI_SMOOTH_EPS} // z.k AS BIGINT) AS weight_micro
         FROM m CROSS JOIN z)
@@ -4490,10 +4490,18 @@ def _doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "loss_micro",
         "excess_micro",
-        f"CAST(u_share_micro * m_micro * {_DOREMI_MICRO} DIV zs AS BIGINT)"
+        # share = u*m*1e6 DIV zs, computed as u*m DIV (zs DIV 1e6): the
+        # naive triple product overflows int64 once a dominant domain's
+        # excess loss passes ~3.2 nats (u_share ~1e6, m ~1e6+e+e²/2e6) and
+        # Spark (ANSI off) would wrap SILENTLY where DuckDB raises (ADVICE
+        # r8). Invariant making the reduction safe: zs = Σ u_share*m ≥
+        # (Σ u_share)*1e6 ≈ 1e12, so zs DIV 1e6 ≥ ~1e6 - |domains|, never
+        # 0; the divisor truncation shifts shares by ≤1 ppm, identically
+        # on both engines.
+        f"CAST(u_share_micro * m_micro DIV (zs DIV {_DOREMI_MICRO}) AS BIGINT)"
         " AS raw_share_micro",
         f"CAST({_DOREMI_SMOOTH_KEEP}"
-        f" * (u_share_micro * m_micro * {_DOREMI_MICRO} DIV zs)"
+        f" * (u_share_micro * m_micro DIV (zs DIV {_DOREMI_MICRO}))"
         f" DIV {_DOREMI_MICRO}"
         f" + {_DOREMI_SMOOTH_EPS} DIV k AS BIGINT) AS weight_micro",
     )
