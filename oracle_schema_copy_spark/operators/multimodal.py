@@ -5,12 +5,20 @@ same LOB story as the reference (CLOB→String, BLOB→byte[],
 ``CopyUtils.java:100-104,735-739``) but columnar: binary payloads travel
 through parquet/operation-log like any other column.
 
-The decode step (image decode, audio resample, video frame extraction)
-needs codec libraries that are NOT in this environment — it is stubbed
-behind ``decode_stub``: a clearly-marked deterministic fake whose
-*plumbing* (schema contract, Arrow batching, partition behavior) is real
-and tested. Swap ``_fake_decode`` for PIL/ffmpeg in production; nothing
-else changes.
+Decode has two tiers:
+
+- **Real decode for uncompressed formats** (r9): 24-bit BMP is parsed and
+  resized in pure numpy over ``mapInArrow`` — header fields, bottom-up row
+  order, BGR channel order, 4-byte row padding all handled for real
+  (:func:`decode_bmp` / :func:`resize_real`). No codec library needed;
+  the same functions are the production path for any pre-decoded or
+  uncompressed payload.
+- **Compressed formats** (JPEG/PNG/audio/video) need codec libraries that
+  are NOT in this environment; :func:`extract_features` defaults to a
+  clearly-marked deterministic fake (``_fake_decode``) whose *plumbing*
+  (schema contract, Arrow batching, partition behavior) is real and
+  tested, and ``real=True`` routes to the BMP decoder. Swap in
+  PIL/ffmpeg for compressed payloads; nothing else changes.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched, no
 row-at-a-time Python); binary payloads respect ``maxRecordsPerFile`` so
@@ -21,8 +29,10 @@ explode of computed offsets — rows multiply, bytes do not (offsets only).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,6 +49,9 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("out_h", T.IntegerType()),
         T.StructField("scale_x", T.DoubleType()),
         T.StructField("scale_y", T.DoubleType()),
+        T.StructField("px_sum_r", T.LongType()),
+        T.StructField("px_sum_g", T.LongType()),
+        T.StructField("px_sum_b", T.LongType()),
         T.StructField("thumb_md5", T.StringType()),
     ]
 )
@@ -87,6 +100,146 @@ def frame_offsets(
     )
 
 
+# ---------------------------------------------------------------------------
+# Real uncompressed-image codec (pure numpy, no external libraries)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a standard 24-bit
+    BITMAPINFOHEADER BMP: bottom-up row order, BGR byte order, rows padded
+    to 4-byte boundaries. Any image viewer opens the output; the planted
+    test fixtures round-trip through :func:`decode_bmp`."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    buf = np.zeros((h, row_size), np.uint8)
+    buf[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + buf.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array.
+    Handles the parts a naive reader gets wrong: the pixel-data offset
+    field (extra header blocks shift it), negative height = top-down row
+    order, BGR→RGB, and the 4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    _hdr, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, row_size * h, off).reshape(h, row_size)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if h_signed > 0 else img  # bottom-up -> top-down
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize: output pixel (x, y) samples source pixel
+    (x*in_w // out_w, y*in_h // out_h) — the integer-exact mapping a SQL
+    oracle can re-derive."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+def plant_bmp_payloads(
+    df: DataFrame, *, id_col: str = "doc_id", w_mod: int = 9, h_mod: int = 7
+) -> DataFrame:
+    """Deterministic real-BMP fixture payloads: per id, a
+    (8 + id%w_mod) × (8 + (id//w_mod)%h_mod) image whose RGB pixel at
+    source (x, y) channel c is ``(id*31 + y*17 + x*7 + c*5) % 256`` —
+    pure integer arithmetic a SQL oracle recomputes without touching
+    bytes. Encoding runs in numpy over mapInArrow (real Arrow batch
+    plumbing, binary column out)."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w = 8 + i % w_mod
+                h = 8 + (i // w_mod) % h_mod
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                arr = ((i * 31 + y * 17 + x * 7 + c * 5) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(arr))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["doc_id", "payload"],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInArrow(
+        run, out_schema
+    )
+
+
+def resize_real(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """REAL image resize over binary payloads (replaces r1-r8's
+    ``resize_stub``, VERDICT r8 #6): decode 24-bit BMP bytes in pure
+    numpy, nearest-neighbor resample to (out_w, out_h), and emit source
+    dims, exact scale factors, per-channel pixel sums of the thumbnail
+    (BIGINT — the oracle-checkable digest of the actual pixel values; a
+    decoder that misreads row padding, BGR order, or bottom-up layout
+    diverges per channel), and the md5 of the re-encoded thumbnail BMP.
+
+    mapInArrow: payload bytes go straight from Arrow buffers into the
+    decoder — no pandas boxing. Scale: per-row CPU work, no shuffle;
+    payload bytes stream batch-by-batch through the Python worker."""
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payloads = batch.column(batch.schema.get_field_index(payload_col))
+            rows = {k: [] for k in RESIZE_SCHEMA.names}
+            for i, p in zip(ids, payloads):
+                img = decode_bmp(p.as_py())
+                h, w = img.shape[:2]
+                thumb = resize_nearest(img, out_w, out_h)
+                sums = thumb.astype(np.int64).sum(axis=(0, 1))
+                rows["doc_id"].append(int(i.as_py()))
+                rows["in_w"].append(w)
+                rows["in_h"].append(h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["scale_x"].append(out_w / w)
+                rows["scale_y"].append(out_h / h)
+                rows["px_sum_r"].append(int(sums[0]))
+                rows["px_sum_g"].append(int(sums[1]))
+                rows["px_sum_b"].append(int(sums[2]))
+                rows["thumb_md5"].append(hashlib.md5(encode_bmp(thumb)).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows[f.name], pa.from_numpy_dtype(np.int64) if isinstance(f.dataType, T.LongType) else (pa.int32() if isinstance(f.dataType, T.IntegerType) else (pa.float64() if isinstance(f.dataType, T.DoubleType) else pa.string())))
+                    for f in RESIZE_SCHEMA.fields
+                ],
+                names=list(RESIZE_SCHEMA.names),
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(run, RESIZE_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for an image decoder: pretends the payload is
     a (width x height x channels) image and emits hash-derived features.
@@ -107,20 +260,42 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``real=True`` raises NotImplementedError: codec libraries (PIL/
-    torchvision/ffmpeg) are not available in this environment. The
-    ``mapInPandas`` plumbing — schema, batching, per-partition iteration —
-    is the production shape either way.
+    ``real=True`` decodes payloads as 24-bit BMP with the pure-numpy
+    :func:`decode_bmp` and emits real pixel statistics as features
+    (channel means, dimensions, min/max/mean — all exact rationals of
+    integer pixel sums). Compressed formats (JPEG/PNG) additionally need
+    codec libraries (PIL/ffmpeg) not present in this environment — for
+    those, swap the decode call; the ``mapInPandas`` plumbing — schema,
+    batching, per-partition iteration — is the production shape either way.
     """
-    if real:
-        raise NotImplementedError(
-            "real image/audio decode requires codec libraries not present "
-            "in this environment; use real=False for the deterministic stub"
+
+    def _real_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+        img = decode_bmp(payload)
+        h, w, c = img.shape
+        px = img.astype(np.int64)
+        n = h * w
+        means = px.sum(axis=(0, 1)) / (n * 255.0)
+        return (
+            w,
+            h,
+            c,
+            [
+                float(means[0]),
+                float(means[1]),
+                float(means[2]),
+                w / (w + h),
+                h / (w + h),
+                int(px.min()) / 255.0,
+                int(px.max()) / 255.0,
+                int(px.sum()) / (3 * n * 255.0),
+            ],
         )
+
+    decode = _real_decode if real else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf[payload_col]]
+            decoded = [decode(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -132,57 +307,6 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
-
-
-def resize_stub(
-    df: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-    out_w: int = 8,
-    out_h: int = 8,
-    real: bool = False,
-) -> DataFrame:
-    """Arrow-batched image resize/thumbnail over binary payloads — the
-    fourth member of the decode / feature-extract / resize / frame-sample
-    quartet. Source dimensions come from the stub decoder; the "resized"
-    thumbnail is identified by a digest deterministically derived from
-    (payload sha256, target dims), so the SQL oracle can re-derive every
-    output column without any codec. Exact doubles: ``scale = out/in``
-    is one IEEE division of small ints on both engines.
-
-    ``real=True`` raises (no codec libraries here); the ``mapInPandas``
-    plumbing — schema, Arrow batches, per-partition iteration — is the
-    production shape either way; swap the body for PIL's ``thumbnail``.
-    """
-    if real:
-        raise NotImplementedError(
-            "real image resize requires codec libraries not present in "
-            "this environment; use real=False for the deterministic stub"
-        )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
-                w, h, _, _ = _fake_decode(p)
-                hx = hashlib.sha256(p).hexdigest()
-                rows.append(
-                    (
-                        int(i), w, h, out_w, out_h,
-                        out_w / w, out_h / h,
-                        hashlib.md5(f"{hx}|{out_w}x{out_h}".encode()).hexdigest(),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "in_w", "in_h", "out_w", "out_h",
-                    "scale_x", "scale_y", "thumb_md5",
-                ],
-            )
-
-    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
 def extract_features_arrow(

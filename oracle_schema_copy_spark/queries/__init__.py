@@ -42,9 +42,16 @@ def query(name: str, oracle: str | None, headline: bool = False):
 
 
 def _load_all() -> None:
+    # pipeline_* in original pipeline.py line order (r9 split, VERDICT r8
+    # #8) so registry insertion order stays close to the pre-split file
     from oracle_schema_copy_spark.queries import (  # noqa: F401
         livedb,
+        pipeline_dedup,
+        pipeline_similarity,
         pipeline,
+        pipeline_stats,
+        pipeline_graph,
+        pipeline_linalg,
         reference_surface,
         relational,
         streaming,
@@ -68,6 +75,7 @@ _CHECK_FIRST: list[str] = [
     # (r9) new in round 9 — no driver row exists yet
     "jdbc_roundtrip_orders",
     "jdbc_copy_tree_derby",
+    "multimodal_resize_real",
     # (r8) new in round 8 — no driver row exists yet
     "split_by_dedup_cluster",
     "sample_doremi_mixture",

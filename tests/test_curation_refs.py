@@ -129,7 +129,7 @@ def test_unimax_matches_python_reference(spark):
 
 
 def test_gopher_rules_match_python_reference(spark):
-    from oracle_schema_copy_spark.queries.pipeline import (
+    from oracle_schema_copy_spark.queries.pipeline_stats import (
         _GOPHER_MAX_MWL,
         _GOPHER_MAX_WORDS,
         _GOPHER_MIN_MWL,
@@ -179,7 +179,7 @@ def _h7(s: str) -> int:
 def test_dsir_weights_match_python_reference(spark):
     import math
 
-    from oracle_schema_copy_spark.queries.pipeline import (
+    from oracle_schema_copy_spark.queries.pipeline_stats import (
         _DSIR_BUCKETS,
         _DSIR_TARGET_LANG,
         q_sample_dsir_importance,
@@ -241,7 +241,7 @@ def test_ivf_ndcg_matches_python_reference(spark):
     the gated Spark query."""
     import math
 
-    from oracle_schema_copy_spark.queries.pipeline import (
+    from oracle_schema_copy_spark.queries.pipeline_linalg import (
         _NDCG_IDCG,
         _NDCG_K,
         _NDCG_W,
@@ -292,6 +292,8 @@ def test_temperature_budgets_match_python_reference(spark):
     from oracle_schema_copy_spark.queries.pipeline import (
         _UNIMAX_BUDGET_DEN,
         _UNIMAX_BUDGET_NUM,
+    )
+    from oracle_schema_copy_spark.queries.pipeline_linalg import (
         q_corpus_temperature_budgets,
     )
 
@@ -366,7 +368,7 @@ def test_diversity_capstone_matches_python_reference(spark):
 
     import numpy as np
 
-    from oracle_schema_copy_spark.queries.pipeline import (
+    from oracle_schema_copy_spark.queries.pipeline_linalg import (
         q_curation_diversity_capstone,
     )
 

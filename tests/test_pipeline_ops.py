@@ -3,6 +3,7 @@ sequence packing, contamination scan, PII redaction, repetition ratio."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.functions import text as tf
@@ -199,6 +200,75 @@ def test_extract_features_arrow_matches_pandas_path(spark):
     assert a.exceptAll(p).isEmpty() and p.exceptAll(a).isEmpty()
 
 
+def test_bmp_codec_roundtrip_and_real_resize(spark):
+    """The pure-numpy BMP codec is a REAL codec: encode→decode round-trips
+    arbitrary RGB arrays exactly (incl. widths that force 4-byte row
+    padding and non-square shapes), nearest-neighbor resize matches a
+    direct index computation, and the planted fixture payloads decode to
+    the documented pixel function."""
+    import hashlib
+
+    import numpy as np
+
+    from oracle_schema_copy_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (13, 6), (10, 7)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        back = mm.decode_bmp(mm.encode_bmp(arr))
+        assert back.shape == arr.shape and (back == arr).all(), (h, w)
+    # resize = pure index sampling
+    arr = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    thumb = mm.resize_nearest(arr, 4, 5)
+    for y in range(5):
+        for x in range(4):
+            assert (thumb[y, x] == arr[(y * 11) // 5, (x * 9) // 4]).all()
+    # planted payloads decode to the documented pixel function; resize_real
+    # emits exact per-channel sums and a stable thumb digest
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    planted = mm.plant_bmp_payloads(ids)
+    out = {r["doc_id"]: r for r in mm.resize_real(planted, out_w=8, out_h=8).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in planted.collect()}
+    for i in range(20):
+        w, h = 8 + i % 9, 8 + (i // 9) % 7
+        img = mm.decode_bmp(payloads[i])
+        assert img.shape == (h, w, 3)
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        want = ((i * 31 + y * 17 + x * 7 + c * 5) % 256).astype(np.uint8)
+        assert (img == want).all(), i
+        thumb = mm.resize_nearest(want, 8, 8)
+        r = out[i]
+        assert (r["in_w"], r["in_h"]) == (w, h)
+        sums = thumb.astype(np.int64).sum(axis=(0, 1))
+        assert (r["px_sum_r"], r["px_sum_g"], r["px_sum_b"]) == tuple(map(int, sums))
+        assert r["thumb_md5"] == hashlib.md5(mm.encode_bmp(thumb)).hexdigest()
+
+
+def test_extract_features_real_bmp(spark):
+    """extract_features(real=True) decodes actual BMP bytes: dims come
+    from the header, channel-mean features are exact rationals of the
+    pixel sums."""
+    import numpy as np
+
+    from oracle_schema_copy_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    planted = mm.plant_bmp_payloads(ids)
+    feats = {r["doc_id"]: r for r in mm.extract_features(planted, real=True).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in planted.collect()}
+    for i in range(10):
+        img = mm.decode_bmp(payloads[i]).astype(np.int64)
+        h, w = img.shape[:2]
+        r = feats[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        means = img.sum(axis=(0, 1)) / (h * w * 255.0)
+        got = r["features"]
+        # features ride ArrayType(FloatType()): float32 rounding applies
+        assert got[:3] == pytest.approx(list(means), abs=1e-6)
+        assert got[3] == pytest.approx(w / (w + h), abs=1e-6)
+        assert got[5] == pytest.approx(img.min() / 255.0, abs=1e-6)
+
+
 def test_auto_lsh_r_memoized_one_count_job(spark):
     """r6 VERDICT "what's wrong" #2: _auto_lsh_r must run ONE count job
     per (session, sf_dir), not one per LSH query build. Counted with the
@@ -206,7 +276,7 @@ def test_auto_lsh_r_memoized_one_count_job(spark):
     first build flushes session one-time jobs so the cold/warm delta is
     exactly the memoized count job."""
     from oracle_schema_copy_spark import suite
-    from oracle_schema_copy_spark.queries import pipeline as pl
+    from oracle_schema_copy_spark.queries import pipeline_dedup as pl
 
     suite.queries()  # force-load the registry
     names = [
@@ -254,7 +324,7 @@ def test_dsir_single_word_docs_contribute_no_bigrams(spark, tmp_path):
     import pandas as pd
 
     from oracle_schema_copy_spark.queries import REGISTRY
-    from oracle_schema_copy_spark.queries import pipeline as qp
+    from oracle_schema_copy_spark.queries import pipeline_stats as qp
 
     rows = [
         (1, "one", "en", "s0", 3),  # single word -> zero bigrams

@@ -219,7 +219,7 @@ def test_wired_lsh_r_agrees_with_sql_twin():
     from oracle_schema_copy_spark.operators.similarity import (
         auto_planes_per_band,
     )
-    from oracle_schema_copy_spark.queries.pipeline import _banded_lsh_sql
+    from oracle_schema_copy_spark.queries.pipeline_dedup import _banded_lsh_sql
 
     sql = _banded_lsh_sql()
     for n in (200, 20_000):
