@@ -604,8 +604,8 @@ def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_best_per_cluster",
     f"""
     WITH RECURSIVE
-    pairs AS ({_SQL_JACCARD_PAIRS_CAPPED}),
-    edges AS (
+    pairs AS MATERIALIZED ({_SQL_JACCARD_PAIRS_CAPPED}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b AS src, id_a AS dst FROM pairs),
@@ -708,8 +708,8 @@ def q_embedding_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFra
     "dedup_rate_by_source",
     f"""
     WITH RECURSIVE
-    pairs AS ({_SQL_JACCARD_PAIRS_CAPPED}),
-    edges AS (
+    pairs AS MATERIALIZED ({_SQL_JACCARD_PAIRS_CAPPED}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b AS src, id_a AS dst FROM pairs),
@@ -765,8 +765,8 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_by_dedup_cluster",
     f"""
     WITH RECURSIVE
-    pairs AS ({_SQL_JACCARD_PAIRS_CAPPED}),
-    edges AS (
+    pairs AS MATERIALIZED ({_SQL_JACCARD_PAIRS_CAPPED}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b AS src, id_a AS dst FROM pairs),

@@ -198,6 +198,78 @@ def aqe_flip_check(spark, sf_dir: str, qname: str):
     }
 
 
+# Heavy families (VERDICT r8 #5): dedup, ANN, corpus rewrite, graph,
+# capstones — the queries whose 100 TB story depends on NOT spilling.
+HEAVY_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components_star",
+    "dedup_edit1_supplier_names",
+    "similarity_topk_lsh_banded",
+    "similarity_topk_ivfpq_rerank",
+    "text_exactsubstr_removal",
+    "dedup_paragraph_reconstruct",
+    "curation_cleaning_capstone",
+    "curation_diversity_capstone",
+    "graph_k_core_decomposition",
+    "sample_doremi_mixture",
+]
+
+
+def _iter_seq(seq):
+    for i in range(seq.size()):
+        yield seq.apply(i)
+
+
+def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
+    """Execute one registered query and sum its stages' resource metrics
+    from the AppStatusStore: shuffle read/write bytes, memory/disk spill,
+    peak execution memory (max over stages), input bytes, executor run
+    time. This is the evidence behind 'no spilling at this scale' —
+    asserted topology becomes measured bytes."""
+    import time as _time
+
+    import __spark_entry__ as m
+
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()
+    seen = {s.stageId() for s in _iter_seq(store.stageList(empty))}
+    t0 = _time.perf_counter()
+    n = m.queries()[qname](spark, sf_dir).count()
+    wall = round(_time.perf_counter() - t0, 2)
+    agg = {
+        "query": qname,
+        "rows": n,
+        "wall_sec": wall,
+        "n_stages": 0,
+        "input_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "memory_bytes_spilled": 0,
+        "disk_bytes_spilled": 0,
+        "peak_execution_memory": 0,
+        "executor_run_time_ms": 0,
+    }
+    for s in _iter_seq(store.stageList(empty)):
+        if s.stageId() in seen:
+            continue
+        agg["n_stages"] += 1
+        agg["input_bytes"] += s.inputBytes()
+        agg["shuffle_read_bytes"] += s.shuffleReadBytes()
+        agg["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        agg["memory_bytes_spilled"] += s.memoryBytesSpilled()
+        agg["disk_bytes_spilled"] += s.diskBytesSpilled()
+        agg["executor_run_time_ms"] += s.executorRunTime()
+        try:
+            agg["peak_execution_memory"] = max(
+                agg["peak_execution_memory"], s.peakExecutionMemory()
+            )
+        except Exception:
+            agg["peak_execution_memory"] = None
+    return agg
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALE_sf1.md"
@@ -230,6 +302,9 @@ def main() -> int:
     report["aqe"] = [
         aqe_flip_check(spark, sf_dir, "tpch_q9_product_profit"),
         aqe_flip_check(spark, sf_dir, "join_salted_skew"),
+    ]
+    report["resources"] = [
+        query_resource_metrics(spark, sf_dir, q) for q in HEAVY_QUERIES
     ]
     body = json.dumps(report, indent=2)
     print(body)
