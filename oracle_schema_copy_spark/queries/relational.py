@@ -662,7 +662,8 @@ def q_agg_salted_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -671,7 +672,10 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): the hot-left-key-safe join
     plan — left rows salted over 8 sub-keys, right replicated per salt.
     The oracle is the PLAIN join: salting must be invisible in the
-    result."""
+    result. Revenue in exact BIGINT cents (per-row floor of one IEEE
+    multiply, identical on both engines; integer SUM is order-independent)
+    — a round(double-sum, 4) diverged at sf1, where 2M-term summation
+    order shifts the 1e11-magnitude total by ~1e-3."""
     from oracle_schema_copy_spark.operators.skew import salted_join
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -680,14 +684,15 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
     return (
         salted_join(li, orders, ["l_orderkey"], salt_buckets=8)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
         )
     )
 
