@@ -160,6 +160,18 @@ def staging_name(table: str, op: str) -> str:
     return f"{table}_oscs_{op}_stg"
 
 
+def staging_index_sql(staging_table: str, key_columns: Sequence[str]) -> str:
+    """Index the staging key before the set-oriented MERGE / EXISTS-delete.
+    Without it a planner with no staging statistics (measured: embedded
+    Derby) nested-loops the probe — 1.65M x 236k row scans turned a
+    seconds-long delete into 45+ minutes at the 10x fixture. One O(n log n)
+    index build makes the probe an index lookup on any RDBMS."""
+    return (
+        f"CREATE INDEX {staging_table}_kix ON {staging_table} "
+        f"({', '.join(key_columns)})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Executors
 # ---------------------------------------------------------------------------
@@ -235,6 +247,7 @@ def jdbc_upsert(
         write_options=write_options,
     )
     statements = [
+        staging_index_sql(staging, keys),
         merge_sql(table, staging, df.columns, keys, dialect=dialect),
         f"DROP TABLE {staging}",
     ]
@@ -281,6 +294,7 @@ def jdbc_delete(
                 write_options=write_options,
             )
             statements = [
+                staging_index_sql(staging, cols),
                 delete_using_staging_sql(table, staging, cols),
                 f"DROP TABLE {staging}",
             ]

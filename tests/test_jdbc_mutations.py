@@ -152,5 +152,8 @@ def test_jdbc_upsert_stages_then_merges(spark, monkeypatch):
     )
     assert staged == [("orders_oscs_upsert_stg", "overwrite")]
     assert recorded == stmts
-    assert stmts[0].startswith("MERGE INTO orders t USING orders_oscs_upsert_stg s")
-    assert stmts[1] == "DROP TABLE orders_oscs_upsert_stg"
+    # staging key indexed BEFORE the merge: planners without staging
+    # statistics (embedded Derby, measured) nested-loop the probe otherwise
+    assert stmts[0] == "CREATE INDEX orders_oscs_upsert_stg_kix ON orders_oscs_upsert_stg (k)"
+    assert stmts[1].startswith("MERGE INTO orders t USING orders_oscs_upsert_stg s")
+    assert stmts[2] == "DROP TABLE orders_oscs_upsert_stg"
