@@ -76,9 +76,16 @@ _CHECK_FIRST: list[str] = [
     "jdbc_roundtrip_orders",
     "jdbc_copy_tree_derby",
     "multimodal_resize_real",
-    # (r8) new in round 8 — no driver row exists yet
-    "split_by_dedup_cluster",
+    # (m9) oracle or implementation changed in round 9 — re-gate first
+    # (DoReMi overflow reduction; salted-skew exact-cents revenue;
+    # MATERIALIZED pairs CTE in the cluster oracles)
+    "corpus_doremi_weights",
     "sample_doremi_mixture",
+    "join_salted_skew",
+    "dedup_keep_best_per_cluster",
+    "dedup_rate_by_source",
+    "split_by_dedup_cluster",
+    # (r8) new in round 8 — no driver row exists yet
     "curriculum_interleave_order",
     "sq8_recall_contract",
     "similarity_topk_sq8_rescore",
@@ -87,7 +94,6 @@ _CHECK_FIRST: list[str] = [
     "text_decontamination_removal",
     "text_exactsubstr_removal",
     "dedup_paragraph_reconstruct",
-    "corpus_doremi_weights",
     "stream_stream_right_join_live",
     "stream_dedup_keys_watermarked_live",
     # (m8) modified in round 8 — re-gate after the change (ADVICE r7
@@ -156,7 +162,6 @@ _CHECK_FIRST: list[str] = [
     "stats_ks_drift_by_source",
     # (u) never driver-checked through r4 (all recorded green by the r5
     # driver; kept next so a wider budget re-confirms the freshest set)
-    "dedup_keep_best_per_cluster",
     "embedding_int8_quantize_error",
     "skyline_orders_price_date",
     "events_markov_transitions",
@@ -164,7 +169,6 @@ _CHECK_FIRST: list[str] = [
     "window_distribution_position",
     "abc_classification_parts",
     "rfm_customer_segments",
-    "dedup_rate_by_source",
     "yoy_revenue_growth",
     "copy_verify_end_to_end",
     "tpch_q2_min_cost_supplier",
@@ -281,7 +285,6 @@ _CHECK_LAST: list[str] = [
     "pack_sequences_by_lang",
     "stream_stream_join_live",
     "stream_dedup_keys_live",
-    "join_salted_skew",
     "sessionize_events",
     "trailing_window_features",
     "embedding_centroids_by_label",
