@@ -233,8 +233,19 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
 
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
-    empty = sc._jvm.java.util.ArrayList()
-    seen = {s.stageId() for s in _iter_seq(store.stageList(empty))}
+
+    def _stages():
+        # Spark 4.1 AppStatusStore.stageList(statuses, details,
+        # withSummaries, unsortedQuantiles, taskStatus)
+        return store.stageList(
+            sc._jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(sc._jvm.double, 0),
+            sc._jvm.java.util.ArrayList(),
+        )
+
+    seen = {s.stageId() for s in _iter_seq(_stages())}
     t0 = _time.perf_counter()
     n = m.queries()[qname](spark, sf_dir).count()
     wall = round(_time.perf_counter() - t0, 2)
@@ -251,7 +262,7 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
         "peak_execution_memory": 0,
         "executor_run_time_ms": 0,
     }
-    for s in _iter_seq(store.stageList(empty)):
+    for s in _iter_seq(_stages()):
         if s.stageId() in seen:
             continue
         agg["n_stages"] += 1
