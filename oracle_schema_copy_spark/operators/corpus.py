@@ -360,8 +360,10 @@ def repeated_spans(
     # it below spread()'s exchange (see ngram_jaccard_pairs); the length
     # pre-filter already guarantees non-empty span arrays. localCheckpoint
     # because the hash stream feeds TWO consumers (the counts aggregate
-    # and the join probe) — without it the corpus re-tokenizes and
-    # re-hashes once per consumer.
+    # and the join probe) — A/B'd at sf1 (r9): WITH checkpoint min 4.16s
+    # steady; without it 4.3s best but 24-37s outliers (the join probe's
+    # recompute path degrades). Note the OPPOSITE holds for
+    # remove_repeated_spans below — each measured separately.
     ex = (
         spread(docs)
         .filter(F.size(F.split(F.col(text_col), " ")) >= span_tokens)
@@ -389,7 +391,7 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = 16,
-    checkpoint_spans: bool = True,
+    checkpoint_spans: bool = False,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the rewrite pass of Lee et al. 2022
     (ExactSubstr): excise every length-L token window whose hash occurs
@@ -412,6 +414,13 @@ def remove_repeated_spans(
     conservative variant — dedup-then-keep-one needs a keeper rule, which
     :func:`paragraph_dedup_docs` demonstrates at paragraph granularity.
     """
+    # checkpoint_spans=False (r9 default, ADVICE r8 #3 measured): the
+    # exploded (id, start, hash) frame feeds two consumers, but eagerly
+    # localCheckpoint-ing it — ~corpus x windows rows pinned to executor
+    # memory/disk — was 6.7x SLOWER than recomputing the per-row hashing
+    # for each consumer at sf1 (1.81s vs 0.27s min of 3; the hashing is
+    # cheap codegen'd expression work, the materialization is not), on
+    # top of the memory-footprint risk the checkpoint carries.
     ex = _span_starts(docs, id_col, text_col, span_tokens)
     if checkpoint_spans:
         ex = ex.localCheckpoint()
