@@ -78,7 +78,10 @@ _CHECK_FIRST: list[str] = [
     "multimodal_resize_real",
     # (m9) oracle or implementation changed in round 9 — re-gate first
     # (DoReMi overflow reduction; salted-skew exact-cents revenue;
-    # MATERIALIZED pairs CTE in the cluster oracles)
+    # MATERIALIZED pairs CTE in the cluster oracles; span-frame
+    # checkpoint default flipped off in remove_repeated_spans)
+    "text_exactsubstr_removal",
+    "curation_cleaning_capstone",
     "corpus_doremi_weights",
     "sample_doremi_mixture",
     "join_salted_skew",
@@ -89,10 +92,8 @@ _CHECK_FIRST: list[str] = [
     "curriculum_interleave_order",
     "sq8_recall_contract",
     "similarity_topk_sq8_rescore",
-    "curation_cleaning_capstone",
     "dedup_edit1_supplier_names",
     "text_decontamination_removal",
-    "text_exactsubstr_removal",
     "dedup_paragraph_reconstruct",
     "stream_stream_right_join_live",
     "stream_dedup_keys_watermarked_live",
