@@ -75,6 +75,7 @@ _CHECK_FIRST: list[str] = [
     # (r9) new in round 9 — no driver row exists yet
     "jdbc_roundtrip_orders",
     "jdbc_copy_tree_derby",
+    "oplog_import_into_derby",
     "multimodal_resize_real",
     # (m9) oracle or implementation changed in round 9 — re-gate first
     # (DoReMi overflow reduction; salted-skew exact-cents revenue;

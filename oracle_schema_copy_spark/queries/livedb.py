@@ -102,6 +102,66 @@ def q_jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "oplog_import_into_derby",
+    """
+    WITH up AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 5 = 0 THEN 'REPLAYED' ELSE n_name END
+                   AS n_name,
+               n_regionkey
+        FROM nation)
+    SELECT * FROM up WHERE n_nationkey % 7 <> 6
+    """,
+)
+def q_oplog_import_into_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2→K4/K5/K6 composed LIVE: the reference's import flow
+    (``Main.java:46-58`` ``import``: serialized operation stream executed
+    in order against a database connection, §3.2) run for real — an
+    operation log carrying insert + FK-constraint DDL + upsert + delete
+    records is replayed into embedded Derby via
+    ``oplog.replay_into_target`` (tables created dialect-correctly from
+    payload schemas on first insert, constraint applied AFTER data — the
+    reference's load-order trick), then the final table is read back from
+    the database. The oracle recomputes the same final state
+    relationally."""
+    from oracle_schema_copy_spark.plans import oplog
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    base = f"{_SCRATCH}/oplog_derby_{uuid.uuid4().hex[:8]}"
+    with oplog.OperationLogWriter(f"{base}/log") as log:
+        log.insert("region", region)
+        log.insert("nation", nation)
+        log.ddl(
+            [
+                # full constraints-after-data sequence: inferred tables are
+                # nullable, so NOT NULL -> PK -> FK, in order, post-load
+                "ALTER TABLE REGION ALTER COLUMN R_REGIONKEY NOT NULL",
+                "ALTER TABLE REGION ADD CONSTRAINT REGION_PK "
+                "PRIMARY KEY (R_REGIONKEY)",
+                "ALTER TABLE NATION ADD CONSTRAINT NATION_FK FOREIGN KEY "
+                "(N_REGIONKEY) REFERENCES REGION (R_REGIONKEY)",
+            ],
+            opaque=True,
+        )
+        log.upsert(
+            "nation",
+            nation.filter(F.col("n_nationkey") % 5 == 0).withColumn(
+                "n_name", F.lit("REPLAYED")
+            ),
+            ["n_nationkey"],
+        )
+        log.delete(
+            "nation",
+            "n_nationkey",
+            nation.select("n_nationkey").filter(F.col("n_nationkey") % 7 == 6),
+        )
+    tgt = DerbyTarget(spark, f"{base}/db")
+    oplog.replay_into_target(spark, f"{base}/log", tgt)
+    return tgt.read("nation", nation.columns, schema=nation.schema)
+
+
+@query(
     "jdbc_copy_tree_derby",
     """
     SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
