@@ -127,6 +127,43 @@ def test_live_ddl_types_roundtrip(spark, tgt):
     assert back.collect() == df.collect()
 
 
+def test_replay_into_target_modes(spark, tgt, tmp_path):
+    """replay_into_target: infer-DDL creates tables from payload schemas
+    on first insert; multi-chunk inserts append; upsert/delete records
+    execute through the staged live paths; opaque records run by default
+    and on_opaque='error' refuses them; on_view='skip' ignores
+    Spark-dialect view text."""
+    from oracle_schema_copy_spark.plans import oplog
+
+    base = _mk(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    log_path = str(tmp_path / "log")
+    with oplog.OperationLogWriter(log_path, rows_per_op=2) as log:
+        log.insert("t", base)  # one insert record; rows_per_op chunks files
+        log.ddl(["CREATE INDEX T_IX ON T (V)"], opaque=True)
+        log.upsert("t", _mk(spark, [(2, "B", 20.0), (9, "i", 9.0)]), ["k"])
+        log.delete("t", "k", spark.createDataFrame([Row(k=1)]))
+        log.view("v_t", "SELECT k FROM t")  # Spark-dialect text
+    applied = oplog.replay_into_target(spark, log_path, tgt)
+    assert [r.kind for r in applied] == [
+        "insert", "opaque_sql", "upsert", "delete", "view",
+    ]
+    assert _state(spark, tgt) == [(2, "B", 20.0), (3, "c", 3.0), (9, "i", 9.0)]
+    # the opaque index record executed: the index is in Derby's catalog
+    n_ix = read_query(
+        spark,
+        tgt.conn,
+        "SELECT COUNT(*) AS N FROM SYS.SYSCONGLOMERATES "
+        "WHERE CONGLOMERATENAME = 'T_IX'",
+    ).first()[0]
+    assert n_ix == 1
+    # on_opaque='error' refuses (fresh target: inserts replay, the opaque
+    # record then raises before any mutation past it)
+    tgt2 = derby.DerbyTarget(spark, str(tmp_path / "db2"))
+    with pytest.raises(ValueError, match="opaque"):
+        oplog.replay_into_target(spark, log_path, tgt2, on_opaque="error")
+    tgt2.close()
+
+
 def test_live_engine_copy_and_delete_tree(spark, tgt, sf_dir):
     """Engine verbs drive the live target unchanged: copy_tree lands the
     FK subgraph in Derby; delete_tree removes it child-first (FK-safe)."""
