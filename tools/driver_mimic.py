@@ -87,10 +87,12 @@ def main() -> int:
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             results[name] = {"status": "ERROR", "why": f"{type(e).__name__}: {e}"}
             fails.append(name)
+            _write_artifact(sf, results, fails)
             continue
         if name not in osql:
             print(f"{name}: rows-only ({len(s)} rows)")
             results[name] = {"status": "rows_only", "rows": len(s)}
+            _write_artifact(sf, results, fails)
             continue
         d = con.sql(osql[name]).df()
         s, d = normalize(s), normalize(d)
@@ -126,7 +128,17 @@ def main() -> int:
         if not ok:
             results[name]["why"] = why
             fails.append(name)
+        # incremental artifact write: a later query's stall/timeout must
+        # not lose the completed rows (r9 lesson — a 45-min Derby MERGE
+        # killed a 16-name batch's artifact twice)
+        _write_artifact(sf, results, fails)
     print("FAILURES:", fails or "none")
+    _write_artifact(sf, results, fails)
+    spark.stop()
+    return 1 if fails else 0
+
+
+def _write_artifact(sf: str, results: dict, fails: list) -> None:
     out = os.environ.get("SPARK_GRAFT_MIMIC_JSON")
     if out:
         with open(out, "w") as f:
@@ -141,8 +153,6 @@ def main() -> int:
                 indent=1,
                 sort_keys=True,
             )
-    spark.stop()
-    return 1 if fails else 0
 
 
 if __name__ == "__main__":
