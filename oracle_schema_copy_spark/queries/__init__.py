@@ -83,6 +83,7 @@ _CHECK_FIRST: list[str] = [
     # checkpoint default flipped off in remove_repeated_spans)
     "text_exactsubstr_removal",
     "curation_cleaning_capstone",
+    "scd2_point_in_time_join",
     "corpus_doremi_weights",
     "sample_doremi_mixture",
     "join_salted_skew",
@@ -146,7 +147,6 @@ _CHECK_FIRST: list[str] = [
     # (r6) new in round 6, all recorded green by the r6 driver
     "mor_time_travel_orders",
     "mor_compaction_equivalence",
-    "scd2_point_in_time_join",
     "bpe_pair_merge_step",
     # (z) first driver rows recorded r6 (VERDICT r5 "next round" #2)
     "asof_join_planted_ties",

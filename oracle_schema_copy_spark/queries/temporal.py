@@ -575,8 +575,10 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND o.o_orderdate <  d.valid_to)
     SELECT is_open_version,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(c_acctbal), 2) AS sum_acctbal,
-           round(sum(o_totalprice), 2) AS sum_totalprice
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_totalprice_cents
     FROM j GROUP BY 1
     """,
 )
@@ -623,8 +625,15 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        # exact BIGINT cents (per-row floor of one IEEE multiply, order-
+        # independent integer sum): round(double-sum, 2) diverged at sf1,
+        # where 1.5M-term summation order shifts the 3.7e11 total by 0.02
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_acctbal_cents"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_totalprice_cents"),
     )
 
 
