@@ -1510,19 +1510,30 @@ def q_lateral_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
 @query(
     "skyline_orders_price_date",
     """
+    WITH bydate AS (
+        SELECT o_orderdate, max(o_totalprice) AS mx FROM orders GROUP BY 1),
+    run AS (
+        SELECT o_orderdate,
+               max(mx) OVER (ORDER BY o_orderdate
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_earlier
+        FROM bydate)
     SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
-    FROM orders o
-    WHERE NOT EXISTS (
-        SELECT 1 FROM orders o2
-        WHERE o2.o_totalprice > o.o_totalprice
-          AND o2.o_orderdate < o.o_orderdate)
+    FROM orders o JOIN run r USING (o_orderdate)
+    WHERE r.best_earlier IS NULL OR r.best_earlier <= o.o_totalprice
     """,
 )
 def q_skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto front over (maximize price, minimize date): an
     order survives unless some other order is strictly better on BOTH
-    axes. The oracle states the O(n^2) NOT-EXISTS definition; the Spark
-    plan is the O(n log n) sweep — per-price-group min date, one ordered
+    axes — dominated iff some strictly earlier date carries a strictly
+    higher price, i.e. iff the running max price over earlier dates
+    exceeds its own. The oracle used to state the O(n^2) NOT-EXISTS
+    definition verbatim; at sf1 (1.5M orders) DuckDB ran it as the
+    actual quadratic anti-join, so the oracle now states the equivalent
+    date-sweep (per-date max, running max over strictly-earlier dates —
+    comparisons only, no arithmetic, identical row set at any scale).
+    The Spark plan is the mirrored O(n log n) sweep along the price axis — per-price-group min date, one ordered
     window carrying the running min over STRICTLY higher price groups
     (rowsBetween ... -1 over the distinct-price frame, so equal-price
     peers never dominate each other), then a join back. One sort, no
