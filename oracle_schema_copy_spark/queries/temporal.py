@@ -450,31 +450,43 @@ def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_value_cusum",
     """
-    WITH m AS (SELECT avg(value) AS mu FROM events),
+    WITH v AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+               FROM events),
+    m AS (SELECT CAST(sum(vm) // count(*) AS BIGINT) AS mu_micro FROM v),
     dev AS (
-        SELECT user_id, ts, event_id, value - m.mu AS d
-        FROM events, m WHERE user_id < 8)
+        SELECT user_id, ts, event_id, vm - m.mu_micro AS d
+        FROM v, m WHERE user_id < 8)
     SELECT user_id, event_id,
-           round(sum(d) OVER (
+           CAST(sum(d) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cusum_micro
     FROM dev
     """,
 )
 def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point signal per user: the running sum of deviations
     from the global mean — a sustained drift shows as a ramp. One
-    broadcast scalar (the mean), one ordered window per user with a
-    deterministic tie-break; rounded at 6 dp on both engines (running
-    double sums accumulate in the same in-order sequence under an ordered
-    ROWS frame, so only the mean's last-ulp division differs)."""
-    ev = load_table(spark, sf_dir, "events")
-    mu = ev.agg(F.avg("value").alias("mu"))
+    broadcast scalar (the integer micro-unit mean), one ordered window
+    per user with a deterministic tie-break; exact BIGINT micro-units
+    throughout (see inline note — the double mean's last-ulp engine
+    difference accumulated through the running sum at sf1)."""
+    # exact BIGINT micro-units end to end (r9): the global mean as a
+    # double differed between engines in the last ulps (parallel vs
+    # sequential partial sums) and the per-row drift accumulated through
+    # the running sum until a round(_, 6) boundary flipped at sf1. One
+    # per-row floor quantization is engine-identical; integer mean and
+    # integer running sum are order-independent and exact at any scale.
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vm", F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    )
+    mu = ev.agg(F.expr("CAST(sum(vm) DIV count(*) AS BIGINT)").alias("mu_micro"))
     dev = (
         ev.filter(F.col("user_id") < 8)
         .join(F.broadcast(mu))
         .select(
-            "user_id", "ts", "event_id", (F.col("value") - F.col("mu")).alias("d")
+            "user_id", "ts", "event_id", (F.col("vm") - F.col("mu_micro")).alias("d")
         )
     )
     w = (
@@ -483,7 +495,7 @@ def q_events_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return dev.select(
-        "user_id", "event_id", F.round(F.sum("d").over(w), 6).alias("cusum")
+        "user_id", "event_id", F.sum("d").over(w).cast("long").alias("cusum_micro")
     )
 
 
