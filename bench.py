@@ -228,8 +228,31 @@ def main() -> None:
     load0 = probe0["loadavg_1m"]
     per_query: dict[str, dict] = {}
 
+    # per-query launch gate (bounded): the r9 whole-run gate passed and a
+    # co-tenant burst STILL landed mid-run, inflating two queries 2-4x.
+    # Waiting for quiet before each fresh-JVM query bounds the damage to
+    # the one query a burst overlaps. Probe only (no 2s steal window).
+    per_q_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_GATE_WAIT", "90"))
+
+    def _query_gate() -> dict:
+        waited = 0.0
+        while True:
+            load = os.getloadavg()[0]
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(5_000_000):
+                s += i
+            probe = round(time.perf_counter() - t0, 4)
+            ok = probe <= GATE_PROBE_MAX and load <= GATE_LOAD_MAX
+            if ok or waited >= per_q_wait:
+                return {"probe_sec": probe, "loadavg_1m": round(load, 2), "gate_ok": ok}
+            time.sleep(15)
+            waited += 15 + probe
+
+    query_gates: dict[str, dict] = {}
     if isolate:
         for name in names:
+            query_gates[name] = _query_gate()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
                 capture_output=True,
@@ -293,7 +316,7 @@ def main() -> None:
                 "isolated": isolate,
                 "cpus": cpus,
                 "loadavg": [round(load0, 2), round(os.getloadavg()[0], 2)],
-                "machine": {"before": probe0, "after": probe1},
+                "machine": {"before": probe0, "after": probe1, "per_query_gate": query_gates},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
