@@ -289,12 +289,23 @@ def main() -> None:
     spreads = {n: round(max(r["samples"]) - min(r["samples"]), 3) for n, r in per_query.items()}
     total = round(sum(timings.values()), 3)
     probe1 = _cpu_probe()
-    # normalize by the FASTEST probe observed around the run — the probe
-    # itself is subject to the same one-sided contention as the queries,
-    # so the min is the best estimate of the host's true speed
-    probe_best = min(probe0["probe_sec"], probe1["probe_sec"])
+    # run-wide floor: the FASTEST probe observed anywhere around the run —
+    # probes share the queries' one-sided contention, so the min is the
+    # best estimate of the host's top speed during the run
+    probe_best = min(
+        [probe0["probe_sec"], probe1["probe_sec"]]
+        + [g["probe_sec"] for g in query_gates.values()]
+    )
     norm = PROBE_REF_SEC / probe_best if probe_best > 0 else 1.0
-    mins_norm = {n: round(v * norm, 3) for n, v in mins.items()}
+    # per-query: normalize each min by the probe taken at ITS OWN launch
+    # gate (the most local host-speed estimate — a mid-run speed change,
+    # the r8 failure mode, otherwise skews every query after it); fall
+    # back to the run-wide floor when un-isolated runs have no gate
+    mins_norm = {}
+    for n, v in mins.items():
+        q_probe = query_gates.get(n, {}).get("probe_sec") or probe_best
+        q_norm = PROBE_REF_SEC / q_probe if q_probe > 0 else 1.0
+        mins_norm[n] = round(v * q_norm, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

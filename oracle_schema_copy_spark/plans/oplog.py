@@ -372,6 +372,11 @@ def replay_into_target(
     definitions are Spark-SQL SELECT text; execute only against targets
     that parse it).
 
+    Returns the records that actually EXECUTED against the target —
+    records skipped by ``ddl="infer"``/``on_opaque="skip"``/
+    ``on_view="skip"`` are excluded, so callers can audit exactly what
+    reached the database.
+
     Scale: payload chunks stream through ``target.insert`` (parallel
     batched JDBC writes for database targets); upserts/deletes reuse the
     staged set-oriented paths. Nothing passes through the driver but the
@@ -381,18 +386,21 @@ def replay_into_target(
     created: set[str] = set()
     for rec in read_manifest(log_path):
         if rec.kind == "ddl":
-            if ddl == "execute":
-                target.execute_sql(list(rec.params["statements"]))
+            if ddl != "execute":
+                continue  # "infer": table DDL is re-derived at first insert
+            target.execute_sql(list(rec.params["statements"]))
         elif rec.kind == "opaque_sql":
-            if on_opaque == "execute":
-                target.execute_sql(list(rec.params["statements"]))
-            elif on_opaque == "error":
+            if on_opaque == "error":
                 raise ValueError(f"opaque SQL operation {rec.seq} refused")
+            if on_opaque != "execute":
+                continue
+            target.execute_sql(list(rec.params["statements"]))
         elif rec.kind == "view":
-            if on_view == "execute":
-                target.execute_sql(
-                    [f"CREATE VIEW {rec.params['name']} AS {rec.params['query']}"]
-                )
+            if on_view != "execute":
+                continue
+            target.execute_sql(
+                [f"CREATE VIEW {rec.params['name']} AS {rec.params['query']}"]
+            )
         elif rec.kind == "insert":
             df = spark.read.parquet(os.path.join(log_path, rec.payload))
             if (

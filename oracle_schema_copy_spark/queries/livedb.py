@@ -27,16 +27,28 @@ writes, partitioned read-back; only key lists (bounded by
 
 from __future__ import annotations
 
-import uuid
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark.queries import query
+from oracle_schema_copy_spark.queries._scratch import scratch_dir
 from oracle_schema_copy_spark.sources.derby import DerbyTarget
 from oracle_schema_copy_spark.sources.tables import load_table
 
-_SCRATCH = "/root/repo/.scratch"
+
+def _finish(tgt: DerbyTarget, base: str, df: DataFrame) -> DataFrame:
+    """Materialize the read-back (eager localCheckpoint — the returned
+    frame no longer needs the database), then shut the embedded Derby
+    down and delete its scratch dir. Without this a long-lived JVM (a
+    full-registry driver_mimic pass) pins one booted database's page
+    cache per livedb query and the per-uuid scratch dirs accumulate on
+    disk across runs."""
+    out = df.localCheckpoint(eager=True)
+    tgt.close()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 # Inserted keys are offset far past any fixture keyspace (sf1 max ~1.5M).
 _INS_OFFSET = 100_000_000
@@ -69,7 +81,8 @@ def q_jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     that mis-updated, an insert that dropped rows, or a delete that
     over/under-matched all diverge."""
     orders = load_table(spark, sf_dir, "orders")
-    tgt = DerbyTarget(spark, f"{_SCRATCH}/derby_rt_{uuid.uuid4().hex[:8]}/db")
+    base = scratch_dir("derby_rt")
+    tgt = DerbyTarget(spark, f"{base}/db")
     tgt.create_table("orders", orders.schema, primary_key=["o_orderkey"])
     tgt.insert("orders", orders)
 
@@ -90,14 +103,18 @@ def q_jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt.delete("orders", "o_orderkey", all_keys.filter(key % 7 == 3))
 
     hi = orders.agg(F.max("o_orderkey")).first()[0]  # 1-row bound probe
-    return tgt.read(
-        "orders",
-        orders.columns,
-        schema=orders.schema,
-        partition_column="O_ORDERKEY",
-        lower_bound=0,
-        upper_bound=int(hi) + _INS_OFFSET + 1,
-        num_partitions=8,
+    return _finish(
+        tgt,
+        base,
+        tgt.read(
+            "orders",
+            orders.columns,
+            schema=orders.schema,
+            partition_column="O_ORDERKEY",
+            lower_bound=0,
+            upper_bound=int(hi) + _INS_OFFSET + 1,
+            num_partitions=8,
+        ),
     )
 
 
@@ -128,7 +145,7 @@ def q_oplog_import_into_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
-    base = f"{_SCRATCH}/oplog_derby_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("oplog_derby")
     with oplog.OperationLogWriter(f"{base}/log") as log:
         log.insert("region", region)
         log.insert("nation", nation)
@@ -158,7 +175,7 @@ def q_oplog_import_into_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     tgt = DerbyTarget(spark, f"{base}/db")
     oplog.replay_into_target(spark, f"{base}/log", tgt)
-    return tgt.read("nation", nation.columns, schema=nation.schema)
+    return _finish(tgt, base, tgt.read("nation", nation.columns, schema=nation.schema))
 
 
 @query(
@@ -192,7 +209,8 @@ def q_jdbc_copy_tree_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = cat.tpch_catalog(sf_dir)
     eng = Engine(spark, c)
-    tgt = DerbyTarget(spark, f"{_SCRATCH}/derby_ct_{uuid.uuid4().hex[:8]}/db")
+    base = scratch_dir("derby_ct")
+    tgt = DerbyTarget(spark, f"{base}/db")
     for t in ("customer", "orders", "lineitem"):
         df = eng.table(t)
         # the synthetic lineitem fixture is NOT unique on its nominal
@@ -210,7 +228,11 @@ def q_jdbc_copy_tree_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("customer", "orders", "lineitem")
     )
     df = read_query(spark, tgt.conn, counts)
-    return df.select(
-        F.col("table_name").cast("string").alias("table_name"),
-        F.col("n_rows").cast("bigint").alias("n_rows"),
+    return _finish(
+        tgt,
+        base,
+        df.select(
+            F.col("table_name").cast("string").alias("table_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        ),
     )

@@ -3,12 +3,14 @@ DDL / operation log (SURVEY.md §2.1-§2.4)."""
 
 from __future__ import annotations
 
+import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oracle_schema_copy_spark import catalog as cat
 from oracle_schema_copy_spark.operators import mutate, walk
 from oracle_schema_copy_spark.queries import query
+from oracle_schema_copy_spark.queries._scratch import scratch_dir
 from oracle_schema_copy_spark.sources.tables import load_table, load_tables
 
 # ---------------------------------------------------------------------------
@@ -319,8 +321,6 @@ def q_table_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DDL + operation log (SURVEY §2.1 S8-S10, §2.2 K2/K6, §2.4 E1)
 # ---------------------------------------------------------------------------
 
-_SCRATCH = "/root/repo/.scratch"
-
 
 @query(
     "schema_ddl_catalog",
@@ -418,11 +418,10 @@ def q_partition_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rehydrated from directory names. At 100 TB this layout is what makes
     an event_type- or date-scoped query touch 1/Nth of the store."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.sources import partitioned
 
-    base = f"{_SCRATCH}/part_events_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("part_events")
     shutil.rmtree(base, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     partitioned.write_partitioned(ev, base, ["event_type"])
@@ -461,11 +460,10 @@ def q_mor_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     log rows only, and the base contributes a broadcast anti-join. The
     oracle is the replay outcome in SQL."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.sources.mor import MergeOnReadTable
 
-    base = f"{_SCRATCH}/mor_orders_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("mor_orders")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     t = MergeOnReadTable(spark, base, ["o_orderkey"])
@@ -494,11 +492,10 @@ def q_mor_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg VERSION AS OF semantic on plain parquet. The oracle is
     the seq-1 state in SQL."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.sources.mor import MergeOnReadTable
 
-    base = f"{_SCRATCH}/mor_tt_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("mor_tt")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     t = MergeOnReadTable(spark, base, ["o_orderkey"])
@@ -538,11 +535,10 @@ def q_mor_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the read-amplification bound that keeps the mutation log from growing
     unboundedly at 100 TB."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.sources.mor import MergeOnReadTable
 
-    base = f"{_SCRATCH}/mor_compact_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("mor_compact")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     t = MergeOnReadTable(spark, base, ["o_orderkey"])
@@ -579,11 +575,10 @@ def q_oplog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2+S10 operation-log round trip: export insert+upsert+delete ops to a
     manifest+parquet log, replay into a fresh warehouse, read the result."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.plans import oplog
 
-    base = f"{_SCRATCH}/oplog_roundtrip_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("oplog_roundtrip")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
@@ -622,11 +617,10 @@ def q_oplog_atomic_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state, only remove the partially-applied crash window (which
     ``tests/test_oplog.py`` kills a replay mid-log to verify)."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.plans import oplog
 
-    base = f"{_SCRATCH}/oplog_atomic_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("oplog_atomic")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
@@ -657,11 +651,10 @@ def q_export_view_opaque_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     skipped by non-JDBC targets. The returned rows are read THROUGH the
     replayed view, so the oracle checks the whole view path."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.plans import oplog
 
-    base = f"{_SCRATCH}/view_roundtrip_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("view_roundtrip")
     shutil.rmtree(base, ignore_errors=True)
     tabs = load_tables(spark, sf_dir, ("region", "nation"))
     view_name = f"nation_regions_{uuid.uuid4().hex[:8]}"
@@ -691,11 +684,10 @@ def q_export_all_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     """E1 exportAll pipeline: DDL → data in topo order → constraints after
     data; replayed into a fresh warehouse, returning the imported nation."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.plans import oplog
 
-    base = f"{_SCRATCH}/export_all_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("export_all")
     shutil.rmtree(base, ignore_errors=True)
     tabs = load_tables(spark, sf_dir, ("region", "nation"))
     oplog.export_all(
@@ -917,12 +909,11 @@ def q_copy_verify_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the identity); any corruption anywhere in the export/replay path
     shows up as a nonzero mismatch count and a red row."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.operators import integrity
     from oracle_schema_copy_spark.plans import oplog
 
-    base = f"{_SCRATCH}/copy_verify_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("copy_verify")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     with oplog.OperationLogWriter(f"{base}/log") as log:
@@ -1042,12 +1033,11 @@ def q_oplog_history_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     red. File/byte columns are excluded from the gate — file count
     legitimately follows upstream partitioning."""
     import shutil
-    import uuid
 
     from oracle_schema_copy_spark.plans import oplog
     from oracle_schema_copy_spark.sources import pyds
 
-    base = f"{_SCRATCH}/oplog_history_{uuid.uuid4().hex[:8]}"
+    base = scratch_dir("oplog_history")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     with oplog.OperationLogWriter(f"{base}/log") as log:

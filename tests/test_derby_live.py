@@ -144,8 +144,9 @@ def test_replay_into_target_modes(spark, tgt, tmp_path):
         log.delete("t", "k", spark.createDataFrame([Row(k=1)]))
         log.view("v_t", "SELECT k FROM t")  # Spark-dialect text
     applied = oplog.replay_into_target(spark, log_path, tgt)
+    # executed records only: the on_view='skip' view record is excluded
     assert [r.kind for r in applied] == [
-        "insert", "opaque_sql", "upsert", "delete", "view",
+        "insert", "opaque_sql", "upsert", "delete",
     ]
     assert _state(spark, tgt) == [(2, "B", 20.0), (3, "c", 3.0), (9, "i", 9.0)]
     # the opaque index record executed: the index is in Derby's catalog

@@ -273,10 +273,12 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
         agg["disk_bytes_spilled"] += s.diskBytesSpilled()
         agg["executor_run_time_ms"] += s.executorRunTime()
         try:
-            agg["peak_execution_memory"] = max(
-                agg["peak_execution_memory"], s.peakExecutionMemory()
-            )
+            if agg["peak_execution_memory"] is not None:
+                agg["peak_execution_memory"] = max(
+                    agg["peak_execution_memory"], s.peakExecutionMemory()
+                )
         except Exception:
+            # metric unsupported on this status API: mark once, stop probing
             agg["peak_execution_memory"] = None
     return agg
 
