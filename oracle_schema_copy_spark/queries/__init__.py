@@ -53,7 +53,11 @@ def _load_all() -> None:
         pipeline_graph,
         pipeline_linalg,
         reference_surface,
+        # relational_* in original relational.py line order (r10 split,
+        # VERDICT r9 #7) so registry insertion order is unchanged
         relational,
+        relational_analytics,
+        relational_stats,
         streaming,
         temporal,
         tpch,
