@@ -76,7 +76,10 @@ def _load_all() -> None:
 # least fresh information.  Names absent from both lists keep registry
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
-    # (r9) new in round 9 — no driver row exists yet
+    # (r10) new in round 10 — no driver row exists yet
+    "ddl_dialect_matrix",
+    # (m10) read-back path changed in round 10 (eager localCheckpoint +
+    # database shutdown + scratch cleanup; replay_into_target skip audit)
     "jdbc_roundtrip_orders",
     "jdbc_copy_tree_derby",
     "oplog_import_into_derby",

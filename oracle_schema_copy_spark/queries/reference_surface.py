@@ -1054,3 +1054,77 @@ def q_oplog_history_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(f"{base}/log")
         .select("seq", "kind", "table_name", "n_statements", "n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect matrix (SURVEY §2.2 K6/K4 portability; VERDICT r9 #5)
+# ---------------------------------------------------------------------------
+
+_ORDERS_MERGE_SETS = ", ".join(
+    f"t.{c} = s.{c}"
+    for c in ("O_CUSTKEY", "O_ORDERSTATUS", "O_TOTALPRICE", "O_ORDERDATE", "O_ORDERPRIORITY")
+)
+_ORDERS_COLS = "O_ORDERKEY, O_CUSTKEY, O_ORDERSTATUS, O_TOTALPRICE, O_ORDERDATE, O_ORDERPRIORITY"
+_ORDERS_SVALS = ", ".join(f"s.{c}" for c in _ORDERS_COLS.split(", "))
+_ORDERS_EXCL = ", ".join(
+    f"{c} = EXCLUDED.{c}"
+    for c in ("O_CUSTKEY", "O_ORDERSTATUS", "O_TOTALPRICE", "O_ORDERDATE", "O_ORDERPRIORITY")
+)
+
+
+@query(
+    "ddl_dialect_matrix",
+    f"""
+    SELECT * FROM (VALUES
+      ('derby', 'nation', 'create_table',
+       'CREATE TABLE NATION (N_NATIONKEY INTEGER NOT NULL, N_NAME VARCHAR(1024), N_REGIONKEY INTEGER, PRIMARY KEY (N_NATIONKEY))'),
+      ('oracle', 'nation', 'create_table',
+       'CREATE TABLE NATION (N_NATIONKEY NUMBER(10) NOT NULL, N_NAME VARCHAR2(1024 CHAR), N_REGIONKEY NUMBER(10), PRIMARY KEY (N_NATIONKEY))'),
+      ('postgres', 'nation', 'create_table',
+       'CREATE TABLE NATION (N_NATIONKEY INTEGER NOT NULL, N_NAME VARCHAR(1024), N_REGIONKEY INTEGER, PRIMARY KEY (N_NATIONKEY))'),
+      ('derby', 'orders', 'create_table',
+       'CREATE TABLE ORDERS (O_ORDERKEY BIGINT NOT NULL, O_CUSTKEY BIGINT, O_ORDERSTATUS VARCHAR(1024), O_TOTALPRICE DOUBLE, O_ORDERDATE TIMESTAMP, O_ORDERPRIORITY VARCHAR(1024), PRIMARY KEY (O_ORDERKEY))'),
+      ('oracle', 'orders', 'create_table',
+       'CREATE TABLE ORDERS (O_ORDERKEY NUMBER(19) NOT NULL, O_CUSTKEY NUMBER(19), O_ORDERSTATUS VARCHAR2(1024 CHAR), O_TOTALPRICE BINARY_DOUBLE, O_ORDERDATE TIMESTAMP, O_ORDERPRIORITY VARCHAR2(1024 CHAR), PRIMARY KEY (O_ORDERKEY))'),
+      ('postgres', 'orders', 'create_table',
+       'CREATE TABLE ORDERS (O_ORDERKEY BIGINT NOT NULL, O_CUSTKEY BIGINT, O_ORDERSTATUS VARCHAR(1024), O_TOTALPRICE DOUBLE PRECISION, O_ORDERDATE TIMESTAMP, O_ORDERPRIORITY VARCHAR(1024), PRIMARY KEY (O_ORDERKEY))'),
+      ('derby', 'orders', 'upsert_merge',
+       'MERGE INTO ORDERS t USING ORDERS_oscs_upsert_stg s ON (t.O_ORDERKEY = s.O_ORDERKEY) WHEN MATCHED THEN UPDATE SET {_ORDERS_MERGE_SETS} WHEN NOT MATCHED THEN INSERT ({_ORDERS_COLS}) VALUES ({_ORDERS_SVALS})'),
+      ('oracle', 'orders', 'upsert_merge',
+       'MERGE INTO ORDERS t USING ORDERS_oscs_upsert_stg s ON (t.O_ORDERKEY = s.O_ORDERKEY) WHEN MATCHED THEN UPDATE SET {_ORDERS_MERGE_SETS} WHEN NOT MATCHED THEN INSERT ({_ORDERS_COLS}) VALUES ({_ORDERS_SVALS})'),
+      ('postgres', 'orders', 'upsert_merge',
+       'INSERT INTO ORDERS ({_ORDERS_COLS}) SELECT {_ORDERS_COLS} FROM ORDERS_oscs_upsert_stg ON CONFLICT (O_ORDERKEY) DO UPDATE SET {_ORDERS_EXCL}')
+    ) AS t(dialect, object_name, stmt_kind, sql_text)
+    """,
+)
+def q_ddl_dialect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/K4 portability matrix: the dialect-parameterized DDL + upsert
+    generators (``sources/dialects.py``, ``sources/jdbc_mutations.py``)
+    applied to the live fixture schemas for derby (the dialect proven live
+    by the jdbc_* gates), oracle (the reference's target —
+    ``CopyUtils.java:939-964`` VARCHAR2/CLOB LOB split, NUMBER widths),
+    and postgres. The oracle is the hand-written golden text of each
+    statement, so a silent change in any generator diverges here.
+    Driver-side generation by design: DDL strings are catalog-scale
+    metadata (rows = tables x dialects), never data-plane."""
+    from oracle_schema_copy_spark.sources import jdbc_mutations as jm
+    from oracle_schema_copy_spark.sources.derby import create_table_sql
+
+    rows = []
+    for t, pk in (("nation", "n_nationkey"), ("orders", "o_orderkey")):
+        schema = load_table(spark, sf_dir, t).schema
+        for d in ("derby", "oracle", "postgres"):
+            rows.append(
+                (d, t, "create_table",
+                 create_table_sql(t, schema, primary_key=[pk], dialect=d))
+            )
+    ocols = [c.upper() for c in load_table(spark, sf_dir, "orders").columns]
+    for d in ("derby", "oracle", "postgres"):
+        rows.append(
+            (d, "orders", "upsert_merge",
+             jm.merge_sql("ORDERS", jm.staging_name("ORDERS", "upsert"),
+                          ocols, ["O_ORDERKEY"], dialect=d))
+        )
+    return spark.createDataFrame(
+        rows, "dialect string, object_name string, stmt_kind string, sql_text string"
+    )

@@ -34,36 +34,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from oracle_schema_copy_spark.sources.dialects import get_dialect
 from oracle_schema_copy_spark.sources.jdbc import JdbcConnection
 
-# Spark type -> Derby column type. VARCHAR over CLOB for strings: Derby
-# restricts CLOB comparisons (no equality), which would silently poison
-# MERGE keys and DELETE predicates; 32672 is Derby's VARCHAR maximum.
-_DERBY_TYPES: dict[type, str] = {
-    T.LongType: "BIGINT",
-    T.IntegerType: "INTEGER",
-    T.ShortType: "SMALLINT",
-    T.ByteType: "SMALLINT",  # Derby has no TINYINT
-    T.DoubleType: "DOUBLE",
-    T.FloatType: "REAL",
-    T.BooleanType: "BOOLEAN",
-    T.DateType: "DATE",
-    T.TimestampType: "TIMESTAMP",
-    # Derby TIMESTAMP is wall-clock (no zone) either way; sessions run UTC
-    T.TimestampNTZType: "TIMESTAMP",
-    T.BinaryType: "BLOB",
-}
+_DERBY = get_dialect("derby")
 
 
 def derby_type(dt: T.DataType, *, varchar_len: int = 1024) -> str:
-    if isinstance(dt, T.StringType):
-        return f"VARCHAR({min(varchar_len, 32672)})"
-    if isinstance(dt, T.DecimalType):
-        return f"DECIMAL({dt.precision},{dt.scale})"
-    for cls, name in _DERBY_TYPES.items():
-        if isinstance(dt, cls):
-            return name
-    raise ValueError(f"no Derby mapping for Spark type {dt}")
+    """Derby column type for a Spark type (``sources/dialects.py`` holds
+    the full dialect matrix; the Derby rules — VARCHAR over CLOB so MERGE
+    keys and DELETE predicates stay comparable — live there)."""
+    return _DERBY.column_type(dt, varchar_len=varchar_len)
 
 
 def create_table_sql(
@@ -72,19 +53,16 @@ def create_table_sql(
     *,
     primary_key: list[str] | None = None,
     varchar_len: int = 1024,
+    dialect: str = "derby",
 ) -> str:
     """CREATE TABLE DDL for a Spark schema (the ExecuteSqlList-analog DDL
     the reference ships ahead of data, ``CopyUtils.java:682-710`` export
-    order). Unquoted identifiers — Derby folds them to uppercase, matching
-    ``fold_upper``-ed DataFrame writes."""
-    pk = [c.upper() for c in (primary_key or [])]
-    cols = []
-    for f in schema.fields:
-        null = " NOT NULL" if f.name.upper() in pk else ""
-        cols.append(f"{f.name.upper()} {derby_type(f.dataType, varchar_len=varchar_len)}{null}")
-    if pk:
-        cols.append(f"PRIMARY KEY ({', '.join(pk)})")
-    return f"CREATE TABLE {table.upper()} ({', '.join(cols)})"
+    order), dialect-parameterized — derby (proven live here), oracle,
+    postgres. Unquoted identifiers — the database folds them to a
+    consistent case, matching ``fold_upper``-ed DataFrame writes."""
+    return get_dialect(dialect).create_table_sql(
+        table, schema, primary_key=primary_key, varchar_len=varchar_len
+    )
 
 
 def column_types_option(schema: T.StructType, *, varchar_len: int = 1024) -> str:

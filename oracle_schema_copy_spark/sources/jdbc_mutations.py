@@ -58,8 +58,16 @@ def merge_sql(
 
     ``ansi`` covers Oracle / SQL Server / DB2 / recent Postgres (15+);
     ``postgres_upsert`` emits ``INSERT ... ON CONFLICT`` for older
-    Postgres. Non-key columns update on match; all columns insert on miss.
+    Postgres. Dialect NAMES from ``sources/dialects.py`` also resolve:
+    ``derby``/``oracle`` → ansi MERGE, ``postgres`` → ON CONFLICT (correct
+    on every supported PG version). Non-key columns update on match; all
+    columns insert on miss.
     """
+    dialect = {
+        "derby": "ansi",
+        "oracle": "ansi",
+        "postgres": "postgres_upsert",
+    }.get(dialect, dialect)
     keys = list(key_columns)
     non_keys = [c for c in columns if c not in keys]
     if dialect == "postgres_upsert":
