@@ -89,6 +89,50 @@ def read_table(
     return reader.load()
 
 
+def read_table_keyed(
+    spark: SparkSession,
+    conn: JdbcConnection,
+    table: str,
+    key_column: str,
+    keys,
+    *,
+    keys_per_probe: int = 1000,
+) -> DataFrame:
+    """Keyed scan PUSHED to the database: ``WHERE key IN (...)`` batched
+    ``keys_per_probe`` keys per probe, one probe per Spark partition
+    (``DataFrameReader.jdbc(predicates=...)``) so probes run in parallel
+    over separate connections. The database answers each probe with an
+    index lookup; only matching rows cross the wire.
+
+    This is SURVEY §4's custom-strategy candidate for walking a subgraph
+    OUT of a live database (``S2 keyed scan``): the A/B against the
+    default read-all + Spark semi-join is tools/inlist_ab.py, recorded in
+    BENCH_NOTES_r10.md — pushed probes win when the frontier is a small
+    fraction of the child table (the common copy_tree shape) because the
+    read-all path ships the entire child table through JDBC first.
+
+    ``keys`` is a driver-side sequence — bounded by the same
+    ``max_inline_keys``-scale contract as the keyed-delete path (key
+    lists, never rows, and a frontier larger than that belongs on the
+    staged/semi-join path anyway).
+    """
+    from oracle_schema_copy_spark.sources.jdbc_mutations import sql_literal
+
+    # dedupe: predicates must partition the keyspace DISJOINTLY — a key
+    # landing in two probe batches would return its rows twice
+    ks = list(dict.fromkeys(keys))
+    if not ks:
+        # no keys -> empty probe; one FALSE predicate keeps the schema
+        preds = ["1 = 0"]
+    else:
+        preds = [
+            f"{key_column} IN ({', '.join(sql_literal(k) for k in ks[i : i + keys_per_probe])})"
+            for i in range(0, len(ks), keys_per_probe)
+        ]
+    props = {k: v for k, v in conn.spark_options().items() if k != "url"}
+    return spark.read.jdbc(conn.url, table, predicates=preds, properties=props)
+
+
 def read_query(spark: SparkSession, conn: JdbcConnection, query: str) -> DataFrame:
     """Push an arbitrary query to the database (dictionary-view reads:
     the reference's user_objects/user_constraints catalog scans, S4-S6)."""

@@ -194,3 +194,27 @@ def test_live_engine_copy_and_delete_tree(spark, tgt, sf_dir):
     for t in counts:
         n = read_query(spark, tgt.conn, f"SELECT COUNT(*) AS N FROM {t.upper()}").first()[0]
         assert n == 0, t
+
+
+def test_read_table_keyed_pushed_probe(spark, tgt):
+    """Pushed IN-list keyed scan (sources/jdbc.read_table_keyed, the
+    live-source child-probe default per BENCH_NOTES_r10.md §1): batched
+    probes return exactly the semi-join result, across batch boundaries,
+    with duplicates in the key list harmless and an empty key list giving
+    an empty frame with the table's schema."""
+    from oracle_schema_copy_spark.sources.jdbc import read_table_keyed
+
+    rows = [(i, f"v{i}", float(i % 7)) for i in range(50)]
+    df = _mk(spark, rows)
+    tgt.create_table("t", df.schema, primary_key=["k"])
+    tgt.insert("t", df)
+
+    keys = [3, 11, 11, 42, 999]  # dup + missing key
+    got = read_table_keyed(spark, tgt.conn, "T", "K", keys, keys_per_probe=2)
+    # dup deduped -> 4 distinct keys -> ceil(4/2) = 2 probes = partitions
+    assert got.rdd.getNumPartitions() == 2
+    assert sorted(r[0] for r in got.select("K").collect()) == [3, 11, 42]
+
+    empty = read_table_keyed(spark, tgt.conn, "T", "K", [])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["K", "V", "P"]
