@@ -236,3 +236,53 @@ def q_jdbc_copy_tree_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("bigint").alias("n_rows"),
         ),
     )
+
+
+@query(
+    "jdbc_walk_pushed_probe",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_jdbc_walk_pushed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/G2 live, source side: the reference's actual deployment walks a
+    subgraph OUT of a database (``CopyUtils.java``'s keyed child reads);
+    here customer+orders live in embedded Derby (FK column indexed), the
+    root frontier is read FROM the database, and the child probe is the
+    PUSHED batched IN-list scan (``sources/jdbc.read_table_keyed`` — the
+    measured 4-6.7x winner over read-all + semi-join, BENCH_NOTES_r10.md
+    §1), one probe batch per Spark partition. Only frontier KEYS pass
+    through the driver (the same bounded keys-only contract as the keyed
+    delete); the walked rows aggregate distributed. The oracle recomputes
+    the same subgraph aggregate relationally from the source parquet —
+    a probe that dropped, duplicated, or mis-batched rows diverges."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = scratch_dir("derby_walk")
+    tgt = DerbyTarget(spark, f"{base}/db")
+    tgt.create_table("customer", cust.schema, primary_key=["c_custkey"])
+    tgt.insert("customer", cust)
+    tgt.create_table("orders", orders.schema, primary_key=["o_orderkey"])
+    tgt.insert("orders", orders)
+    tgt.execute_sql(["CREATE INDEX ORDERS_CK_IX ON ORDERS (O_CUSTKEY)"])
+
+    from oracle_schema_copy_spark.sources.jdbc import read_query, read_table_keyed
+
+    roots = read_query(
+        spark, tgt.conn, "SELECT C_CUSTKEY FROM CUSTOMER WHERE MOD(C_CUSTKEY, 10) = 0"
+    )
+    frontier = [r[0] for r in roots.collect()]  # keys only, bounded
+    walked = read_table_keyed(spark, tgt.conn, "ORDERS", "O_CUSTKEY", frontier)
+    agg = walked.groupBy(F.col("O_ORDERSTATUS").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("O_TOTALPRICE").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+    return _finish(tgt, base, agg)
