@@ -77,6 +77,7 @@ def _load_all() -> None:
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
     # (r10) new in round 10 — no driver row exists yet
+    "stream_cdc_apply_derby",
     "jdbc_walk_pushed_probe",
     "ddl_dialect_matrix",
     # (m10) read-back path changed in round 10 (eager localCheckpoint +

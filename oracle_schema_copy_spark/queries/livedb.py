@@ -239,6 +239,126 @@ def q_jdbc_copy_tree_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdc_apply_derby",
+    f"""
+    WITH upserted AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 4 = 1 THEN 'CDC-UPD'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + {_INS_OFFSET}, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 9 = 2
+    )
+    SELECT * FROM upserted WHERE o_orderkey % 6 <> 5
+    """,
+)
+def q_stream_cdc_apply_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming CDC apply into a LIVE database: a typed
+    changelog (op in I/U/D + op_seq + full row payload) is drained as
+    ordered micro-batches (file source, maxFilesPerTrigger=1, one staged
+    file per op_seq with strictly increasing mtimes) and a foreachBatch
+    sink applies each batch to embedded Derby through the same verb
+    surface the batch engine uses — bulk INSERT for the snapshot load,
+    staged-MERGE upsert for updates+inserts, keyed DELETE for tombstones
+    (``ExecuteTarget.java:12-32``'s verbs, driven continuously the way a
+    replication consumer would). The gate reads the DATABASE's final
+    state back and the oracle recomputes it relationally — a batch applied
+    out of order, an op group applied with the wrong verb, or a tombstone
+    that missed rows all diverge. Within one micro-batch op_seq groups
+    apply in ascending order, so the gate holds whether the drain yields
+    three micro-batches or one."""
+    orders = load_table(spark, sf_dir, "orders")
+    payload = orders.columns
+    base = scratch_dir("derby_cdc")
+    tgt = DerbyTarget(spark, f"{base}/db")
+    tgt.create_table("orders", orders.schema, primary_key=["o_orderkey"])
+
+    key = F.col("o_orderkey")
+    updates = orders.filter(key % 4 == 1).withColumns(
+        {
+            "o_totalprice": F.col("o_totalprice") * 2,
+            "o_orderpriority": F.lit("CDC-UPD"),
+        }
+    )
+    inserts = orders.filter(key % 9 == 2).withColumn(
+        "o_orderkey", key + F.lit(_INS_OFFSET)
+    )
+    all_keys = orders.select("o_orderkey").unionByName(inserts.select("o_orderkey"))
+    tombstones = all_keys.filter(key % 6 == 5)
+
+    def _tag(df: DataFrame, op: str, seq: int) -> DataFrame:
+        out = df
+        for c in payload:  # tombstones carry the key only
+            if c not in df.columns:
+                out = out.withColumn(c, F.lit(None).cast(orders.schema[c].dataType))
+        return out.select(
+            F.lit(op).alias("op"), F.lit(seq).alias("op_seq"), *payload
+        )
+
+    log = (
+        _tag(orders, "I", 0)
+        .unionByName(_tag(updates.unionByName(inserts), "U", 1))
+        .unionByName(_tag(tombstones, "D", 2))
+    )
+
+    import os
+
+    flat = f"{base}/log"
+    os.makedirs(flat)
+    for seq in (0, 1, 2):
+        part = f"{base}/part{seq}"
+        log.filter(F.col("op_seq") == seq).coalesce(1).write.parquet(part)
+        src = next(f for f in sorted(os.listdir(part)) if f.endswith(".parquet"))
+        dst = os.path.join(flat, f"{seq}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        # the file source replays oldest-mtime-first; make op order explicit
+        os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        seqs = sorted(r[0] for r in batch_df.select("op_seq").distinct().collect())
+        for seq in seqs:  # bounded: one row per staged op group
+            grp = batch_df.filter(F.col("op_seq") == seq)
+            op = grp.select("op").first()[0]
+            if op == "I":
+                tgt.insert("orders", grp.select(*payload))
+            elif op == "U":
+                tgt.upsert("orders", grp.select(*payload), "o_orderkey")
+            else:
+                tgt.delete("orders", "o_orderkey", grp.select("o_orderkey"))
+
+    (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    hi = orders.agg(F.max("o_orderkey")).first()[0]  # 1-row bound probe
+    return _finish(
+        tgt,
+        base,
+        tgt.read(
+            "orders",
+            payload,
+            schema=orders.schema,
+            partition_column="O_ORDERKEY",
+            lower_bound=0,
+            upper_bound=int(hi) + _INS_OFFSET + 1,
+            num_partitions=8,
+        ),
+    )
+
+
+@query(
     "jdbc_walk_pushed_probe",
     """
     SELECT o_orderstatus,

@@ -324,7 +324,7 @@ def main() -> int:
     with open(out_md, "w") as f:
         f.write(
             "# Scale audit — cap guards and AQE behavior\n\n"
-            f"Fixture: `{sf_dir}` (deterministic 10x expansion of sf0.1, "
+            f"Fixture: `{sf_dir}` (deterministic expansion of sf0.1, "
             "see tools/make_scale_fixture.py).\n\n"
             "```json\n" + body + "\n```\n"
         )
