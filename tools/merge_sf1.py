@@ -1,19 +1,22 @@
-"""Merge per-batch sf1 mimic artifacts into CORRECTNESS_sf1.json.
+"""Merge per-batch mimic artifacts into a committed correctness file.
 
 Usage: python tools/merge_sf1.py batch1.json [batch2.json ...]
-Reads/writes CORRECTNESS_sf1.json in the repo root; updates counts,
+Target defaults to CORRECTNESS_sf1.json; override with
+SPARK_GRAFT_MERGE_INTO (e.g. CORRECTNESS_sf01.json). Updates counts,
 removes merged names from the dropped map, appends a note line."""
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-MAIN = "CORRECTNESS_sf1.json"
+MAIN = os.environ.get("SPARK_GRAFT_MERGE_INTO", "CORRECTNESS_sf1.json")
 
 
 def main() -> int:
     d = json.load(open(MAIN))
+    d.setdefault("dropped", {})
     added, failed = [], []
     for path in sys.argv[1:]:
         b = json.load(open(path))
@@ -28,8 +31,8 @@ def main() -> int:
     d["n_queries"] = len(d["results"])
     d["n_fail"] = sum(1 for r in d["results"].values() if r.get("status") != "MATCH")
     if added:
-        d["note"] += (
-            f" | r9: +{len(added)} names ({', '.join(added[:8])}"
+        d["note"] = d.get("note", "") + (
+            f" | +{len(added)} names ({', '.join(added[:8])}"
             + (", ..." if len(added) > 8 else "")
             + "), single-JVM protocol, all MATCH."
         )
