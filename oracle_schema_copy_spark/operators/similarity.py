@@ -326,6 +326,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     n_subspaces: int = 8,
     dim: int = 64,
+    n_codes: int = 256,
 ) -> DataFrame:
     """Product-quantization codebooks (Jegou et al. 2011) seeded from a
     coarse grouping column: the vector space is split into
@@ -337,10 +338,21 @@ def pq_codebooks(
     ``group_centroids`` pass, centroids rounded to 6 decimals BEFORE any
     use). Returns (subspace, code, cv) with cv assembled per subspace.
 
-    Scale: the codebook is |groups| x n_subspaces rows — broadcast-sized
-    by construction regardless of corpus size."""
+    ``n_codes`` caps the codebook at a FIXED size the way production PQ
+    fixes ks=256 independent of corpus scale: the seeding group folds to
+    ``group % n_codes`` before the centroid pass. Without the cap the
+    encode argmax (corpus slices x codebook entries) grows as
+    corpus x |groups| — measured 41x wall / 63 GB spill at the sf10
+    fixture, whose label count grows with the corpus. The fold is
+    injective whenever the corpus has <= n_codes distinct groups (all
+    fixtures up to sf1), where it is a pure code renaming.
+
+    Scale: the codebook is <= n_codes x n_subspaces rows — broadcast-
+    sized by construction; encode cost is corpus x n_codes, linear in
+    the corpus."""
     sub = dim // n_subspaces
-    cents = group_centroids(emb, group_col=group_col, vec_col=vec_col)
+    folded = emb.withColumn(group_col, F.pmod(F.col(group_col), F.lit(n_codes)))
+    cents = group_centroids(folded, group_col=group_col, vec_col=vec_col)
     cb = cents.select(
         F.floor(F.col("pos") / sub).cast("long").alias("subspace"),
         F.col(group_col).alias("code"),
@@ -380,15 +392,22 @@ def pq_encode(
 ) -> DataFrame:
     """Encode each vector as ``n_subspaces`` codebook codes — per
     subspace, the code whose entry has the highest dot with the vector's
-    slice (ties -> smallest code), exactly the assign_nearest_centroid
-    argmax shape run per subspace. Output (vec_id, subspace, code): the
+    slice in integer MICRO-UNITS (CAST(round(dot * 1e6) AS BIGINT), the
+    same resolution the ADC lookup table already scores at; micro-ties
+    -> smallest code). Output (vec_id, subspace, code): the
     PQ-compressed corpus, n_subspaces small ints instead of dim floats —
     the ~32x memory cut that makes billion-vector ANN RAM-resident.
 
-    Scale: codebook broadcasts; one corpus scan; the min-of-struct
-    argmax combines map-side to one row per (vector, subspace) before
-    any shuffle. The dot is the codegen'd sequential-double unrolled sum,
-    bit-equal to the DuckDB twin's list_sum loop."""
+    Scale: codebook broadcasts; one corpus scan; the argmax packs
+    (micro-dot, code) into ONE BIGINT — ``dm * 512 + (511 - code)`` —
+    so the per-(vector, subspace) reduction is a scalar ``max`` that
+    whole-stage-codegen HashAggregates with map-side combine. The
+    earlier min-of-struct argmax forced SortAggregate, which SORTED the
+    corpus x n_codes expansion (measured at the sf10 fixture: 571 s /
+    7.9 GB spill in that one stage); the packed form streams it. The
+    packing is injective because codes are < 512 (``pq_codebooks`` caps
+    at n_codes=256) and |dm| <= ~1e6 for unit-norm slices keeps the
+    product far inside int64."""
     sub = dim // n_subspaces
     sliced = _subspace_slices(
         emb, id_col, id_col=id_col, vec_col=vec_col,
@@ -397,17 +416,17 @@ def pq_encode(
     scored = sliced.join(F.broadcast(codebooks), "subspace").select(
         id_col,
         "subspace",
-        "code",
-        _exact_dot("__sv", "cv", sub).alias("__d"),
+        (
+            F.round(_exact_dot("__sv", "cv", sub) * F.lit(1000000.0), 0).cast("long")
+            * F.lit(512)
+            + (F.lit(511) - F.col("code"))
+        ).alias("__packed"),
     )
-    best = scored.groupBy(id_col, "subspace").agg(
-        F.min(
-            F.struct((-F.col("__d")).alias("nd"), F.col("code").alias("code"))
-        ).alias("__b")
-    )
+    best = scored.groupBy(id_col, "subspace").agg(F.max("__packed").alias("__p"))
     return best.select(
-        id_col, F.col("subspace").cast("long").alias("subspace"),
-        F.col("__b.code").alias("code"),
+        id_col,
+        F.col("subspace").cast("long").alias("subspace"),
+        (F.lit(511) - F.pmod(F.col("__p"), F.lit(512))).alias("code"),
     )
 
 

@@ -80,6 +80,12 @@ _CHECK_FIRST: list[str] = [
     "stream_cdc_apply_derby",
     "jdbc_walk_pushed_probe",
     "ddl_dialect_matrix",
+    # (m10) PQ family changed in round 10 (ks=256 codebook cap + packed
+    # scalar-max encode argmax, the sf10 audit fixes) — re-gate first
+    "similarity_topk_pq_adc",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_rerank",
+    "ivfpq_recall_contract",
     # (m10) read-back path changed in round 10 (eager localCheckpoint +
     # database shutdown + scratch cleanup; replay_into_target skip audit)
     "jdbc_roundtrip_orders",
@@ -135,14 +141,10 @@ _CHECK_FIRST: list[str] = [
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
     "ivf_recall_contract",
-    "similarity_topk_pq_adc",
-    "similarity_topk_ivfpq",
     "stream_cdc_upsert_live",
     "events_session_funnel",
     "graph_k_core_decomposition",
     "quality_gopher_rules",
-    "ivfpq_recall_contract",
-    "similarity_topk_ivfpq_rerank",
     "bpe_fertility_by_lang",
     "corpus_unimax_budgets",
     "scd2_point_in_time_attribution",

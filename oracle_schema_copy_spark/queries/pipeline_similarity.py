@@ -345,28 +345,27 @@ def _sql_subspace_dot(vec: str, cv: str, sub: int = 8) -> str:
 @query(
     "similarity_topk_pq_adc",
     f"""
-    WITH cents AS (
-        SELECT label, k - 1 AS pos,
+    WITH pqc AS (
+        SELECT label % 256 AS code, k - 1 AS pos,
                round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
         FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
-        GROUP BY label, k),
+        GROUP BY label % 256, k),
     cb AS (
-        SELECT CAST(pos // 8 AS BIGINT) AS subspace, label AS code,
+        SELECT CAST(pos // 8 AS BIGINT) AS subspace, code,
                pos % 8 AS spos, centroid
-        FROM cents),
+        FROM pqc),
     cbv AS (
         SELECT subspace, code, array_agg(centroid ORDER BY spos) AS cv
         FROM cb GROUP BY subspace, code),
     esc AS (
-        SELECT e.vec_id, c.subspace, c.code,
-               {_sql_subspace_dot('e.embedding', 'c.cv')} AS d
+        SELECT e.vec_id, c.subspace,
+               CAST(round({_sql_subspace_dot('e.embedding', 'c.cv')} * 1000000)
+                    AS BIGINT) * 512 + (511 - c.code) AS packed
         FROM embeddings e CROSS JOIN cbv c),
     codes AS (
-        SELECT vec_id, subspace, code FROM (
-            SELECT vec_id, subspace, code,
-                   row_number() OVER (
-                       PARTITION BY vec_id, subspace ORDER BY d DESC, code) AS rk
-            FROM esc) WHERE rk = 1),
+        SELECT vec_id, subspace,
+               511 - ((max(packed) % 512 + 512) % 512) AS code
+        FROM esc GROUP BY vec_id, subspace),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
     lut AS (
         SELECT q.query_id, c.subspace, c.code,
@@ -389,8 +388,9 @@ def _sql_subspace_dot(vec: str, cv: str, sub: int = 8) -> str:
 def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011): the corpus is
     PQ-encoded to 8 subspace codes per vector (codebooks = subspace
-    slices of the rounded label centroids — the deterministic
-    centroids-as-codebook seeding the IVF family uses), and each of the
+    slices of the rounded group-mean centroids, groups folded to a fixed
+    ks=256 like production PQ — injective renaming up to 256 labels, a
+    real cap beyond), and each of the
     20 queries ranks the WHOLE corpus by asymmetric distance: one
     query x codebook lookup table, per-vector score = exact BIGINT sum of
     its 8 LUT terms in integer micro-units (order-independent, so Spark
@@ -417,23 +417,27 @@ def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scores), shared by the similarity_topk_ivfpq oracle and the
 # ivfpq_recall_contract oracle.
 _IVFPQ_CTES = f"""{_IVF_NPROBE_CTES},
+    pqc AS (
+        SELECT label % 256 AS code, k - 1 AS pos,
+               round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY label % 256, k),
     cb AS (
-        SELECT CAST(pos // 8 AS BIGINT) AS subspace, label AS code,
+        SELECT CAST(pos // 8 AS BIGINT) AS subspace, code,
                pos % 8 AS spos, centroid
-        FROM cents),
+        FROM pqc),
     cbv AS (
         SELECT subspace, code, array_agg(centroid ORDER BY spos) AS cv
         FROM cb GROUP BY subspace, code),
     esc AS (
-        SELECT e.vec_id, c.subspace, c.code,
-               {_sql_subspace_dot('e.embedding', 'c.cv')} AS d
+        SELECT e.vec_id, c.subspace,
+               CAST(round({_sql_subspace_dot('e.embedding', 'c.cv')} * 1000000)
+                    AS BIGINT) * 512 + (511 - c.code) AS packed
         FROM embeddings e CROSS JOIN cbv c),
     codes AS (
-        SELECT vec_id, subspace, code FROM (
-            SELECT vec_id, subspace, code,
-                   row_number() OVER (
-                       PARTITION BY vec_id, subspace ORDER BY d DESC, code) AS rk
-            FROM esc) WHERE rk = 1),
+        SELECT vec_id, subspace,
+               511 - ((max(packed) % 512 + 512) % 512) AS code
+        FROM esc GROUP BY vec_id, subspace),
     lut AS (
         SELECT q.query_id, c.subspace, c.code,
                CAST(round({_sql_subspace_dot('q.qv', 'c.cv')} * 1000000) AS BIGINT) AS term
