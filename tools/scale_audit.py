@@ -247,11 +247,17 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
 
     seen = {s.stageId() for s in _iter_seq(_stages())}
     t0 = _time.perf_counter()
-    n = m.queries()[qname](spark, sf_dir).count()
+    df = m.queries()[qname](spark, sf_dir)
+    # noop write, not count(): count() lets Catalyst ELIMINATE a
+    # unique-key left join whose right side feeds no surviving column
+    # (the rewrite-family queries end in documents LEFT JOIN rewritten)
+    # and answer from parquet row-group stats — the r10 sf10 audit
+    # recorded 0 stages / 0 bytes for text_exactsubstr_removal that way.
+    # The noop sink materializes every output row JVM-side.
+    df.write.format("noop").mode("overwrite").save()
     wall = round(_time.perf_counter() - t0, 2)
     agg = {
         "query": qname,
-        "rows": n,
         "wall_sec": wall,
         "n_stages": 0,
         "input_bytes": 0,
