@@ -276,6 +276,7 @@ def assign_nearest_centroid(
     vec_col: str = "embedding",
     group_col: str = "label",
     dim: int | None = 64,
+    micro_units: bool = False,
 ) -> DataFrame:
     """Assign each vector to its highest-dot-product centroid — the
     quantizer-assignment step that pairs with ``group_centroids`` (one
@@ -284,12 +285,26 @@ def assign_nearest_centroid(
     ``centroids`` is the (group, pos, centroid) shape ``group_centroids``
     emits; it is re-assembled into per-group arrays (tiny: groups × dim)
     and BROADCAST against a single corpus scan. Each vector scores k dot
-    products locally and keeps the argmax via a min-of-struct aggregate
-    ((-dot, group) lexicographic, so ties break on the smallest group id)
-    — map-side combine collapses the k scored rows to ONE row per vector
-    before the shuffle, where a rank window would shuffle and sort all
-    k x |corpus| rows. The dot is the sequential-double ``dot()``,
-    bit-equal to the SQL twin.
+    products locally and the argmax collapses the k scored rows to ONE
+    row per vector before any shuffle. The dot is the sequential-double
+    ``dot()``, bit-equal to the SQL twin.
+
+    Two argmax modes:
+    - default (exact): min-of-struct over (-dot, group) — exact-double
+      ordering, ties -> smallest group. Struct aggregation is NOT
+      HashAggregate-compatible, so Spark sorts the corpus x k expansion
+      (SortAggregate); fine when k is a fixed design parameter (k-means
+      k=8), pathological when k grows with the corpus (the sf10 fixture:
+      2,000 label centroids -> 400M-row sort, >30 min stragglers).
+    - ``micro_units=True``: the scale path. Groups get a dense index
+      (ordered by group id, broadcast-sized frame), each score rounds to
+      integer micro-units (the pq_lut/pq_encode resolution), and
+      (micro-dot, index) packs into ONE BIGINT — ``dm * k + (k - idx)``
+      — reduced by a scalar ``max`` in whole-stage codegen with map-side
+      combine. Micro-ties -> smallest group id; the returned dot is
+      ``dm / 1e6`` (6-decimal resolution, same as the exact path's
+      round(dot, 6) up to micro-rounding). SQL twins mirror the
+      micro-unit ordering directly.
     """
     cvecs = centroids.groupBy(group_col).agg(
         F.transform(
@@ -297,6 +312,36 @@ def assign_nearest_centroid(
             lambda s: s["centroid"],
         ).alias("__cvec")
     ).select(F.col(group_col).alias("__grp"), "__cvec")
+    if micro_units:
+        # dense 1..k index over the broadcast-sized group frame; k bounds
+        # the packing modulus (single-partition window on k rows only)
+        idx = cvecs.withColumn(
+            "__idx", F.row_number().over(Window.orderBy("__grp"))
+        )
+        k = idx.count()  # tiny frame, bounded action
+        scored = spread(df.select(id_col, vec_col)).join(F.broadcast(idx)).select(
+            F.col(id_col),
+            (
+                F.round(_exact_dot(vec_col, "__cvec", dim) * F.lit(1000000.0), 0)
+                .cast("long")
+                * F.lit(k)
+                + (F.lit(k) - F.col("__idx"))
+            ).alias("__packed"),
+        )
+        best = scored.groupBy(id_col).agg(F.max("__packed").alias("__p"))
+        rec = best.select(
+            id_col,
+            (F.lit(k) - F.pmod(F.col("__p"), F.lit(k))).alias("__idx"),
+            (
+                ((F.col("__p") - F.pmod(F.col("__p"), F.lit(k))) / F.lit(k))
+                .cast("long")
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("dot"),
+        )
+        return rec.join(F.broadcast(idx.select("__idx", "__grp")), "__idx").select(
+            id_col, F.col("__grp").alias("assigned"), "dot"
+        )
     # restrict to (id, vec) first: the corpus may itself carry group_col
     scored = spread(df.select(id_col, vec_col)).join(F.broadcast(cvecs)).select(
         F.col(id_col),

@@ -80,12 +80,17 @@ _CHECK_FIRST: list[str] = [
     "stream_cdc_apply_derby",
     "jdbc_walk_pushed_probe",
     "ddl_dialect_matrix",
-    # (m10) PQ family changed in round 10 (ks=256 codebook cap + packed
-    # scalar-max encode argmax, the sf10 audit fixes) — re-gate first
+    # (m10) changed in round 10 by the sf10 (100x) audit fixes: PQ
+    # ks=256 codebook cap + packed scalar-max encode argmax; packed
+    # micro-unit assignment argmax; micro-unit tumbling sums — re-gate
+    # first
     "similarity_topk_pq_adc",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_rerank",
     "ivfpq_recall_contract",
+    "assign_nearest_centroid",
+    "stream_tumbling_window",
+    "stream_tumbling_window_live",
     # (m10) read-back path changed in round 10 (eager localCheckpoint +
     # database shutdown + scratch cleanup; replay_into_target skip audit)
     "jdbc_roundtrip_orders",
@@ -232,7 +237,6 @@ _CHECK_FIRST: list[str] = [
     "similarity_topk_bruteforce",  # r4: codegen'd unrolled exact dot
     "similarity_topk_ivf_label",  # r4: same scorer change
     "dedup_embedding_cosine",  # r4: same scorer change
-    "assign_nearest_centroid",  # r4: same scorer change
     # (c) last driver row is from r1
     "linked_rows_probe",
     "join_multiway_revenue_by_nation",
@@ -272,11 +276,9 @@ _CHECK_LAST: list[str] = [
     # green in CORRECTNESS_r02 with unchanged implementations; each has an
     # earlier same-family representative in the check order, so a 50-entry
     # verifier cutoff still covers every operator family
-    "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
     "stream_watermark_late_drop",
-    "stream_tumbling_window_live",
     "stream_stateful_user_totals_live",
     "scalar_array_functions",
     "scalar_json_events",

@@ -865,25 +865,34 @@ def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFram
         FROM cents GROUP BY label),
     scored AS (
         SELECT e.vec_id, c.label AS assigned,
-               {_sql_dot('e.embedding', 'c.cv')} AS d
+               CAST(round({_sql_dot('e.embedding', 'c.cv')} * 1000000) AS BIGINT) AS dm
         FROM embeddings e CROSS JOIN cvec c),
     ranked AS (
-        SELECT vec_id, assigned, d,
+        SELECT vec_id, assigned, dm,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d DESC, assigned) AS rk
+                                  ORDER BY dm DESC, assigned) AS rk
         FROM scored)
-    SELECT vec_id, assigned, round(d, 6) AS dot FROM ranked WHERE rk = 1
+    SELECT vec_id, assigned, CAST(dm AS DOUBLE) / 1000000.0 AS dot
+    FROM ranked WHERE rk = 1
     """,
 )
 def q_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantizer assignment: every vector routed to its max-dot label
     centroid (centroids from group_centroids, broadcast; one corpus
-    scan + a per-vector rank window). With group_centroids this is one
-    Lloyd/k-means iteration expressed declaratively."""
+    scan, scalar packed-argmax reduction). Runs the micro-unit scale
+    path: the fixture's label count grows with the corpus, so the exact
+    struct-min argmax would SortAggregate the corpus x k expansion (the
+    sf10 audit straggler); the packed BIGINT max streams it through
+    HashAggregate. Micro-ties -> smallest label, dot at the 1e-6
+    resolution the PQ family already scores at; the oracle mirrors the
+    micro-unit ordering directly. With group_centroids this is one
+    Lloyd/k-means iteration expressed declaratively (the kmeans queries
+    keep the exact-double path — their k is a fixed design parameter)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
     return similarity.assign_nearest_centroid(
-        emb, cents, id_col="vec_id", vec_col="embedding", group_col="label"
+        emb, cents, id_col="vec_id", vec_col="embedding", group_col="label",
+        micro_units=True,
     )
 
 

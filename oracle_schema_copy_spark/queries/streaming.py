@@ -33,7 +33,8 @@ def _bucket(sec: int) -> str:
     f"""
     SELECT {_bucket(86400)} AS w_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS total_value
     FROM events GROUP BY 1, 2
     """,
     headline=True,
@@ -107,7 +108,8 @@ def q_stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {_bucket(86400)} AS w_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS total_value
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS total_value
     FROM events GROUP BY 1, 2
     """,
 )

@@ -128,13 +128,23 @@ def stream_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
 
 
 def tumbling_agg(df: DataFrame, duration: str = "1 day") -> DataFrame:
-    """Tumbling event-time windows per event_type: count + value sum."""
+    """Tumbling event-time windows per event_type: count + value sum.
+
+    The sum runs in integer MICRO-UNITS (round(value * 1e6) summed as
+    BIGINT, divided back once) — order-independent exact arithmetic, the
+    r9 cusum/scd2 scale-exactness convention: a round(double-sum, 6)
+    drifts past the 6th decimal between engines once buckets reach ~70k
+    doubles (first seen at the sf10 fixture, 10M events)."""
     w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
     return (
         w.groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * F.lit(1000000.0), 0).cast("long"))
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("total_value"),
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
     )
