@@ -91,6 +91,8 @@ _CHECK_FIRST: list[str] = [
     "assign_nearest_centroid",
     "stream_tumbling_window",
     "stream_tumbling_window_live",
+    "stream_sliding_window",
+    "stream_sliding_window_live",
     # (m10) read-back path changed in round 10 (eager localCheckpoint +
     # database shutdown + scratch cleanup; replay_into_target skip audit)
     "jdbc_roundtrip_orders",
@@ -138,7 +140,6 @@ _CHECK_FIRST: list[str] = [
     "stream_session_window_live",
     "stream_scd2_temporal_join_live",
     "stream_hll_daily_users_live",
-    "stream_sliding_window_live",
     "curation_diversity_capstone",
     "matryoshka_recall_contract",
     "dedup_minhash_recall_contract",
@@ -276,7 +277,6 @@ _CHECK_LAST: list[str] = [
     # green in CORRECTNESS_r02 with unchanged implementations; each has an
     # earlier same-family representative in the check order, so a 50-entry
     # verifier cutoff still covers every operator family
-    "stream_sliding_window",
     "stream_session_window",
     "stream_watermark_late_drop",
     "stream_stateful_user_totals_live",

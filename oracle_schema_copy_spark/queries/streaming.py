@@ -51,7 +51,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT {_bucket(43200)} AS b0, value FROM events),
     w AS (SELECT unnest([b0, b0 - INTERVAL 12 HOUR]) AS w_start, value FROM b)
     SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) AS avg_value
     FROM w GROUP BY w_start
     """,
 )
@@ -165,7 +166,8 @@ def q_stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT {_bucket(43200)} AS b0, value FROM events),
     w AS (SELECT unnest([b0, b0 - INTERVAL 12 HOUR]) AS w_start, value FROM b)
     SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) AS avg_value
     FROM w GROUP BY w_start
     """,
 )

@@ -151,13 +151,25 @@ def tumbling_agg(df: DataFrame, duration: str = "1 day") -> DataFrame:
 
 
 def sliding_agg(df: DataFrame, duration: str = "1 day", slide: str = "12 hours") -> DataFrame:
-    """Sliding windows (each event lands in duration/slide windows)."""
+    """Sliding windows (each event lands in duration/slide windows).
+
+    The mean is computed from an integer micro-unit sum (one exact
+    BIGINT sum, two divisions in a fixed order) — same drift rationale
+    as :func:`tumbling_agg`: round(avg, 6) over ~70k doubles disagrees
+    between engines at the sf10 fixture. Session/per-user sums keep
+    plain doubles — their groups are tens of rows, far below the drift
+    regime."""
     w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
     return (
         w.groupBy(F.window("ts", duration, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            (
+                F.sum(F.round(F.col("value") * F.lit(1000000.0), 0).cast("long"))
+                .cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
         .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
     )
