@@ -307,31 +307,57 @@ def main() -> None:
         q_norm = PROBE_REF_SEC / q_probe if q_probe > 0 else 1.0
         mins_norm[n] = round(v * q_norm, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": f"{set_name}_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_min": round(sum(mins.values()), 3),
-                "min": mins,
-                "value_min_probe_normalized": round(sum(mins_norm.values()), 3),
-                "min_probe_normalized": mins_norm,
-                "probe_norm_factor": round(norm, 4),
-                "probe_ref_sec": PROBE_REF_SEC,
-                "spread": spreads,
-                "samples": {n: r["samples"] for n, r in per_query.items()},
-                "warmup": {n: r["warmup"] for n, r in per_query.items()},
-                "runs_per_query": runs,
-                "isolated": isolate,
-                "cpus": cpus,
-                "loadavg": [round(load0, 2), round(os.getloadavg()[0], 2)],
-                "machine": {"before": probe0, "after": probe1, "per_query_gate": query_gates},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Output contract (r10 VERDICT #1): the driver tail-captures stdout,
+    # and the r9/r10 full records (~7 KB once samples + per-query gates
+    # are inlined) got truncated mid-JSON ("parsed": null). So: write the
+    # FULL record to a known file first, then print ONE COMPACT line —
+    # the driver contract fields plus the per-query minima — last and
+    # alone on stdout (< ~2 KB, safely inside any tail window).
+    full_record = {
+        "metric": f"{set_name}_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_min": round(sum(mins.values()), 3),
+        "min": mins,
+        "value_min_probe_normalized": round(sum(mins_norm.values()), 3),
+        "min_probe_normalized": mins_norm,
+        "probe_norm_factor": round(norm, 4),
+        "probe_ref_sec": PROBE_REF_SEC,
+        "spread": spreads,
+        "samples": {n: r["samples"] for n, r in per_query.items()},
+        "warmup": {n: r["warmup"] for n, r in per_query.items()},
+        "runs_per_query": runs,
+        "isolated": isolate,
+        "cpus": cpus,
+        "loadavg": [round(load0, 2), round(os.getloadavg()[0], 2)],
+        "machine": {"before": probe0, "after": probe1, "per_query_gate": query_gates},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full_record, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        sys.stderr.write(f"bench: could not write full record to {out_path}: {e}\n")
+        out_path = None
+    compact = {
+        k: full_record[k]
+        for k in (
+            "metric", "value", "unit", "queries", "value_min", "min",
+            "value_min_probe_normalized", "probe_norm_factor",
+            "runs_per_query", "isolated", "cpus", "loadavg", "sf",
+        )
+    }
+    compact["gate_ok"] = probe0.get("gate_ok")
+    compact["probe_best_sec"] = round(probe_best, 4)
+    compact["full_record"] = out_path
+    sys.stderr.flush()
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

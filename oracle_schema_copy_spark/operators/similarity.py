@@ -395,6 +395,14 @@ def pq_codebooks(
     Scale: the codebook is <= n_codes x n_subspaces rows — broadcast-
     sized by construction; encode cost is corpus x n_codes, linear in
     the corpus."""
+    # pq_encode packs (micro-dot, code) as dm * 512 + (511 - code); a
+    # code >= 512 silently corrupts that ordering, so refuse to build a
+    # codebook pq_encode cannot pack (r10 ADVICE).
+    if n_codes > 512:
+        raise ValueError(
+            f"pq_codebooks: n_codes={n_codes} exceeds pq_encode's packing "
+            "modulus (512); codes must stay < 512"
+        )
     sub = dim // n_subspaces
     folded = emb.withColumn(group_col, F.pmod(F.col(group_col), F.lit(n_codes)))
     cents = group_centroids(folded, group_col=group_col, vec_col=vec_col)
@@ -450,9 +458,10 @@ def pq_encode(
     earlier min-of-struct argmax forced SortAggregate, which SORTED the
     corpus x n_codes expansion (measured at the sf10 fixture: 571 s /
     7.9 GB spill in that one stage); the packed form streams it. The
-    packing is injective because codes are < 512 (``pq_codebooks`` caps
-    at n_codes=256) and |dm| <= ~1e6 for unit-norm slices keeps the
-    product far inside int64."""
+    packing is injective because codes are < 512 (``pq_codebooks``
+    raises on n_codes > 512; externally built codebooks MUST honor the
+    same codes < 512 precondition) and |dm| <= ~1e6 for unit-norm
+    slices keeps the product far inside int64."""
     sub = dim // n_subspaces
     sliced = _subspace_slices(
         emb, id_col, id_col=id_col, vec_col=vec_col,

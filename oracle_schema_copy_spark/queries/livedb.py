@@ -263,8 +263,10 @@ def q_stream_cdc_apply_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered micro-batches (file source, maxFilesPerTrigger=1, one staged
     file per op_seq with strictly increasing mtimes) and a foreachBatch
     sink applies each batch to embedded Derby through the same verb
-    surface the batch engine uses — bulk INSERT for the snapshot load,
-    staged-MERGE upsert for updates+inserts, keyed DELETE for tombstones
+    surface the batch engine uses — staged-MERGE upsert for the snapshot
+    load (idempotent under foreachBatch's at-least-once replay; a bulk
+    INSERT would duplicate-key on a replayed batch) and for
+    updates+inserts, keyed DELETE for tombstones
     (``ExecuteTarget.java:12-32``'s verbs, driven continuously the way a
     replication consumer would). The gate reads the DATABASE's final
     state back and the oracle recomputes it relationally — a batch applied
@@ -325,7 +327,11 @@ def q_stream_cdc_apply_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
             grp = batch_df.filter(F.col("op_seq") == seq)
             op = grp.select("op").first()[0]
             if op == "I":
-                tgt.insert("orders", grp.select(*payload))
+                # upsert, not bulk INSERT: foreachBatch is at-least-once,
+                # and a replayed snapshot batch re-INSERTing into the
+                # PK'd table would die on duplicate keys (r10 ADVICE) —
+                # the I verb must be idempotent under micro-batch replay.
+                tgt.upsert("orders", grp.select(*payload), "o_orderkey")
             elif op == "U":
                 tgt.upsert("orders", grp.select(*payload), "o_orderkey")
             else:

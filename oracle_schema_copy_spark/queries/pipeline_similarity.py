@@ -346,10 +346,10 @@ def _sql_subspace_dot(vec: str, cv: str, sub: int = 8) -> str:
     "similarity_topk_pq_adc",
     f"""
     WITH pqc AS (
-        SELECT label % 256 AS code, k - 1 AS pos,
+        SELECT ((label % 256) + 256) % 256 AS code, k - 1 AS pos,
                round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
         FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
-        GROUP BY label % 256, k),
+        GROUP BY ((label % 256) + 256) % 256, k),
     cb AS (
         SELECT CAST(pos // 8 AS BIGINT) AS subspace, code,
                pos % 8 AS spos, centroid
@@ -418,10 +418,10 @@ def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ivfpq_recall_contract oracle.
 _IVFPQ_CTES = f"""{_IVF_NPROBE_CTES},
     pqc AS (
-        SELECT label % 256 AS code, k - 1 AS pos,
+        SELECT ((label % 256) + 256) % 256 AS code, k - 1 AS pos,
                round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
         FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
-        GROUP BY label % 256, k),
+        GROUP BY ((label % 256) + 256) % 256, k),
     cb AS (
         SELECT CAST(pos // 8 AS BIGINT) AS subspace, code,
                pos % 8 AS spos, centroid

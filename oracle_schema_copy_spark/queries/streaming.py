@@ -52,7 +52,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (SELECT unnest([b0, b0 - INTERVAL 12 HOUR]) AS w_start, value FROM b)
     SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
-               / 1000000.0 / count(*) AS avg_value
+               / 1000000.0 / count(value) AS avg_value
     FROM w GROUP BY w_start
     """,
 )
@@ -167,7 +167,7 @@ def q_stream_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (SELECT unnest([b0, b0 - INTERVAL 12 HOUR]) AS w_start, value FROM b)
     SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
-               / 1000000.0 / count(*) AS avg_value
+               / 1000000.0 / count(value) AS avg_value
     FROM w GROUP BY w_start
     """,
 )

@@ -156,8 +156,11 @@ def sliding_agg(df: DataFrame, duration: str = "1 day", slide: str = "12 hours")
     The mean is computed from an integer micro-unit sum (one exact
     BIGINT sum, two divisions in a fixed order) — same drift rationale
     as :func:`tumbling_agg`: round(avg, 6) over ~70k doubles disagrees
-    between engines at the sf10 fixture. Session/per-user sums keep
-    plain doubles — their groups are tens of rows, far below the drift
+    between engines at the sf10 fixture. The denominator is
+    ``count(value)`` (non-null values only) so NULL values are excluded
+    from the mean exactly as ``avg(value)`` would — r10 ADVICE fix;
+    ``n_events`` stays count(*). Session/per-user sums keep plain
+    doubles — their groups are tens of rows, far below the drift
     regime."""
     w = df.withWatermark("ts", WATERMARK_DELAY) if df.isStreaming else df
     return (
@@ -168,7 +171,7 @@ def sliding_agg(df: DataFrame, duration: str = "1 day", slide: str = "12 hours")
                 F.sum(F.round(F.col("value") * F.lit(1000000.0), 0).cast("long"))
                 .cast("double")
                 / F.lit(1000000.0)
-                / F.count(F.lit(1))
+                / F.count("value")
             ).alias("avg_value"),
         )
         .select(F.col("w.start").alias("w_start"), "n_events", "avg_value")
