@@ -364,6 +364,93 @@ def assign_nearest_centroid(
     )
 
 
+def assign_nearest_centroid_vectorized(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """PRODUCTION BLAS path for quantizer assignment — the mapInArrow /
+    numpy-matmul scorer beside :func:`assign_nearest_centroid`'s exact
+    micro-unit twin (VERDICT r10 #3, the pattern lsh ``scorer=
+    "vectorized"`` already proved).
+
+    The centroid frame is bounded (groups x dim — the same frame the
+    broadcast path collects JVM-side) and is collected ONCE into a
+    (k, dim) float64 matrix closed over by the Arrow kernel. Each Arrow
+    batch of corpus vectors becomes one (batch x dim) matrix and ONE
+    numpy matmul scores all k centroids; the argmax happens inside the
+    kernel, so the stage emits one row per vector with ZERO shuffle, no
+    corpus x k row expansion, no join, no aggregate — at the sf10
+    fixture the packed-argmax path streams a 400M-row expansion through
+    HashAggregate (663 s); this path never materializes the expansion
+    at all.
+
+    Semantics mirror ``micro_units=True`` exactly at the 1e-6
+    resolution: scores round to integer micro-units, ties -> smallest
+    group id (labels sorted ascending; ``argmax`` returns the first
+    max), ``dot = dm / 1e6``. numpy's pairwise-summed matmul differs
+    from the sequential double dot in the last ulp (|diff| < 1e-12 for
+    unit-norm 64-dim vectors), and np.round is half-even where the JVM
+    rounds half-up — both only matter for a dot landing EXACTLY on a
+    .5-micro boundary, which the parity tests (sf0.001/sf0.01/sf0.1)
+    and the registry gate check empirically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    rows = centroids.select(group_col, "pos", "centroid").collect()
+    labels = sorted({r[0] for r in rows})
+    lab_idx = {g: i for i, g in enumerate(labels)}
+    C = np.zeros((len(labels), dim), dtype=np.float64)
+    for g, pos, c in rows:
+        C[lab_idx[g], int(pos)] = float(c)
+    CT = np.ascontiguousarray(C.T)  # dim x k, one matmul per batch
+    labs = np.asarray(labels, dtype=np.int64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("assigned", T.LongType()),
+            T.StructField("dot", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            emb_col = batch.column(1)
+            # fixed-width list -> flat values -> (n, dim); flatten()
+            # honors array offsets, so sliced batches stay correct
+            X = (
+                emb_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            dm = np.round((X @ CT) * 1e6).astype(np.int64)  # (n, k) micro
+            best = np.argmax(dm, axis=1)  # first max = smallest label
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), pa.int64()),
+                    pa.array(labs[best], pa.int64()),
+                    pa.array(dm[np.arange(n), best] / 1e6, pa.float64()),
+                ],
+                names=[id_col, "assigned", "dot"],
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).mapInArrow(run, out_schema)
+
+
 def pq_codebooks(
     emb: DataFrame,
     *,

@@ -76,23 +76,28 @@ def _load_all() -> None:
 # least fresh information.  Names absent from both lists keep registry
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
-    # (r10) new in round 10 — no driver row exists yet
+    # (r11) new in round 11 — no driver row exists yet
+    "assign_nearest_centroid_vectorized",
+    # (m11) changed in round 11 (r10 ADVICE fixes): sliding mean
+    # denominator count(value), CDC snapshot verb idempotent, pmod
+    # mirrored trunc-mod in the PQ twins — re-gate first
+    "stream_sliding_window",
+    "stream_sliding_window_live",
     "stream_cdc_apply_derby",
+    "similarity_topk_pq_adc",
+    "assign_nearest_centroid",
+    # (r10) new in round 10
     "jdbc_walk_pushed_probe",
     "ddl_dialect_matrix",
     # (m10) changed in round 10 by the sf10 (100x) audit fixes: PQ
     # ks=256 codebook cap + packed scalar-max encode argmax; packed
     # micro-unit assignment argmax; micro-unit tumbling sums — re-gate
-    # first
-    "similarity_topk_pq_adc",
+    # first (names also touched in r11 moved to the r11 section above)
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_rerank",
     "ivfpq_recall_contract",
-    "assign_nearest_centroid",
     "stream_tumbling_window",
     "stream_tumbling_window_live",
-    "stream_sliding_window",
-    "stream_sliding_window_live",
     # (m10) read-back path changed in round 10 (eager localCheckpoint +
     # database shutdown + scratch cleanup; replay_into_target skip audit)
     "jdbc_roundtrip_orders",

@@ -852,9 +852,10 @@ def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity.group_centroids(emb, group_col="label", vec_col="embedding")
 
 
-@query(
-    "assign_nearest_centroid",
-    f"""
+# Micro-unit quantizer-assignment oracle, shared by the exact packed-
+# argmax path and its BLAS production twin: one string, so the two
+# gates can never drift apart.
+_ASSIGN_ORACLE = f"""
     WITH cents AS (
         SELECT label, k - 1 AS pos,
                round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
@@ -874,8 +875,10 @@ def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFram
         FROM scored)
     SELECT vec_id, assigned, CAST(dm AS DOUBLE) / 1000000.0 AS dot
     FROM ranked WHERE rk = 1
-    """,
-)
+    """
+
+
+@query("assign_nearest_centroid", _ASSIGN_ORACLE)
 def q_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantizer assignment: every vector routed to its max-dot label
     centroid (centroids from group_centroids, broadcast; one corpus
@@ -893,6 +896,25 @@ def q_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.assign_nearest_centroid(
         emb, cents, id_col="vec_id", vec_col="embedding", group_col="label",
         micro_units=True,
+    )
+
+
+@query("assign_nearest_centroid_vectorized", _ASSIGN_ORACLE)
+def q_assign_nearest_centroid_vectorized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION BLAS twin of assign_nearest_centroid (VERDICT r10 #3):
+    the bounded centroid frame collects once into a (k, dim) numpy
+    matrix and ONE matmul per Arrow batch scores all k centroids, with
+    the micro-unit argmax inside the kernel — no corpus x k row
+    expansion, no join, no aggregate, ZERO shuffle (the packed-argmax
+    exact path streams a 400M-row expansion through HashAggregate at
+    sf10; this path never materializes it). Same oracle as the exact
+    path: identical micro-unit ordering, tie -> smallest label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+    return similarity.assign_nearest_centroid_vectorized(
+        emb, cents, id_col="vec_id", vec_col="embedding", group_col="label",
     )
 
 
