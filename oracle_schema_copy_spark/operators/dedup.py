@@ -870,42 +870,91 @@ def edit1_pairs(
     Output: (id_a, id_b, dist) with id_a < id_b, dist <= 1 (0 only when
     ``keep_dist0`` — exact duplicates are the exact-dedup family's job).
 
-    Scale shape: signature generation is per-row expression work emitting
-    len+1 rows per string; the one shuffle carries (signature, id) pairs;
-    bucket sizes are alphabet-bounded (a deletion signature matches at
-    most |alphabet| substitution variants), so no hot buckets — unlike
-    prefix/segment blocking, which degenerates on shared-prefix corpora
-    like 'Supplier#0000...'. Verification touches candidates only.
+    Scale shape: signatures, the candidate join, the dedup, and the
+    exact verification all run over DISTINCT names only — exact
+    duplicates collapse before signature generation and the verified
+    name pairs expand back to id pairs by membership join at the end
+    (VERDICT r10 #4). Without the collapse, verbatim-duplicated strings
+    (boilerplate titles; the sf10 fixture's per-replica supplier names)
+    square the candidate set: every dist-1 name pair with multiplicities
+    (m, n) appeared as m*n candidate ROWS inside the join + distinct,
+    measured 9.5 GB of spill at the sf10 fixture. Collapsed, the
+    signature stage scales with |distinct names| and the m*n expansion
+    happens only in the final membership join, which emits exactly the
+    output rows. Bucket sizes stay alphabet-bounded (a deletion
+    signature matches at most |alphabet| substitution variants), so no
+    hot buckets — unlike prefix/segment blocking, which degenerates on
+    shared-prefix corpora like 'Supplier#0000...'. Two distinct strings
+    sharing a signature can still be at edit distance 2 (transposition:
+    'ab'/'ba' share both 'a' and 'b'), so verification stays mandatory.
     """
+    base = spread(df).select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+    )
+    names = base.select("__name").distinct()
     # empty-string guard: sequence(1, 0) DESCENDS in Spark (the DSIR
     # lesson); an empty name's deletion neighborhood is just itself
     sigs = (
         "explode(array_union("
-        f" array({name_col}),"
-        f" CASE WHEN length({name_col}) >= 1 THEN"
-        f" transform(sequence(1, length({name_col})),"
-        f"  i -> concat(substr({name_col}, 1, i - 1),"
-        f"              substr({name_col}, i + 1)))"
+        " array(__name),"
+        " CASE WHEN length(__name) >= 1 THEN"
+        " transform(sequence(1, length(__name)),"
+        "  i -> concat(substr(__name, 1, i - 1),"
+        "              substr(__name, i + 1)))"
         " ELSE array() END"
         ")) AS __sig"
     )
-    ex = spread(df).selectExpr(f"{id_col}", f"{name_col}", sigs)
-    a = ex.select(
-        F.col(id_col).alias("id_a"), F.col(name_col).alias("__na"), "__sig"
-    )
-    b = ex.select(
-        F.col(id_col).alias("id_b"), F.col(name_col).alias("__nb"), "__sig"
-    )
-    min_d = 0 if keep_dist0 else 1
-    return (
+    ex = names.selectExpr("__name", sigs)
+    a = ex.select(F.col("__name").alias("__na"), "__sig")
+    b = ex.select(F.col("__name").alias("__nb"), "__sig")
+    rep_pairs = (
         a.join(b, "__sig")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__na", "__nb")
+        # canonical order by NAME (names are distinct here; ids don't
+        # exist yet at this stage)
+        .where(F.col("__na") < F.col("__nb"))
+        .select("__na", "__nb")
         .distinct()
         .select(
-            "id_a",
-            "id_b",
-            F.levenshtein("__na", "__nb").cast("long").alias("dist"),
+            "__na", "__nb", F.levenshtein("__na", "__nb").cast("long").alias("dist")
         )
-        .where((F.col("dist") <= 1) & (F.col("dist") >= min_d))
+        # distinct names differ, so dist >= 1; candidates can be dist 2
+        .where(F.col("dist") == 1)
     )
+    pairs = (
+        rep_pairs.join(
+            base.select(F.col("__id").alias("__ia"), F.col("__name").alias("__na")),
+            "__na",
+        )
+        # both membership joins broadcast the small side, so without a
+        # redistribution the whole m*n pair expansion runs in the base
+        # scan's (often single) partition — wall == cpu. Hash-spreading
+        # the (name-pair, ia) rows parallelizes the second, multiplying
+        # join across the cluster; 135M output rows at the sf10 fixture.
+        .repartition("__na", "__nb", "__ia")
+        .join(
+            base.select(F.col("__id").alias("__ib"), F.col("__name").alias("__nb")),
+            "__nb",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "dist",
+        )
+    )
+    if keep_dist0:
+        within = (
+            base.join(
+                base.select(
+                    F.col("__id").alias("__ib"), F.col("__name").alias("__nb")
+                ),
+                F.col("__name") == F.col("__nb"),
+            )
+            .where(F.col("__id") < F.col("__ib"))
+            .select(
+                F.col("__id").alias("id_a"),
+                F.col("__ib").alias("id_b"),
+                F.lit(0).cast("long").alias("dist"),
+            )
+        )
+        pairs = pairs.unionByName(within)
+    return pairs

@@ -412,3 +412,103 @@ def q_jdbc_walk_pushed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
     )
     return _finish(tgt, base, agg)
+
+
+# Demo crossover for the probe-matrix gate: small enough that the even-
+# custkey frontier sits BELOW it at sf <= 0.1 (pushed) and ABOVE it at
+# sf1 (75k keys -> staged), so one registered query exercises both arms
+# of the automatic switch across the fixture ladder. Production default
+# stays 100k (the keyed-delete budget).
+_PROBE_MATRIX_BUDGET = 10_000
+
+
+@query(
+    "jdbc_walk_probe_matrix",
+    f"""
+    WITH f AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+    agg AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM f)
+        GROUP BY o_orderstatus),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nk FROM f)
+    SELECT p.path, a.o_orderstatus, a.n_orders, a.total_price
+    FROM agg a CROSS JOIN (VALUES ('pushed'), ('staged'), ('auto')) AS p(path)
+    UNION ALL
+    SELECT 'auto_choice' AS path,
+           CASE WHEN nk <= {_PROBE_MATRIX_BUDGET} THEN 'pushed' ELSE 'staged' END
+               AS o_orderstatus,
+           nk AS n_orders, CAST(0.0 AS DOUBLE) AS total_price
+    FROM n
+    """,
+)
+def q_jdbc_walk_probe_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-read strategy MATRIX live (VERDICT r10 #7): the same
+    database frontier (even custkeys, read FROM Derby) walks into orders
+    three ways — explicit pushed batched IN-list probes
+    (``read_table_keyed``), the staged-key-table join probe
+    (``read_table_keyed_staged``: keys written distributed into the
+    database, one set-oriented indexed join, keys never through the
+    driver — the read twin of the staged-EXISTS delete), and the
+    automatic chooser (``read_table_keyed_auto``) that switches on the
+    inline budget. Each path's walked rows aggregate identically against
+    the relational oracle (a probe that drops, duplicates, or
+    mis-batches rows diverges on ITS path row), and the chooser's
+    decision itself is a gated row the oracle recomputes from the
+    frontier count — at sf <= 0.1 the frontier sits below the demo
+    budget (pushed), at sf1 above it (staged), so the crossover rule is
+    exercised on both sides across the fixture ladder."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = scratch_dir("derby_probe_matrix")
+    tgt = DerbyTarget(spark, f"{base}/db")
+    tgt.create_table("customer", cust.schema, primary_key=["c_custkey"])
+    tgt.insert("customer", cust)
+    tgt.create_table("orders", orders.schema, primary_key=["o_orderkey"])
+    tgt.insert("orders", orders)
+    tgt.execute_sql(["CREATE INDEX ORDERS_CK_IX2 ON ORDERS (O_CUSTKEY)"])
+
+    from oracle_schema_copy_spark.sources.jdbc import (
+        read_query,
+        read_table_keyed,
+        read_table_keyed_auto,
+        read_table_keyed_staged,
+    )
+
+    roots = read_query(
+        spark, tgt.conn, "SELECT C_CUSTKEY FROM CUSTOMER WHERE MOD(C_CUSTKEY, 2) = 0"
+    )
+
+    def _agg(walked: DataFrame, path: str) -> DataFrame:
+        return (
+            walked.groupBy(F.col("O_ORDERSTATUS").alias("o_orderstatus"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum(F.col("O_TOTALPRICE").cast("decimal(12,2)")), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(path).alias("path"), "o_orderstatus", "n_orders", "total_price")
+        )
+
+    frontier = [r[0] for r in roots.collect()]  # keys only, bounded
+    pushed = read_table_keyed(spark, tgt.conn, "ORDERS", "O_CUSTKEY", frontier)
+    staged = read_table_keyed_staged(spark, tgt.conn, "ORDERS", "O_CUSTKEY", roots)
+    auto_rows, choice = read_table_keyed_auto(
+        spark, tgt.conn, "ORDERS", "O_CUSTKEY", roots,
+        max_inline_keys=_PROBE_MATRIX_BUDGET,
+    )
+    choice_row = spark.createDataFrame(
+        [("auto_choice", choice, len(frontier), 0.0)],
+        "path string, o_orderstatus string, n_orders long, total_price double",
+    )
+    out = (
+        _agg(pushed, "pushed")
+        .unionByName(_agg(staged, "staged"))
+        .unionByName(_agg(auto_rows, "auto"))
+        .unionByName(choice_row)
+    )
+    return _finish(tgt, base, out)

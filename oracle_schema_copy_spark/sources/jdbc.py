@@ -133,6 +133,93 @@ def read_table_keyed(
     return spark.read.jdbc(conn.url, table, predicates=preds, properties=props)
 
 
+def read_table_keyed_staged(
+    spark: SparkSession,
+    conn: JdbcConnection,
+    table: str,
+    key_column: str,
+    keys_df: DataFrame,
+    *,
+    allow_production: bool = False,
+) -> DataFrame:
+    """Keyed scan for frontiers ABOVE the inline budget (VERDICT r10 #7):
+    the key DataFrame stages into the database with a parallel batched
+    write, the probe is ONE set-oriented join the database answers with
+    an index lookup, and the keys NEVER pass through the driver — the
+    read twin of the staged-EXISTS delete (``jdbc_mutations.jdbc_delete``).
+
+    The matched rows are materialized eagerly (localCheckpoint) so the
+    staging table can be dropped before returning — the result frame has
+    no remaining dependency on the database, mirroring the livedb
+    read-back convention. Size is bounded by the probe result itself
+    (the same rows the pushed path would ship)."""
+    from oracle_schema_copy_spark.sources.jdbc_mutations import (
+        jvm_statement_executor,
+        staging_index_sql,
+        staging_name,
+    )
+
+    staging = staging_name(table, "probe")
+    write_table(
+        keys_df.toDF(key_column).distinct(),
+        conn,
+        staging,
+        mode="overwrite",
+        allow_production=allow_production,
+    )
+    executor = jvm_statement_executor(spark, conn)
+    executor([staging_index_sql(staging, [key_column])])
+    try:
+        probe = (
+            f"(SELECT t.* FROM {table} t JOIN {staging} s "
+            f"ON t.{key_column} = s.{key_column}) w"
+        )
+        props = {k: v for k, v in conn.spark_options().items() if k != "url"}
+        return spark.read.jdbc(conn.url, probe, properties=props).localCheckpoint(
+            eager=True
+        )
+    finally:
+        executor([f"DROP TABLE {staging}"])
+
+
+def read_table_keyed_auto(
+    spark: SparkSession,
+    conn: JdbcConnection,
+    table: str,
+    key_column: str,
+    keys_df: DataFrame,
+    *,
+    max_inline_keys: int = 100_000,
+    keys_per_probe: int = 1000,
+    allow_production: bool = False,
+) -> tuple[DataFrame, str]:
+    """The keyed-read strategy matrix as one entry point, mirroring the
+    delete verb's automatic scale switch: frontiers up to
+    ``max_inline_keys`` collect driver-side (keys only, bounded) and go
+    as batched pushed IN-list probes; larger frontiers stage into the
+    database and probe with one set-oriented join — no driver collect.
+    Returns (rows, path) with path in {'pushed', 'staged'} so callers
+    (and the gating oracle) can assert the crossover rule itself."""
+    distinct = keys_df.toDF(key_column).distinct()
+    n = distinct.count()  # bounded probe: count before any collect
+    if n > max_inline_keys:
+        return (
+            read_table_keyed_staged(
+                spark, conn, table, key_column, distinct,
+                allow_production=allow_production,
+            ),
+            "staged",
+        )
+    frontier = [r[0] for r in distinct.collect()]  # keys only, bounded
+    return (
+        read_table_keyed(
+            spark, conn, table, key_column, frontier,
+            keys_per_probe=keys_per_probe,
+        ),
+        "pushed",
+    )
+
+
 def read_query(spark: SparkSession, conn: JdbcConnection, query: str) -> DataFrame:
     """Push an arbitrary query to the database (dictionary-view reads:
     the reference's user_objects/user_constraints catalog scans, S4-S6)."""
