@@ -571,6 +571,97 @@ def pq_encode(
     )
 
 
+def pq_encode_vectorized(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """PRODUCTION BLAS twin of :func:`pq_encode` — the same mapInArrow /
+    numpy pattern as ``assign_nearest_centroid_vectorized``, applied to
+    the OTHER dense-dot hot spot the sf10 audit named (encode was the
+    bulk of ivfpq_rerank's 130 s at the 100x fixture).
+
+    The codebook frame is bounded (n_subspaces x n_codes entries,
+    broadcast-sized by construction) and collects once into one
+    (sub x codes) float64 matrix per subspace, codes sorted ascending.
+    Each Arrow batch slices its (batch x dim) matrix per subspace and
+    ONE matmul scores every codebook entry; the micro-unit argmax runs
+    in-kernel (ties -> smallest code: first max over ascending codes —
+    exactly the packed ``dm * 512 + (511 - code)`` ordering). No
+    corpus x codes row expansion, no join, no aggregate: the stage
+    emits n_subspaces rows per vector with zero shuffle.
+
+    Same last-ulp caveat as the assignment twin: numpy's pairwise
+    matmul vs the sequential dot only differs when a dot lands EXACTLY
+    on a .5-micro boundary; parity is pinned by pytest against
+    :func:`pq_encode` and by the shared-shape DuckDB gate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    sub = dim // n_subspaces
+    per: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.select("subspace", "code", "cv").collect():
+        per.setdefault(int(r[0]), []).append((int(r[1]), list(r[2])))
+    mats, code_ids = [], []
+    for s in range(n_subspaces):
+        entries = sorted(per.get(s, []))
+        code_ids.append(np.asarray([c for c, _ in entries], dtype=np.int64))
+        mats.append(
+            np.ascontiguousarray(
+                np.asarray([cv for _, cv in entries], dtype=np.float64).T
+            )
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("subspace", T.LongType()),
+            T.StructField("code", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            X = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, dim)
+            )
+            out_i, out_s, out_c = [], [], []
+            for s in range(n_subspaces):
+                dm = np.round(
+                    (X[:, s * sub : (s + 1) * sub] @ mats[s]) * 1e6
+                ).astype(np.int64)
+                best = np.argmax(dm, axis=1)  # first max = smallest code
+                out_i.append(ids)
+                out_s.append(np.full(n, s, dtype=np.int64))
+                out_c.append(code_ids[s][best])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_i), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.int64()),
+                    pa.array(np.concatenate(out_c), pa.int64()),
+                ],
+                names=[id_col, "subspace", "code"],
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).mapInArrow(run, out_schema)
+
+
 def pq_lut(
     queries: DataFrame,
     codebooks: DataFrame,

@@ -79,6 +79,7 @@ _CHECK_FIRST: list[str] = [
     # (r11) new in round 11 — no driver row exists yet
     "assign_nearest_centroid_vectorized",
     "jdbc_walk_probe_matrix",
+    "pq_codes_vectorized",
     # (m11) changed in round 11 (r10 ADVICE fixes): sliding mean
     # denominator count(value), CDC snapshot verb idempotent, pmod
     # mirrored trunc-mod in the PQ twins — re-gate first

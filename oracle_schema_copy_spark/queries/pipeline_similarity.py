@@ -413,6 +413,45 @@ def q_similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pq_codes_vectorized",
+    f"""
+    WITH pqc AS (
+        SELECT ((label % 256) + 256) % 256 AS code, k - 1 AS pos,
+               round(avg(CAST(embedding[k] AS DOUBLE)), 6) AS centroid
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(k)
+        GROUP BY ((label % 256) + 256) % 256, k),
+    cb AS (
+        SELECT CAST(pos // 8 AS BIGINT) AS subspace, code,
+               pos % 8 AS spos, centroid
+        FROM pqc),
+    cbv AS (
+        SELECT subspace, code, array_agg(centroid ORDER BY spos) AS cv
+        FROM cb GROUP BY subspace, code),
+    esc AS (
+        SELECT e.vec_id, c.subspace,
+               CAST(round({_sql_subspace_dot('e.embedding', 'c.cv')} * 1000000)
+                    AS BIGINT) * 512 + (511 - c.code) AS packed
+        FROM embeddings e CROSS JOIN cbv c)
+    SELECT vec_id, subspace,
+           CAST(511 - ((max(packed) % 512 + 512) % 512) AS BIGINT) AS code
+    FROM esc GROUP BY vec_id, subspace
+    """,
+)
+def q_pq_codes_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION BLAS twin of the PQ encode step (the other dense-dot
+    hot spot beside quantizer assignment): codebooks collect once into
+    per-subspace (sub x codes) matrices and one numpy matmul per Arrow
+    batch encodes every subspace slice, micro-unit argmax in-kernel with
+    the packed ordering's smallest-code tie-break. The oracle is the
+    exact path's own packed-max CTE chain — a vectorized code that
+    disagrees with the sequential micro-unit encode on ANY (vector,
+    subspace) diverges."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbv = similarity.pq_codebooks(emb, group_col="label", vec_col="embedding")
+    return similarity.pq_encode_vectorized(emb, cbv)
+
+
 # Full IVF-PQ CTE chain (routing + codebooks + codes + LUT + ADC
 # scores), shared by the similarity_topk_ivfpq oracle and the
 # ivfpq_recall_contract oracle.

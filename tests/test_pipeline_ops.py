@@ -119,6 +119,29 @@ def test_assign_nearest_centroid_vectorized_parity(spark, sf_dir):
         assert abs(df_ - d) <= 1.0000001e-06, (vid, df_, d)
 
 
+def test_pq_encode_vectorized_parity(spark, sf_dir):
+    """The BLAS PQ encode must emit the IDENTICAL (vec_id, subspace,
+    code) set as the exact packed-argmax encode — codes are discrete, so
+    unlike the assignment dot there is no tolerance: any micro-boundary
+    disagreement shows up as a differing code."""
+    from oracle_schema_copy_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_codebooks(emb, group_col="label", vec_col="embedding")
+    exact = {
+        (r.vec_id, r.subspace): r.code for r in pq_encode(emb, cbs).collect()
+    }
+    fast = {
+        (r.vec_id, r.subspace): r.code
+        for r in pq_encode_vectorized(emb, cbs).collect()
+    }
+    assert exact and fast == exact
+
+
 def test_group_centroids(spark):
     from oracle_schema_copy_spark.operators.similarity import group_centroids
 
