@@ -41,7 +41,7 @@ def test_ghost_check_order_name_raises():
 
 def test_never_driver_checked_queries_lead_check_order():
     """VERDICT r4 ask #1 (generalized in r6 to every recorded round):
-    queries with no driver row in ANY committed CORRECTNESS_r0*.json must
+    queries with no driver row in ANY committed CORRECTNESS_r*.json round record must
     occupy the contiguous front of the check order, so the next driver
     budget lands on exactly the zero-evidence set first."""
     import glob
@@ -50,7 +50,7 @@ def test_never_driver_checked_queries_lead_check_order():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9]*.json")):
         seen |= set(json.load(open(f)))
     names = list(q.queries())
     never = [n for n in names if n not in seen]
