@@ -80,9 +80,13 @@ _CHECK_FIRST: list[str] = [
     "assign_nearest_centroid_vectorized",
     "jdbc_walk_probe_matrix",
     "pq_codes_vectorized",
-    # (m11) changed in round 11 (r10 ADVICE fixes): sliding mean
-    # denominator count(value), CDC snapshot verb idempotent, pmod
-    # mirrored trunc-mod in the PQ twins — re-gate first
+    # (m11) changed in round 11: sql_parameterized revenue_cents moved
+    # to exact per-row cents after the sf10 gate caught 1-cent
+    # round-of-double-sum drift at ~4M doubles/group; r10 ADVICE fixes
+    # (sliding mean denominator count(value), CDC snapshot verb
+    # idempotent, pmod mirrored trunc-mod in the PQ twins) — re-gate
+    # first
+    "sql_parameterized_group_by_all",
     "stream_sliding_window",
     "stream_sliding_window_live",
     "stream_cdc_apply_derby",
@@ -180,7 +184,7 @@ _CHECK_FIRST: list[str] = [
     "observe_pipeline_metrics",
     "partition_pruned_rollup",
     "sketch_approx_topk_contract",
-    "sql_parameterized_group_by_all",
+    # (sql_parameterized_group_by_all moved to the m11 section above)
     "stats_zipf_bigram_slope",
     "tpch_q20_potential_promotion",
     "udtf_token_runs",

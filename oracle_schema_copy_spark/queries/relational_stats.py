@@ -440,7 +440,8 @@ def q_sql_scripting_threshold_loop(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT o_orderpriority, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+           CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
     FROM orders
     WHERE o_orderdate >= DATE '1995-01-01'
     GROUP BY o_orderpriority, o_orderstatus
@@ -452,13 +453,22 @@ def q_sql_parameterized_group_by_all(spark: SparkSession, sf_dir: str) -> DataFr
     through a named :param — using GROUP BY ALL / ORDER BY ALL. This is
     the templated-SQL migration path (no string interpolation anywhere);
     the oracle is the identical query with bindings inlined and grouping
-    spelled out."""
+    spelled out.
+
+    Cents are exact per-ROW BIGINTs summed as integers (o_totalprice is
+    2-decimal by construction, so round(100*x) per row is exact) —
+    round(100 * sum(double)) drifted by one cent at the sf10 fixture
+    once groups reached ~4M doubles (the r9/r10 micro-unit convention's
+    drift regime; caught by the r11 100x gate widening). The scripting
+    twin keeps round-of-sum: its per-customer groups are sf-invariant
+    (~10 rows), permanently below the regime."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("__param_orders")
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+               CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
         FROM IDENTIFIER(:tbl)
         WHERE o_orderdate >= :cutoff
         GROUP BY ALL
