@@ -356,6 +356,15 @@ def main() -> None:
     compact["gate_ok"] = probe0.get("gate_ok")
     compact["probe_best_sec"] = round(probe_best, 4)
     compact["full_record"] = out_path
+    # <2KB stdout contract (CLAUDE.md): the two per-query maps grow
+    # linearly with the headline set — shed them largest-first before the
+    # serialized line can exceed the tail window (r11 ADVICE). The full
+    # maps always live in full_record.
+    for shed in ("queries", "min"):
+        if len(json.dumps(compact)) <= 2000:
+            break
+        compact.pop(shed, None)
+        compact["compact_shed"] = compact.get("compact_shed", []) + [shed]
     sys.stderr.flush()
     print(json.dumps(compact), flush=True)
 

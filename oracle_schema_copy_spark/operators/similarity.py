@@ -394,10 +394,10 @@ def assign_nearest_centroid_vectorized(
     group id (labels sorted ascending; ``argmax`` returns the first
     max), ``dot = dm / 1e6``. numpy's pairwise-summed matmul differs
     from the sequential double dot in the last ulp (|diff| < 1e-12 for
-    unit-norm 64-dim vectors), and np.round is half-even where the JVM
-    rounds half-up — both only matter for a dot landing EXACTLY on a
-    .5-micro boundary, which the parity tests (sf0.001/sf0.01/sf0.1)
-    and the registry gate check empirically."""
+    unit-norm 64-dim vectors); rounding is HALF_UP by construction
+    (copysign/floor — r12), matching the JVM ``F.round`` and the DuckDB
+    oracle, so only the last-ulp matmul difference remains and the
+    parity tests (sf0.001-sf1) pin it empirically."""
     import numpy as np
     import pyarrow as pa
 
@@ -435,7 +435,11 @@ def assign_nearest_centroid_vectorized(
                 .astype(np.float64)
                 .reshape(n, dim)
             )
-            dm = np.round((X @ CT) * 1e6).astype(np.int64)  # (n, k) micro
+            p = (X @ CT) * 1e6  # (n, k) micro, pre-round
+            # HALF_UP exactly like the JVM F.round / DuckDB round (np.round
+            # is half-even): a dot landing on a .5-micro boundary now agrees
+            # by construction, not just empirically (r11 ADVICE).
+            dm = np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
             best = np.argmax(dm, axis=1)  # first max = smallest label
             yield pa.RecordBatch.from_arrays(
                 [
@@ -596,8 +600,9 @@ def pq_encode_vectorized(
     emits n_subspaces rows per vector with zero shuffle.
 
     Same last-ulp caveat as the assignment twin: numpy's pairwise
-    matmul vs the sequential dot only differs when a dot lands EXACTLY
-    on a .5-micro boundary; parity is pinned by pytest against
+    matmul differs from the sequential dot only in the final ulp, and
+    rounding is HALF_UP by construction (copysign/floor — r12) like the
+    JVM/DuckDB twins; parity is pinned by pytest against
     :func:`pq_encode` and by the shared-shape DuckDB gate."""
     import numpy as np
     import pyarrow as pa
@@ -608,6 +613,15 @@ def pq_encode_vectorized(
     per: dict[int, list[tuple[int, list[float]]]] = {}
     for r in codebooks.select("subspace", "code", "cv").collect():
         per.setdefault(int(r[0]), []).append((int(r[1]), list(r[2])))
+    missing = [s for s in range(n_subspaces) if not per.get(s)]
+    if missing:
+        # fail loudly driver-side: an empty (sub, 0) matrix would make
+        # np.argmax raise an opaque worker traceback inside the executor
+        # (r11 ADVICE)
+        raise ValueError(
+            f"pq_encode_vectorized: codebook has no entries for "
+            f"subspace(s) {missing}; expected all of 0..{n_subspaces - 1}"
+        )
     mats, code_ids = [], []
     for s in range(n_subspaces):
         entries = sorted(per.get(s, []))
@@ -641,9 +655,9 @@ def pq_encode_vectorized(
             )
             out_i, out_s, out_c = [], [], []
             for s in range(n_subspaces):
-                dm = np.round(
-                    (X[:, s * sub : (s + 1) * sub] @ mats[s]) * 1e6
-                ).astype(np.int64)
+                p = (X[:, s * sub : (s + 1) * sub] @ mats[s]) * 1e6
+                # HALF_UP, mirroring the JVM/DuckDB twins (r11 ADVICE)
+                dm = np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
                 best = np.argmax(dm, axis=1)  # first max = smallest code
                 out_i.append(ids)
                 out_s.append(np.full(n, s, dtype=np.int64))

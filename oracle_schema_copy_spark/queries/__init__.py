@@ -76,10 +76,15 @@ def _load_all() -> None:
 # least fresh information.  Names absent from both lists keep registry
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
-    # (r11) new in round 11 — no driver row exists yet
+    # (m12) changed in round 12: BLAS kernels round HALF_UP by
+    # construction (r11 ADVICE); read_table_keyed drops None keys (the
+    # hypothesis probe test found bare NULL in IN(...) is a Derby
+    # syntax error) — re-gate the names those paths feed first
     "assign_nearest_centroid_vectorized",
-    "jdbc_walk_probe_matrix",
     "pq_codes_vectorized",
+    "jdbc_walk_probe_matrix",
+    "jdbc_walk_pushed_probe",
+    "jdbc_copy_tree_derby",
     # (m11) changed in round 11: sql_parameterized revenue_cents moved
     # to exact per-row cents after the sf10 gate caught 1-cent
     # round-of-double-sum drift at ~4M doubles/group; r10 ADVICE fixes
@@ -92,8 +97,8 @@ _CHECK_FIRST: list[str] = [
     "stream_cdc_apply_derby",
     "similarity_topk_pq_adc",
     "assign_nearest_centroid",
-    # (r10) new in round 10
-    "jdbc_walk_pushed_probe",
+    # (r10) new in round 10 (jdbc_walk_pushed_probe moved to the r12
+    # section above)
     "ddl_dialect_matrix",
     # (m10) changed in round 10 by the sf10 (100x) audit fixes: PQ
     # ks=256 codebook cap + packed scalar-max encode argmax; packed
@@ -105,9 +110,9 @@ _CHECK_FIRST: list[str] = [
     "stream_tumbling_window",
     "stream_tumbling_window_live",
     # (m10) read-back path changed in round 10 (eager localCheckpoint +
-    # database shutdown + scratch cleanup; replay_into_target skip audit)
+    # database shutdown + scratch cleanup; replay_into_target skip
+    # audit; jdbc_copy_tree_derby moved to the r12 section above)
     "jdbc_roundtrip_orders",
-    "jdbc_copy_tree_derby",
     "oplog_import_into_derby",
     "multimodal_resize_real",
     # (m9) oracle or implementation changed in round 9 — re-gate first

@@ -119,8 +119,11 @@ def read_table_keyed(
     from oracle_schema_copy_spark.sources.jdbc_mutations import sql_literal
 
     # dedupe: predicates must partition the keyspace DISJOINTLY — a key
-    # landing in two probe batches would return its rows twice
-    ks = list(dict.fromkeys(keys))
+    # landing in two probe batches would return its rows twice. None is
+    # dropped, not rendered: a bare NULL inside IN (...) is a syntax error
+    # on Derby (found by the r12 hypothesis probe test), and SQL equality
+    # can never match a NULL key anyway — dropping preserves semantics.
+    ks = list(dict.fromkeys(k for k in keys if k is not None))
     if not ks:
         # no keys -> empty probe; one FALSE predicate keeps the schema
         preds = ["1 = 0"]
@@ -141,6 +144,7 @@ def read_table_keyed_staged(
     keys_df: DataFrame,
     *,
     allow_production: bool = False,
+    write_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Keyed scan for frontiers ABOVE the inline budget (VERDICT r10 #7):
     the key DataFrame stages into the database with a parallel batched
@@ -152,7 +156,13 @@ def read_table_keyed_staged(
     staging table can be dropped before returning — the result frame has
     no remaining dependency on the database, mirroring the livedb
     read-back convention. Size is bounded by the probe result itself
-    (the same rows the pushed path would ship)."""
+    (the same rows the pushed path would ship).
+
+    ``write_options`` mirrors ``jdbc_delete``'s passthrough (r11
+    ADVICE): a STRING key column stages as CLOB under Derby's default
+    overwrite type mapping, and the staging index + equality join then
+    fail (CLOB has no equality) — pass
+    ``{"createTableColumnTypes": f"{key_column} VARCHAR(n)"}``."""
     from oracle_schema_copy_spark.sources.jdbc_mutations import (
         jvm_statement_executor,
         staging_index_sql,
@@ -166,6 +176,7 @@ def read_table_keyed_staged(
         staging,
         mode="overwrite",
         allow_production=allow_production,
+        write_options=write_options,
     )
     executor = jvm_statement_executor(spark, conn)
     executor([staging_index_sql(staging, [key_column])])
@@ -192,6 +203,7 @@ def read_table_keyed_auto(
     max_inline_keys: int = 100_000,
     keys_per_probe: int = 1000,
     allow_production: bool = False,
+    write_options: dict[str, str] | None = None,
 ) -> tuple[DataFrame, str]:
     """The keyed-read strategy matrix as one entry point, mirroring the
     delete verb's automatic scale switch: frontiers up to
@@ -207,6 +219,7 @@ def read_table_keyed_auto(
             read_table_keyed_staged(
                 spark, conn, table, key_column, distinct,
                 allow_production=allow_production,
+                write_options=write_options,
             ),
             "staged",
         )

@@ -157,3 +157,82 @@ def test_jdbc_upsert_stages_then_merges(spark, monkeypatch):
     assert stmts[0] == "CREATE INDEX orders_oscs_upsert_stg_kix ON orders_oscs_upsert_stg (k)"
     assert stmts[1].startswith("MERGE INTO orders t USING orders_oscs_upsert_stg s")
     assert stmts[2] == "DROP TABLE orders_oscs_upsert_stg"
+
+
+def test_read_table_keyed_adversarial_keys_roundtrip(spark, tmp_path):
+    """Hypothesis property over the pushed probe's injection surface
+    (VERDICT r11 #7): ``sql_literal`` renders the keys INTO the predicate
+    text (`sources/jdbc.py` read_table_keyed), so adversarial key values —
+    quotes, doubled quotes, unicode, empty string, negative ints — must
+    round-trip identically through a LIVE Derby probe: every
+    requested-and-present key comes back exactly once, absent keys return
+    nothing, and a None key matches nothing (NULL never equality-matches).
+    """
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    from oracle_schema_copy_spark.sources import derby
+    from oracle_schema_copy_spark.sources.jdbc import read_table_keyed
+
+    tgt = derby.DerbyTarget(spark, f"{tmp_path}/advdb")
+    seq = iter(range(10_000))
+
+    # Derby compares VARCHAR with PAD SPACE semantics ('a' = 'a '), so keys
+    # differing only in trailing spaces would collide on the PK — exclude
+    # trailing spaces (an edge of Derby, not of the literal rendering).
+    # Cc/Cs excluded: control chars and surrogates are not valid VARCHAR
+    # payload; quotes are explicitly force-included via one_of.
+    key_text = st.one_of(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            max_size=30,
+        ),
+        st.sampled_from(["O'Brien", "''", "'; DROP TABLE T; --", "a''b'", "日本語'キー"]),
+    ).filter(lambda s: not s.endswith(" "))
+
+    schema = T.StructType(
+        [T.StructField("K", T.StringType(), False), T.StructField("V", T.LongType())]
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(key_text, min_size=1, max_size=12, unique=True),
+        data=st.data(),
+    )
+    def run_text(keys, data):
+        name = f"ADV{next(seq)}"
+        df = spark.createDataFrame([(k, i) for i, k in enumerate(keys)], schema)
+        tgt.create_table(name, schema, primary_key=["K"])
+        tgt.insert(name, df)
+        want = data.draw(st.lists(st.sampled_from(keys), unique=True))
+        probe = want + ["@absent-key@", None]
+        got = read_table_keyed(spark, tgt.conn, name, "K", probe, keys_per_probe=3)
+        assert sorted(r[0] for r in got.select("K").collect()) == sorted(want)
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(keys=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=12, unique=True))
+    def run_int(keys):
+        name = f"ADV{next(seq)}"
+        ischema = T.StructType([T.StructField("K", T.LongType(), False)])
+        tgt.create_table(name, ischema, primary_key=["K"])
+        tgt.insert(name, spark.createDataFrame([(k,) for k in keys], ischema))
+        want = keys[::2]
+        got = read_table_keyed(
+            spark, tgt.conn, name, "K", want + [None], keys_per_probe=3
+        )
+        assert sorted(r[0] for r in got.select("K").collect()) == sorted(want)
+
+    try:
+        run_text()
+        run_int()
+    finally:
+        tgt.close()
