@@ -85,6 +85,10 @@ _CHECK_FIRST: list[str] = [
     "jdbc_walk_probe_matrix",
     "jdbc_walk_pushed_probe",
     "jdbc_copy_tree_derby",
+    # (m12) the r12 sf10 widening caught round-of-double-sum drift in the
+    # bucketed-join rollup (5 groups growing with the corpus); moved to
+    # exact per-row cents — re-gate first
+    "join_bucketed_no_shuffle",
     # (m11) changed in round 11: sql_parameterized revenue_cents moved
     # to exact per-row cents after the sf10 gate caught 1-cent
     # round-of-double-sum drift at ~4M doubles/group; r10 ADVICE fixes
@@ -183,7 +187,6 @@ _CHECK_FIRST: list[str] = [
     "bpe_pair_merge_step",
     # (z) first driver rows recorded r6 (VERDICT r5 "next round" #2)
     "asof_join_planted_ties",
-    "join_bucketed_no_shuffle",
     "mor_read_orders",
     "multimodal_feature_extract_arrow",
     "observe_pipeline_metrics",

@@ -513,7 +513,8 @@ def q_sketch_approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(round(100 * sum(l.l_extendedprice)) AS BIGINT) AS revenue_cents
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -572,9 +573,14 @@ def q_join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exact per-row integer cents summed as BIGINT (both engines): the 5
+    # priority groups grow with the corpus (~12M doubles/group at sf10),
+    # where round-of-double-sum drifts — the group-growth-class rule; the
+    # r12 sf10 widening caught a 1-cent drift here (third such bug).
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.round(100 * F.sum("l_extendedprice")).cast("long").alias("revenue_cents"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
     )
 
 
