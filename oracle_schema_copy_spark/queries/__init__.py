@@ -86,9 +86,12 @@ _CHECK_FIRST: list[str] = [
     "jdbc_walk_pushed_probe",
     "jdbc_copy_tree_derby",
     # (m12) the r12 sf10 widening caught round-of-double-sum drift in the
-    # bucketed-join rollup (5 groups growing with the corpus); moved to
-    # exact per-row cents — re-gate first
+    # bucketed-join rollup (5 groups growing with the corpus) — moved to
+    # exact per-row cents — and a 1-micro round(double,6) implementation
+    # divergence in the perplexity display column — moved to
+    # IEEE-deterministic floor(x+0.5) micro math. Re-gate first.
     "join_bucketed_no_shuffle",
+    "quality_perplexity_buckets",
     # (m11) changed in round 11: sql_parameterized revenue_cents moved
     # to exact per-row cents after the sf10 gate caught 1-cent
     # round-of-double-sum drift at ~4M doubles/group; r10 ADVICE fixes
@@ -145,7 +148,6 @@ _CHECK_FIRST: list[str] = [
     # fixes: DSIR empty-bigram guard, perplexity micro-unit rank key,
     # outer-join stalled-watermark bound, hard-negative NULL exclusion)
     "sample_dsir_importance",
-    "quality_perplexity_buckets",
     "stream_stream_left_join_live",
     "stream_stream_full_join_live",
     "mine_hard_negatives",

@@ -295,7 +295,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok JOIN lpu USING (t)
         GROUP BY tok.doc_id)
     SELECT d.doc_id, d.lang,
-           round(lp.sum_u / 1000000.0 / lp.n_tok, 6) AS avg_logprob,
+           floor(lp.sum_u / lp.n_tok + 0.5) / 1000000.0 AS avg_logprob,
            CAST(ntile(3) OVER (
                PARTITION BY d.lang
                ORDER BY CAST(lp.sum_u AS DOUBLE) / lp.n_tok DESC, d.doc_id)
@@ -349,9 +349,15 @@ def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(F.col("sum_u") / 1_000_000.0 / F.col("n_tok"), 6).alias(
-                "avg_logprob"
-            ),
+            # floor(x + 0.5) on the micro scale, NOT round(x, 6): round's
+            # implementation differs between engines (BigDecimal HALF_UP
+            # vs float-path) and diverged 1 micro at sf10's boundary
+            # values; /, + and floor are IEEE-deterministic, so this is
+            # bit-identical cross-engine (r12 sf10 widening catch)
+            (
+                F.floor(F.col("sum_u") / F.col("n_tok") + F.lit(0.5))
+                / F.lit(1_000_000.0)
+            ).alias("avg_logprob"),
             F.ntile(3).over(w).cast("int").alias("ppl_bucket"),
         )
     )

@@ -71,6 +71,14 @@ def main() -> int:
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # big-fixture oracles (sf1/sf10) can exceed RAM shared with the Spark
+    # JVM; a bounded memory limit plus a temp directory lets DuckDB spill
+    # instead of aborting the whole run with an allocator OOM (r12: the
+    # cleaning-capstone oracle at 500k docs killed a 19-name batch)
+    con.execute("SET memory_limit='40GB'")
+    spill = os.path.join("/tmp", "duckdb_mimic_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
@@ -94,7 +102,17 @@ def main() -> int:
             results[name] = {"status": "rows_only", "rows": len(s)}
             _write_artifact(sf, results, fails)
             continue
-        d = con.sql(osql[name]).df()
+        try:
+            d = con.sql(osql[name]).df()
+        except Exception as e:  # noqa: BLE001 — a dying oracle (DuckDB OOM)
+            # must cost one name, not the rest of the batch
+            print(f"{name}: ORACLE_ERROR {type(e).__name__}: {e}")
+            results[name] = {
+                "status": "ORACLE_ERROR", "why": f"{type(e).__name__}: {e}"
+            }
+            fails.append(name)
+            _write_artifact(sf, results, fails)
+            continue
         s, d = normalize(s), normalize(d)
         ok, why = True, ""
         if len(s) != len(d):
