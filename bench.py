@@ -250,9 +250,9 @@ def main() -> None:
             waited += 15 + probe
 
     query_gates: dict[str, dict] = {}
+    gate_retries: dict[str, dict] = {}
     if isolate:
-        for name in names:
-            query_gates[name] = _query_gate()
+        def _run_isolated(name: str) -> dict:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
                 capture_output=True,
@@ -273,7 +273,23 @@ def main() -> None:
                     f"{proc.stderr[-2000:]}\n"
                 )
                 raise SystemExit(1)
-            per_query[name] = json.loads(line)
+            return json.loads(line)
+
+        for name in names:
+            query_gates[name] = _query_gate()
+            per_query[name] = _run_isolated(name)
+        # r12 VERDICT #1: don't commit a record with gate_ok:false rows
+        # without a retry. Re-gate each failed query once at the END of the
+        # run (the co-tenant burst that failed its launch gate has usually
+        # passed by then); when the retry's gate passes, its fresh-JVM
+        # sample set replaces the contaminated one. A retry whose gate ALSO
+        # fails keeps the original rows — still loud in the record.
+        for name in [n for n, g in query_gates.items() if not g["gate_ok"]]:
+            gate = _query_gate()
+            if gate["gate_ok"]:
+                query_gates[name] = gate
+                per_query[name] = _run_isolated(name)
+            gate_retries[name] = {"gate": gate, "kept": "retry" if gate["gate_ok"] else "original"}
     else:
         from oracle_schema_copy_spark.session import get_spark
 
@@ -331,7 +347,12 @@ def main() -> None:
         "isolated": isolate,
         "cpus": cpus,
         "loadavg": [round(load0, 2), round(os.getloadavg()[0], 2)],
-        "machine": {"before": probe0, "after": probe1, "per_query_gate": query_gates},
+        "machine": {
+            "before": probe0,
+            "after": probe1,
+            "per_query_gate": query_gates,
+            "gate_retries": gate_retries,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     out_path = os.environ.get(
@@ -361,10 +382,23 @@ def main() -> None:
     # serialized line can exceed the tail window (r11 ADVICE). The full
     # maps always live in full_record.
     for shed in ("queries", "min"):
-        if len(json.dumps(compact)) <= 2000:
+        if len(json.dumps(compact).encode()) <= 2000:
             break
         compact.pop(shed, None)
         compact["compact_shed"] = compact.get("compact_shed", []) + [shed]
+    # Still oversized after shedding both maps (r12 ADVICE: the shed loop
+    # had no final check and counted chars, not bytes): fall back to a
+    # minimal record — everything lives in BENCH_FULL.json anyway.
+    if len(json.dumps(compact).encode()) > 2000:
+        compact = {
+            "metric": compact["metric"],
+            "value": compact["value"],
+            "unit": compact["unit"],
+            "value_min": compact["value_min"],
+            "sf": compact["sf"],
+            "compact_shed": ["minimal"],
+            "full_record": out_path,
+        }
     sys.stderr.flush()
     print(json.dumps(compact), flush=True)
 

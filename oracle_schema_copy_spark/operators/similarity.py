@@ -436,9 +436,11 @@ def assign_nearest_centroid_vectorized(
                 .reshape(n, dim)
             )
             p = (X @ CT) * 1e6  # (n, k) micro, pre-round
-            # HALF_UP exactly like the JVM F.round / DuckDB round (np.round
-            # is half-even): a dot landing on a .5-micro boundary now agrees
-            # by construction, not just empirically (r11 ADVICE).
+            # HALF_UP like the JVM F.round / DuckDB round (np.round is
+            # half-even) for the exact-.5 class. Caveat (r12 ADVICE): the
+            # float add in |x|+0.5 can carry for values one ulp below a .5
+            # boundary, so parity there is empirical (same rarity class as
+            # the last-ulp matmul note), not by construction.
             dm = np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
             best = np.argmax(dm, axis=1)  # first max = smallest label
             yield pa.RecordBatch.from_arrays(

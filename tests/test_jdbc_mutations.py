@@ -189,7 +189,7 @@ def test_read_table_keyed_adversarial_keys_roundtrip(spark, tmp_path):
             max_size=30,
         ),
         st.sampled_from(["O'Brien", "''", "'; DROP TABLE T; --", "a''b'", "日本語'キー"]),
-    ).filter(lambda s: not s.endswith(" "))
+    ).filter(lambda s: not s.endswith(" ") and s != "@absent-key@")
 
     schema = T.StructType(
         [T.StructField("K", T.StringType(), False), T.StructField("V", T.LongType())]

@@ -74,9 +74,20 @@ def main() -> int:
     # big-fixture oracles (sf1/sf10) can exceed RAM shared with the Spark
     # JVM; a bounded memory limit plus a temp directory lets DuckDB spill
     # instead of aborting the whole run with an allocator OOM (r12: the
-    # cleaning-capstone oracle at 500k docs killed a 19-name batch)
-    con.execute("SET memory_limit='40GB'")
-    spill = os.path.join("/tmp", "duckdb_mimic_spill")
+    # cleaning-capstone oracle at 500k docs killed a 19-name batch).
+    # r12 ADVICE: derive the limit from MemAvailable (half of it, capped at
+    # 40GB) so it still engages on a smaller host / next to a 48g JVM, and
+    # make the spill dir per-process so concurrent mimics don't collide.
+    try:
+        with open("/proc/meminfo") as f:
+            avail_kb = next(
+                int(ln.split()[1]) for ln in f if ln.startswith("MemAvailable:")
+            )
+        limit_gb = max(2, min(40, avail_kb // (2 * 1024 * 1024)))
+    except (OSError, StopIteration, ValueError, IndexError):
+        limit_gb = 40
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
+    spill = os.path.join("/tmp", f"duckdb_mimic_spill_{os.getpid()}")
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
     for t in (
