@@ -113,6 +113,12 @@ def sql_literal(v) -> str:
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
     s = str(v).replace("'", "''")
+    if "\x00" in s:
+        # NUL terminates the quoted literal in the PG-family parsers (and
+        # PG text columns cannot store it at all) — inlining it silently
+        # yields an unparseable statement (found by the r13 dialect
+        # property suite). Loud, like the non-finite-float guard above.
+        raise ValueError("NUL (\\x00) cannot appear in a SQL string literal key")
     return f"'{s}'"
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -22,6 +23,12 @@ from oracle_schema_copy_spark.sources import jdbc_mutations as jm
 
 @given(st.text())
 def test_sql_literal_escapes_strings(s):
+    if "\x00" in s:
+        # NUL cannot be expressed inside a quoted SQL literal (r13 dialect
+        # property suite finding) — the generator refuses loudly
+        with pytest.raises(ValueError, match="NUL"):
+            jm.sql_literal(s)
+        return
     lit = jm.sql_literal(s)
     assert lit.startswith("'") and lit.endswith("'")
     # every quote in the body is doubled: stripping doubled quotes leaves none
