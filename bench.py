@@ -107,12 +107,26 @@ def _query_set():
 
     sel = os.environ.get("SPARK_GRAFT_BENCH_SET", "headline")
     if sel == "headline":
-        return "headline", suite.headline_queries()
-    if sel == "tpch":
+        name, fns = "headline", suite.headline_queries()
+    elif sel == "tpch":
         qs = suite.queries()
         names = [n for n in qs if n.startswith("tpch_")] + _TPCH_EXTRAS
-        return "tpch", {n: qs[n] for n in names}
-    raise SystemExit(f"unknown SPARK_GRAFT_BENCH_SET {sel!r}")
+        name, fns = "tpch", {n: qs[n] for n in names}
+    elif sel == "registry":
+        # any registered query by name — for subset records at scale
+        # fixtures (r12 VERDICT #2: the sf10 bench wants the heavy TPC-H
+        # joins plus a couple of headline shapes, not a fixed set)
+        name, fns = "registry", dict(suite.queries())
+    else:
+        raise SystemExit(f"unknown SPARK_GRAFT_BENCH_SET {sel!r}")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        want = only.split(",")
+        unknown = sorted(set(want) - set(fns))
+        if unknown:  # loud, never silently shrink (queries._check_order policy)
+            raise SystemExit(f"unknown names in SPARK_GRAFT_BENCH_ONLY: {unknown}")
+        fns = {n: fns[n] for n in want}
+    return name, fns
 
 
 def _run_one(name: str, sf_dir: str, cpus: int, runs: int) -> None:
