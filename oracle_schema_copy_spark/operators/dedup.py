@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from oracle_schema_copy_spark.functions.text import normalize, shingles, token_hash
+from oracle_schema_copy_spark.functions.text import (
+    normalize,
+    shingle_stream_from_tokens,
+    shingles,
+    token_hash,
+)
 from oracle_schema_copy_spark.operators import ordered_pair_array, spread
 
 # MinHash permutation parameters h_i(x) = (a_i * x + b_i) mod P, fixed so
@@ -63,11 +68,22 @@ def normalized_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     # filter on token count, not size(shingle_set): predicate pushdown
     # re-evaluates the filter expression below the projection, and the
-    # token-count test is ~n× cheaper than re-deriving the shingle array
+    # token-count test is ~n× cheaper than re-deriving the shingle array.
+    # The split is STAGED as a named column so the shingle projection
+    # reads the token array attribute instead of re-deriving it
+    # (CollapseProject keeps the two projections apart — the alias is
+    # non-cheap and referenced more than once).
+    toks = F.col("__toks")
     return (
         spread(df)
         .filter(F.size(F.split(F.col(text_col), " ")) >= n)
-        .select(F.col(id_col), shingles(F.col(text_col), n).alias("shingle_set"))
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingle_stream_from_tokens(toks, n)).alias(
+                "shingle_set"
+            ),
+        )
     )
 
 
