@@ -63,15 +63,40 @@ def merge_upsert(
     keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
     updates = updates.select(*target.columns)  # align column order
     if check_unique:
-        assert_unique_keys(updates, keys)
-        # target side too, restricted to keys the upsert touches — the
-        # reference's ">1 row updated" guard fires only for matched keys,
-        # so the semi-join keeps this a bounded probe, not a full-table agg
-        assert_unique_keys(
-            target.join(updates.select(*keys).distinct(), on=keys, how="left_semi"),
-            keys,
-            side="target",
+        # Both uniqueness probes (updates side; target side restricted by
+        # semi-join to keys the upsert touches — the reference's ">1 row
+        # updated" guard fires only for matched keys) are FUSED into one
+        # Spark job: two serial collect()s were two full scheduling
+        # rounds for two tiny aggregates (r13 bench: ~0.2s of the
+        # upsert_orders build was the second round).
+        # no .distinct() on the semi-probe: semi-join output is invariant
+        # to build-side duplicates, and the dedup cost an exchange inside
+        # the guard job
+        touched = target.join(
+            updates.select(*keys), on=keys, how="left_semi"
         )
+        tagged = updates.select(F.lit("updates").alias("__side"), *keys).unionByName(
+            touched.select(F.lit("target").alias("__side"), *keys)
+        )
+        bad = (
+            tagged.groupBy("__side", *[F.col(c) for c in keys])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select(
+                F.col("__side").alias("side"),
+                F.concat_ws(
+                    ",", *[F.col(c).cast("string") for c in keys]
+                ).alias("key"),
+            )
+            .orderBy(F.desc("side"))  # report an updates-side dup first
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise AssertionError(
+                f"{bad[0].side} has duplicate key [{bad[0].key}] — upsert "
+                "would match >1 row"
+            )
     untouched = target.join(updates.select(*keys), on=keys, how="left_anti")
     return untouched.unionByName(updates)
 

@@ -1208,8 +1208,12 @@ def lsh_banded_topk(
     )
     if queries_are_corpus_subset:
         cb = cb.localCheckpoint(eager=False)
+        # no .distinct() on the probe: a left-semi build side never
+        # duplicates output rows, so the dedup bought nothing but an
+        # exchange + two HashAggregates + a serial stage round before the
+        # broadcast could build (r13 plan audit: Exchange 16 -> 14)
         qb = cb.join(
-            queries.select(F.col(id_col)).distinct(), id_col, "left_semi"
+            queries.select(F.col(id_col)), id_col, "left_semi"
         ).select(F.col(id_col).alias("query_id"), F.col("bk").alias("qbk"))
     else:
         qb = banded_bucket_keys(

@@ -287,10 +287,22 @@ def copy_selections(
     verification (``CopyUtils.java:44-46``) — but set-based: composite-PK
     tables may legitimately yield more rows than keys.
 
-    All per-table checks are fused into ONE Spark job (a union of tiny
-    aggregates) — per-job overhead dominates otherwise, and at scale each
-    check is a broadcast semi-join + partial agg, never a shuffle of the
-    fact table.
+    All per-table checks are fused into ONE Spark job AND one aggregation
+    pass: every (table, found/want) key stream is tagged, projected to a
+    common ``array<string>`` key encoding, unioned, and counted distinct
+    in a single two-exchange aggregate. The previous shape — one
+    ``count_distinct`` aggregate + crossJoin per side per table — planned
+    2 exchanges per count plus a broadcast round per crossJoin, and under
+    AQE each query-stage materialization is its own scheduling round
+    (measured r13: 22 jobs / ~25 micro-stages ≈ 0.5 s of serial latency
+    for the 3-table flagship walk at sf0.1; now ~1/4 of that). At scale
+    the wins compound: one shuffle of pre-aggregated key digests instead
+    of 2N distinct-expand shuffles.
+
+    Count semantics are unchanged: rows with a NULL in any key column are
+    dropped before the union, mirroring multi-argument ``count_distinct``
+    (which skips any-null rows); the array encoding is collision-free
+    (unlike a string concat) and tuple-distinctness-preserving.
 
     Leaf selections (``sel.rows`` set) ARE their rows — no key-frontier
     re-join. Their check is against the probe side: the distinct FK values
@@ -307,55 +319,48 @@ def copy_selections(
         for sel in selections
     }
     if assert_counts and selections:
-        checks = None
+
+        def _keyed(df: DataFrame, cols: Sequence[str], table: str, side: str) -> DataFrame:
+            nn = None
+            for c in cols:
+                cond = F.col(c).isNotNull()
+                nn = cond if nn is None else (nn & cond)
+            return df.where(nn).select(
+                F.lit(table).alias("table_name"),
+                F.lit(side).alias("side"),
+                F.array(*[F.col(c).cast("string") for c in cols]).alias("k"),
+            )
+
+        op_of: dict[str, str] = {}
+        streams = None
         for sel in selections:
             if sel.rows is not None:
-                found = (
-                    out[sel.table]
-                    .agg(F.count_distinct(F.col(sel.probe_column)).alias("n_found"))
-                    .select(
-                        F.lit(sel.table).alias("table_name"),
-                        "n_found",
-                        F.lit("le").alias("op"),
-                    )
-                )
-                want = sel.probe.agg(
-                    F.count_distinct(
-                        *[F.col(c) for c in sel.probe.columns]
-                    ).alias("n_keys")
-                )
+                op_of[sel.table] = "le"
+                found = _keyed(out[sel.table], [sel.probe_column], sel.table, "found")
+                want = _keyed(sel.probe, sel.probe.columns, sel.table, "want")
             else:
-                found = (
-                    out[sel.table]
-                    .agg(
-                        F.count_distinct(
-                            *[F.col(c) for c in sel.key_columns]
-                        ).alias("n_found")
-                    )
-                    .select(
-                        F.lit(sel.table).alias("table_name"),
-                        "n_found",
-                        F.lit("eq").alias("op"),
-                    )
+                op_of[sel.table] = "eq"
+                found = _keyed(out[sel.table], list(sel.key_columns), sel.table, "found")
+                want = _keyed(sel.keys, sel.keys.columns, sel.table, "want")
+            for part in (found, want):
+                streams = part if streams is None else streams.unionByName(part)
+        counts = {
+            (r.table_name, r.side): r.n
+            for r in streams.groupBy("table_name", "side")
+            .agg(F.count_distinct("k").alias("n"))
+            .collect()
+        }
+        for sel in selections:
+            n_found = counts.get((sel.table, "found"), 0)
+            n_keys = counts.get((sel.table, "want"), 0)
+            op = op_of[sel.table]
+            if (n_found != n_keys) if op == "eq" else (n_found > n_keys):
+                raise AssertionError(
+                    f"selection copy of {sel.table} matched {n_found} of {n_keys} keys"
+                    if op == "eq"
+                    else f"leaf selection of {sel.table} carried {n_found} distinct "
+                    f"FK values but the probe held only {n_keys} keys"
                 )
-                want = sel.keys.agg(
-                    F.count_distinct(*[F.col(c) for c in sel.keys.columns]).alias("n_keys")
-                )
-            row = found.crossJoin(want)
-            checks = row if checks is None else checks.unionByName(row)
-        bad = [
-            r
-            for r in checks.collect()
-            if ((r.n_found != r.n_keys) if r.op == "eq" else (r.n_found > r.n_keys))
-        ]
-        if bad:
-            r = bad[0]
-            raise AssertionError(
-                f"selection copy of {r.table_name} matched {r.n_found} of {r.n_keys} keys"
-                if r.op == "eq"
-                else f"leaf selection of {r.table_name} carried {r.n_found} distinct "
-                f"FK values but the probe held only {r.n_keys} keys"
-            )
     return out
 
 
