@@ -301,13 +301,17 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     # starts: 0, stride, 2*stride, ... while start < n (last chunk may be
     # short); slice() is 1-based
+    # staged __alltoks: the slice() inside the lambda otherwise
+    # re-evaluates the inline split per chunk (per-element HOF trap, r13)
     chunks = (
-        f"transform(sequence(0, (size(split({text_col}, ' ')) - 1) DIV {stride}), "
-        f"s -> slice(split({text_col}, ' '), s * {stride} + 1, {chunk_tokens}))"
+        f"transform(sequence(0, (size(__alltoks) - 1) DIV {stride}), "
+        f"s -> slice(__alltoks, s * {stride} + 1, {chunk_tokens}))"
     )
     ex = docs.select(
+        F.col(id_col), F.split(text_col, " ").alias("__alltoks")
+    ).select(
         F.col(id_col),
-        F.size(F.split(text_col, " ")).alias("__n"),
+        F.size("__alltoks").alias("__n"),
         F.posexplode(F.expr(chunks)).alias("chunk_id", "__toks"),
     )
     # drop pure-overlap tails: when n is an exact multiple of the stride
@@ -350,10 +354,13 @@ def repeated_spans(
     exact. The count>1 histogram is also exactly the input a
     drop-duplicated-spans rewrite pass consumes.
     """
-    toks = f"split({text_col}, ' ')"
+    # token split STAGED as a named column: the transform lambda's
+    # slice(toks, s, L) re-evaluated an inline split(text) on every
+    # window (same per-element HOF trap as shingle_stream, fixed r13 —
+    # measured 13.5s -> ~1s of stage CPU for this query at sf0.1)
     spans = (
-        f"transform(sequence(1, size({toks}) - {span_tokens - 1}), "
-        f"s -> md5(array_join(slice({toks}, s, {span_tokens}), ' ')))"
+        f"transform(sequence(1, size(__toks) - {span_tokens - 1}), "
+        f"s -> md5(array_join(slice(__toks, s, {span_tokens}), ' ')))"
     )
     # explode_outer, not explode: plain explode makes Catalyst infer a
     # size()>0 filter containing the whole window-hash expression and push
@@ -367,6 +374,7 @@ def repeated_spans(
     ex = (
         spread(docs)
         .filter(F.size(F.split(F.col(text_col), " ")) >= span_tokens)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         .select(F.col(id_col), F.explode_outer(F.expr(spans)).alias("__h"))
         .localCheckpoint()
     )
@@ -440,14 +448,16 @@ def _span_starts(
     sliding token window. posexplode gives the 0-based window offset; +1
     makes it the 1-based token start index. Per-row expression work —
     the caller decides what (if anything) to shuffle."""
-    toks = f"split({text_col}, ' ')"
+    # staged __toks: see repeated_spans — the inline split re-evaluated
+    # per window inside the transform lambda
     spans = (
-        f"transform(sequence(1, size({toks}) - {span_tokens - 1}), "
-        f"s -> md5(array_join(slice({toks}, s, {span_tokens}), ' ')))"
+        f"transform(sequence(1, size(__toks) - {span_tokens - 1}), "
+        f"s -> md5(array_join(slice(__toks, s, {span_tokens}), ' ')))"
     )
     return (
         spread(docs)
         .filter(F.size(F.split(F.col(text_col), " ")) >= span_tokens)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         .select(F.col(id_col), F.posexplode_outer(F.expr(spans)).alias("__s0", "__h"))
         .select(F.col(id_col), (F.col("__s0") + 1).alias("__s"), "__h")
     )

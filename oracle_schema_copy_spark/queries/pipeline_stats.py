@@ -75,15 +75,16 @@ def q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The empty-guard matters: Spark's sequence(1, 0) DESCENDS, so short
     docs must map to an empty array explicitly."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) > 1 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1))) "
-        "ELSE array() END"
-    )
+    # bigram stream == 2-token shingle stream; the zip_with-over-slices
+    # form evaluates the token split once per row (the old inline
+    # element_at(split(...)) re-split per element — r13 HOF-trap fix)
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.split("text", " ").alias("__toks"))
+        .select(
+            F.explode(tf.shingle_stream_from_tokens(F.col("__toks"), 2)).alias(
+                "bigram"
+            )
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))

@@ -133,16 +133,19 @@ def q_stats_zipf_bigram_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window only orders those 1000 survivors on one partition.
     The regression itself is regr_slope/regr_r2, identical built-ins on
     both engines."""
+    from oracle_schema_copy_spark.functions import text as tf
+
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) > 1 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1))) "
-        "ELSE array() END"
-    )
+    # bigram stream == 2-token shingle stream (zip_with over slices —
+    # one split per row; the inline element_at(split(...)) form re-split
+    # per element, the r13 HOF-trap fix)
     f = (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.split("text", " ").alias("__toks"))
+        .select(
+            F.explode(tf.shingle_stream_from_tokens(F.col("__toks"), 2)).alias(
+                "bigram"
+            )
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
