@@ -267,6 +267,7 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
         "disk_bytes_spilled": 0,
         "peak_execution_memory": 0,
         "executor_run_time_ms": 0,
+        "executor_cpu_time_ms": 0,
     }
     for s in _iter_seq(_stages()):
         if s.stageId() in seen:
@@ -278,6 +279,9 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
         agg["memory_bytes_spilled"] += s.memoryBytesSpilled()
         agg["disk_bytes_spilled"] += s.diskBytesSpilled()
         agg["executor_run_time_ms"] += s.executorRunTime()
+        # CPU time is robust to co-tenant contention (run time inflates
+        # under steal; cpu time does not) — compare THIS across rounds.
+        agg["executor_cpu_time_ms"] += s.executorCpuTime() // 1_000_000
         try:
             if agg["peak_execution_memory"] is not None:
                 agg["peak_execution_memory"] = max(
