@@ -287,22 +287,18 @@ def copy_selections(
     verification (``CopyUtils.java:44-46``) — but set-based: composite-PK
     tables may legitimately yield more rows than keys.
 
-    All per-table checks are fused into ONE Spark job AND one aggregation
-    pass: every (table, found/want) key stream is tagged, projected to a
-    common ``array<string>`` key encoding, unioned, and counted distinct
-    in a single two-exchange aggregate. The previous shape — one
-    ``count_distinct`` aggregate + crossJoin per side per table — planned
-    2 exchanges per count plus a broadcast round per crossJoin, and under
-    AQE each query-stage materialization is its own scheduling round
-    (measured r13: 22 jobs / ~25 micro-stages ≈ 0.5 s of serial latency
-    for the 3-table flagship walk at sf0.1; now ~1/4 of that). At scale
-    the wins compound: one shuffle of pre-aggregated key digests instead
-    of 2N distinct-expand shuffles.
-
-    Count semantics are unchanged: rows with a NULL in any key column are
-    dropped before the union, mirroring multi-argument ``count_distinct``
-    (which skips any-null rows); the array encoding is collision-free
-    (unlike a string concat) and tuple-distinctness-preserving.
+    All per-table checks are fused into ONE Spark job (one ``collect``):
+    each (table, found/want) side keeps its own native ``count_distinct``
+    aggregate — whole-stage-codegen HashAggregate with map-side partial
+    dedup over the original (mostly numeric) key columns — and only the
+    tagged ONE-ROW aggregate outputs are unioned and collected. The
+    crossJoin-per-table reconciliation of the pre-r13 shape (a broadcast
+    round per table) is gone; reconciliation happens driver-side over the
+    collected rows. r13 note: an alternative fusion that unioned the RAW
+    key streams under a common ``array<string>`` encoding and aggregated
+    once was measured 2.2x SLOWER end-to-end at sf0.1 (0.95 s -> 2.14 s
+    bench median) — per-row string casts + array allocation in the
+    aggregate key cost far more than the saved AQE scheduling rounds.
 
     Leaf selections (``sel.rows`` set) ARE their rows — no key-frontier
     re-join. Their check is against the probe side: the distinct FK values
@@ -320,36 +316,29 @@ def copy_selections(
     }
     if assert_counts and selections:
 
-        def _keyed(df: DataFrame, cols: Sequence[str], table: str, side: str) -> DataFrame:
-            nn = None
-            for c in cols:
-                cond = F.col(c).isNotNull()
-                nn = cond if nn is None else (nn & cond)
-            return df.where(nn).select(
+        def _counted(df: DataFrame, cols: Sequence[str], table: str, side: str) -> DataFrame:
+            return df.agg(
+                F.count_distinct(*[F.col(c) for c in cols]).alias("n")
+            ).select(
                 F.lit(table).alias("table_name"),
                 F.lit(side).alias("side"),
-                F.array(*[F.col(c).cast("string") for c in cols]).alias("k"),
+                "n",
             )
 
         op_of: dict[str, str] = {}
-        streams = None
+        checks = None
         for sel in selections:
             if sel.rows is not None:
                 op_of[sel.table] = "le"
-                found = _keyed(out[sel.table], [sel.probe_column], sel.table, "found")
-                want = _keyed(sel.probe, sel.probe.columns, sel.table, "want")
+                found = _counted(out[sel.table], [sel.probe_column], sel.table, "found")
+                want = _counted(sel.probe, sel.probe.columns, sel.table, "want")
             else:
                 op_of[sel.table] = "eq"
-                found = _keyed(out[sel.table], list(sel.key_columns), sel.table, "found")
-                want = _keyed(sel.keys, sel.keys.columns, sel.table, "want")
+                found = _counted(out[sel.table], list(sel.key_columns), sel.table, "found")
+                want = _counted(sel.keys, list(sel.keys.columns), sel.table, "want")
             for part in (found, want):
-                streams = part if streams is None else streams.unionByName(part)
-        counts = {
-            (r.table_name, r.side): r.n
-            for r in streams.groupBy("table_name", "side")
-            .agg(F.count_distinct("k").alias("n"))
-            .collect()
-        }
+                checks = part if checks is None else checks.unionByName(part)
+        counts = {(r.table_name, r.side): r.n for r in checks.collect()}
         for sel in selections:
             n_found = counts.get((sel.table, "found"), 0)
             n_keys = counts.get((sel.table, "want"), 0)
