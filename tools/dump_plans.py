@@ -33,11 +33,17 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-dump", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     spark.sparkContext.setLogLevel("ERROR")
+    import contextlib
+    import io
+
     for n in names:
         df = fns[n](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # capture the public explain() output instead of reaching through
+        # df._jdf/PythonSQLUtils — the internals are version-fragile
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{n}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)

@@ -269,9 +269,18 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
         "executor_run_time_ms": 0,
         "executor_cpu_time_ms": 0,
     }
+    cpu_ns = 0
+    gc_ms = 0
     for s in _iter_seq(_stages()):
         if s.stageId() in seen:
             continue
+        if gc_ms >= 0:
+            try:
+                # GC share is the r13-identified bound of the sf10 dedup
+                # stages; capture it wherever the status API exposes it
+                gc_ms += s.jvmGcTime()
+            except Exception:
+                gc_ms = -1  # metric unsupported on this status API
         agg["n_stages"] += 1
         agg["input_bytes"] += s.inputBytes()
         agg["shuffle_read_bytes"] += s.shuffleReadBytes()
@@ -281,7 +290,9 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
         agg["executor_run_time_ms"] += s.executorRunTime()
         # CPU time is robust to co-tenant contention (run time inflates
         # under steal; cpu time does not) — compare THIS across rounds.
-        agg["executor_cpu_time_ms"] += s.executorCpuTime() // 1_000_000
+        # Accumulate raw nanoseconds; a per-stage floor-divide would lose
+        # up to ~1 ms per stage across many-stage queries.
+        cpu_ns += s.executorCpuTime()
         try:
             if agg["peak_execution_memory"] is not None:
                 agg["peak_execution_memory"] = max(
@@ -290,6 +301,9 @@ def query_resource_metrics(spark, sf_dir: str, qname: str) -> dict:
         except Exception:
             # metric unsupported on this status API: mark once, stop probing
             agg["peak_execution_memory"] = None
+    agg["executor_cpu_time_ms"] = cpu_ns // 1_000_000
+    if gc_ms >= 0:
+        agg["jvm_gc_time_ms"] = gc_ms
     return agg
 
 
