@@ -32,10 +32,21 @@ def tuning_confs(cpus: int) -> dict[str, str]:
         # dim tables (region/nation/customer at test SFs) stay broadcast-able
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
         "spark.sql.files.maxPartitionBytes": "128MB",
-        # NOTE: do NOT set spark.sql.files.minPartitionNum here — the test
-        # fixtures are single-row-group files, so forced splits only add
-        # empty-split overhead to every scan. CPU-heavy operators
-        # repartition explicitly instead (operators.spread).
+        # Parquet scan split target is min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/defaultParallelism)). The 4MB
+        # openCostInBytes default exists to stop tiny-FILE thrash on
+        # many-file tables; with single-file fixtures it only FLOORS the
+        # split size, so a 10MB multi-row-group table could never split
+        # past ~3 tasks on 32 cores. 128KB keeps small fixtures splitting
+        # to the core count while changing nothing at production scale,
+        # where totalBytes/parallelism >> 4MB dominates the max() anyway
+        # (r14; pairs with tools/split_row_groups.py re-chunking the
+        # sf0.1 fixture — a single-row-group file is 1 task regardless).
+        # CPU-heavy operators additionally repartition (operators.spread)
+        # when the scan still arrives under-partitioned.
+        "spark.sql.files.openCostInBytes": os.environ.get(
+            "SPARK_GRAFT_OPEN_COST", "131072"
+        ),
         # local[N] runs all N executor threads inside the driver JVM — an
         # undersized heap turns shuffle/agg working sets into GC storms
         # (observed: same query 5.6s vs 63s run-to-run at 8g). On a real
