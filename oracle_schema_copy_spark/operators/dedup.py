@@ -98,161 +98,63 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram shingle Jaccard >= threshold.
 
-    r14 shape — collapse, pair over representatives, expand back:
-
-    1. COLLAPSE exact-duplicate texts to one representative per distinct
-       text, carrying the class size ``m`` (the r11 edit1_pairs lesson:
-       on duplicate-heavy corpora — boilerplate, mirrored pages, the
-       sf10 fixture's verbatim replication — every near-dup class of
-       multiplicities (m, n) otherwise costs m*n rows through the
-       candidate/aggregation stages; collapsed, pair work scales with
-       |distinct texts| and the m*n expansion happens only in the final
-       membership join, which emits exactly the output rows). The class
-       key is sha2(text) — constant width at any scale, the exact_dedup
-       convention.
-    2. PAIR the representatives by a sort-merge SELF-JOIN of the exploded
-       (shingle, rep) stream: one exchange on the shingle, the (a < b)
-       pair stream runs through UnsafeRow sort + merge, count the common
-       shingles, |A∪B| arithmetic. The pre-r14 shape built per-shingle
-       posting ARRAYS (``collect_list`` + local pair expansion): at the
-       sf10 fixture 60-88% of stage executor time was ParallelGC churn
-       from the growing object arrays (zero spill — allocation rate, not
-       memory pressure).
-    3. EXPAND qualifying representative pairs (including each duplicate
-       class's self-pair, whose members are all pairwise near-dups) back
-       to id pairs by two membership equi-joins.
-
-    The collapse is LOSSLESS: document frequency is preserved exactly by
-    weighting each representative's shingles with ``m`` (df over docs ==
-    sum of class sizes over distinct texts), n_common/|A|/|B| depend only
-    on the text, and a duplicate class's self-pair carries
-    n_common = #{its shingles with df <= max_df} (every such shingle has
-    df >= m >= 2, so the >1 posting condition is automatic). Output is
-    row-for-row identical to the per-document pair aggregation.
+    explode -> groupBy(shingle) collecting doc ids -> emit ordered id
+    pairs locally per shingle -> count common -> |A∪B| arithmetic.
+    One shuffle on the shingle + one on the id pair; a self-join on the
+    exploded table would shuffle-and-sort the postings twice for the same
+    pair stream. Shingles seen in a single document (the long tail) are
+    dropped before any pair exists. Quadratic only in documents *sharing
+    a shingle* — use minhash_lsh_pairs to pre-filter at scale.
 
     ``max_df`` drops shingles shared by more than that many documents
     (boilerplate): one shingle common to 100k docs would alone emit 5x10^9
-    pairs. The (weighted) document frequency comes from a window sum over
-    the shuffled stream; the cap filter is applied to ONE join side only —
-    a pair exists iff its shingle survives on the filtered side, so
-    one-sided filtering is equivalent and the probe side skips the window
-    pass entirely. Dropping a capped shingle slightly *lowers* n_common
-    for pairs that shared it — a document-frequency cutoff, the standard
-    IR move (cf. the ``max_bucket`` guard on the LSH path). Test SFs stay
-    far below the default cap, so oracle parity is exact there.
+    pairs from a single posting row. Dropping it slightly *lowers*
+    n_common for pairs that shared it — a document-frequency cutoff, the
+    standard IR move (cf. the ``max_bucket`` guard on the LSH path). Test
+    SFs stay far below the default cap, so oracle parity is exact there.
     """
-    # (id, text, class key) straight off the scan — NO spread() and no
-    # per-document token filter here: the collapse exchange right below
-    # redistributes anyway (spreading first was measured at sf10 to
-    # shuffle the full 1.4 GB text column three times), and the token
-    # filter moves to the representatives, where it runs once per
-    # DISTINCT text. Members of a filtered-out class simply never match a
-    # qualifying pair. NULL texts group under a NULL class key, fail the
-    # rep filter, and the membership equi-join drops NULL keys — same
-    # exclusions as the per-document shape.
-    keyed = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        F.sha2(F.col(text_col), 256).alias("__tk"),
-    )
-    classes = keyed.groupBy("__tk").agg(
-        F.first("__text").alias("__text"), F.count(F.lit(1)).alias("__m")
-    )
-    # one shingle set per DISTINCT text, computed AFTER the collapse
-    # exchange (so it parallelizes across the class partitions and runs
-    # once per distinct text); localCheckpoint materializes the parse for
-    # the fan-out below (the storage-for-compute trade minhash_lsh_pairs
-    # documents). It also keeps the plan under the self-join to ONE
-    # shuffle exchange over a leaf — measured (r14): with an exchange
-    # STACK below the join fork, AQE fails to reuse the upper exchange
-    # and re-runs everything under it per side.
-    rsets = (
-        classes.filter(F.size(F.split(F.col("__text"), " ")) >= n)
-        .select("__tk", "__m", F.split("__text", " ").alias("__toks"))
-        .select(
-            "__tk",
-            "__m",
-            F.array_distinct(
-                shingle_stream_from_tokens(F.col("__toks"), n)
-            ).alias("shingle_set"),
-        )
-        .localCheckpoint()
-    )
-    ex = rsets.select(
-        "__tk",
-        "__m",
+    sets = shingle_sets(df, id_col, text_col, n)
+    # carry each doc's shingle count THROUGH the explode: set sizes then ride
+    # the posting structs into the pair aggregation, so no size-lookup joins
+    # (and no second evaluation of the shingle expression) are ever needed.
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # size()>0 pushdown filter containing the whole shingle expression and
+    # push it below the spread() exchange — serializing the expensive
+    # computation onto the unsplit input partitions. The pre-filter in
+    # shingle_sets already guarantees non-empty sets, so outer is identical.
+    ex = sets.select(
+        F.col(id_col).alias("id"),
         F.size("shingle_set").alias("n_sh"),
         F.explode_outer("shingle_set").alias("sh"),
     )
-    exsh = ex.repartition("sh")
-    dfw = F.sum("__m").over(Window.partitionBy("sh"))
-    build = (
-        exsh.withColumn("__df", dfw)
-        .where((F.col("__df") > 1) & (F.col("__df") <= max_df))
-        .select("sh", F.col("__tk").alias("tk_a"), F.col("n_sh").alias("n_a"))
+    postings = (
+        ex.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
+        .where((F.size("items") > 1) & (F.size("items") <= max_df))
     )
-    probe = exsh.select(
-        "sh", F.col("__tk").alias("tk_b"), F.col("n_sh").alias("n_b")
+    pair_arrays = ordered_pair_array(
+        F.col("items"),
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            x["n_sh"].alias("n_a"),
+            y["n_sh"].alias("n_b"),
+        ),
     )
-    # merge hint: both sides are corpus-sized exploded streams — broadcast
-    # (which tiny test-SF stats would pick) is wrong at any real scale, and
-    # the BroadcastExchange wrapper also defeats AQE's reuse of the shared
-    # shuffle (measured: the map side ran TWICE under BHJ).
-    cross = (
-        build.hint("merge").join(probe, "sh")
-        .where(F.col("tk_a") < F.col("tk_b"))
-        .groupBy("tk_a", "tk_b")
+    return (
+        postings.select(F.explode_outer(pair_arrays).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
+            F.first("p.n_a").alias("n_a"),
+            F.first("p.n_b").alias("n_b"),
         )
-    )
-    # a duplicate class (m >= 2) is its own pair: every member shares the
-    # full shingle set, so n_common = #{shingles under the df cap}
-    selfp = (
-        exsh.withColumn("__df", dfw)
-        .where((F.col("__m") >= 2) & (F.col("__df") <= max_df))
-        .groupBy("__tk")
-        .agg(F.count(F.lit(1)).alias("n_common"), F.first("n_sh").alias("n_sh"))
-        .select(
-            F.col("__tk").alias("tk_a"),
-            F.col("__tk").alias("tk_b"),
-            "n_common",
-            F.col("n_sh").alias("n_a"),
-            F.col("n_sh").alias("n_b"),
-        )
-    )
-    rep_pairs = (
-        cross.unionByName(selfp)
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("tk_a", "tk_b", "jaccard")
-        # hash-spread the (small) qualifying rep pairs BEFORE the
-        # multiplying membership joins: if the members side broadcasts, a
-        # chain of broadcast joins inherits this side's partitioning and
-        # the m*n expansion would otherwise run in the few post-AQE
-        # coalesced partitions (the r11 edit1 single-task trap)
-        .repartition("tk_a", "tk_b")
-    )
-    # membership is a NARROW (class key, id) projection — the text column
-    # is pruned at the scan and never shuffles on this branch
-    mem_a = keyed.select(F.col("__tk").alias("tk_a"), F.col("__id").alias("__ida"))
-    mem_b = keyed.select(F.col("__tk").alias("tk_b"), F.col("__id").alias("__idb"))
-    return (
-        rep_pairs.join(mem_a, "tk_a")
-        .join(mem_b, "tk_b")
-        # cross-class pairs expand to every member combination; a class's
-        # self-pair expands to its member combinations once (i < j)
-        .where((F.col("tk_a") != F.col("tk_b")) | (F.col("__ida") < F.col("__idb")))
-        .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
-            "jaccard",
-        )
+        .select("id_a", "id_b", "jaccard")
     )
 
 
