@@ -32,21 +32,14 @@ def tuning_confs(cpus: int) -> dict[str, str]:
         # dim tables (region/nation/customer at test SFs) stay broadcast-able
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
         "spark.sql.files.maxPartitionBytes": "128MB",
-        # Parquet scan split target is min(maxPartitionBytes,
-        # max(openCostInBytes, totalBytes/defaultParallelism)). The 4MB
-        # openCostInBytes default exists to stop tiny-FILE thrash on
-        # many-file tables; with single-file fixtures it only FLOORS the
-        # split size, so a 10MB multi-row-group table could never split
-        # past ~3 tasks on 32 cores. 128KB keeps small fixtures splitting
-        # to the core count while changing nothing at production scale,
-        # where totalBytes/parallelism >> 4MB dominates the max() anyway
-        # (r14; pairs with tools/split_row_groups.py re-chunking the
-        # sf0.1 fixture — a single-row-group file is 1 task regardless).
-        # CPU-heavy operators additionally repartition (operators.spread)
-        # when the scan still arrives under-partitioned.
-        "spark.sql.files.openCostInBytes": os.environ.get(
-            "SPARK_GRAFT_OPEN_COST", "131072"
-        ),
+        # NOTE: do NOT force fixture scans to split (row-group re-chunking
+        # + a lower openCostInBytes were tried in r14 and REVERTED): with
+        # 10-15 MB tables the 32-way scans measured 11-141% SLOWER per
+        # query at 32 cores (BENCH_r14_split_probe.json vs
+        # BENCH_r14_before.json) — per-stage fixed costs dominate tiny
+        # scans, the same finding as r13's repartition-after-scan A/B.
+        # CPU-heavy operators repartition explicitly instead
+        # (operators.spread).
         # local[N] runs all N executor threads inside the driver JVM — an
         # undersized heap turns shuffle/agg working sets into GC storms
         # (observed: same query 5.6s vs 63s run-to-run at 8g). On a real
