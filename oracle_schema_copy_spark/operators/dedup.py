@@ -490,7 +490,9 @@ def minhash_candidate_pairs(
     # signature aggregation (an exchange stacked under the bucket
     # exchange) is re-run per join side (the r14 AQE reuse finding
     # documented in ngram_jaccard_pairs)
-    sig = _signatures_from_sets(sets, id_col).localCheckpoint()
+    sig = _signatures_from_sets(sets, id_col).localCheckpoint(
+        eager=os.environ.get("SPARK_GRAFT_MINHASH_SIG_CKPT", "eager") == "eager"
+    )
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
