@@ -783,6 +783,16 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     simplification Catalyst cannot make from the SQL form). Customer
     attributes broadcast in after the reduction."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # r14 note: the survivors join runs as SMJ at scale because the
+    # HAVING filter's ~2% selectivity is fused into the final-agg stage
+    # and invisible to AQE. Two fixes were measured at the 100x fixture
+    # and NOT kept: a post-filter repartition("l_orderkey") is elided as
+    # redundant (same keys as the groupBy partitioning — no observation
+    # point), and an eager localCheckpoint does flip the join to
+    # broadcast but cannot elide the orders shuffle (AQE materializes
+    # that stage in parallel before the survivor size is known) while
+    # adding a serializing driver job. OPTIMIZATION_r14.md has the
+    # numbers.
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(_dec("l_quantity")).alias("__qty")
     ).filter(F.col("__qty") > 250)
