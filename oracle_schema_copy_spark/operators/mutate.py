@@ -75,17 +75,25 @@ def merge_upsert(
         touched = target.join(
             updates.select(*keys), on=keys, how="left_semi"
         )
-        tagged = updates.select(F.lit("updates").alias("__side"), *keys).unionByName(
-            touched.select(F.lit("target").alias("__side"), *keys)
-        )
+        # guard-internal aliases carry a "__guard_" prefix so a key column
+        # legitimately named "n" or "__side" can never collide with them
+        tagged = updates.select(
+            F.lit("updates").alias("__guard_side"), *keys
+        ).unionByName(touched.select(F.lit("target").alias("__guard_side"), *keys))
         bad = (
-            tagged.groupBy("__side", *[F.col(c) for c in keys])
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
+            tagged.groupBy("__guard_side", *[F.col(c) for c in keys])
+            .agg(F.count(F.lit(1)).alias("__guard_n"))
+            .filter(F.col("__guard_n") > 1)
             .select(
-                F.col("__side").alias("side"),
+                F.col("__guard_side").alias("side"),
+                # NULL key components must stay visible in the message —
+                # concat_ws silently drops NULLs, so coalesce each part
                 F.concat_ws(
-                    ",", *[F.col(c).cast("string") for c in keys]
+                    ",",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                        for c in keys
+                    ],
                 ).alias("key"),
             )
             .orderBy(F.desc("side"))  # report an updates-side dup first

@@ -340,8 +340,12 @@ def copy_selections(
                 checks = part if checks is None else checks.unionByName(part)
         counts = {(r.table_name, r.side): r.n for r in checks.collect()}
         for sel in selections:
-            n_found = counts.get((sel.table, "found"), 0)
-            n_keys = counts.get((sel.table, "want"), 0)
+            # direct indexing, not .get(..., 0): count_distinct on an empty
+            # frame still yields a row, so a MISSING row means the fused
+            # check lost an aggregate — fail loudly (KeyError), never let
+            # 0 == 0 pass silently
+            n_found = counts[(sel.table, "found")]
+            n_keys = counts[(sel.table, "want")]
             op = op_of[sel.table]
             if (n_found != n_keys) if op == "eq" else (n_found > n_keys):
                 raise AssertionError(
