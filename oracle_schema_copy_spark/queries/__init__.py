@@ -76,6 +76,21 @@ def _load_all() -> None:
 # least fresh information.  Names absent from both lists keep registry
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
+    # (m14) implementation changed in round 14: minhash band-bucket
+    # pair generation moved from collect_list posting arrays to a
+    # sort-merge self-join with checkpointed signatures; upsert guard
+    # aliases hardened; ngram pair gen was rewritten twice and reverted
+    # verbatim (re-gate to prove the revert) — front all consumers
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall_contract",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_keep_best_per_cluster",
+    "dedup_rate_by_source",
+    "split_by_dedup_cluster",
+    "upsert_orders",
+    "tpch_q18_large_volume_customers",
     # (m12) changed in round 12: BLAS kernels round HALF_UP by
     # construction (r11 ADVICE); read_table_keyed drops None keys (the
     # hypothesis probe test found bare NULL in IN(...) is a Derby
@@ -132,9 +147,6 @@ _CHECK_FIRST: list[str] = [
     "corpus_doremi_weights",
     "sample_doremi_mixture",
     "join_salted_skew",
-    "dedup_keep_best_per_cluster",
-    "dedup_rate_by_source",
-    "split_by_dedup_cluster",
     # (r8) new in round 8 — no driver row exists yet
     "curriculum_interleave_order",
     "sq8_recall_contract",
@@ -164,7 +176,6 @@ _CHECK_FIRST: list[str] = [
     "stream_hll_daily_users_live",
     "curation_diversity_capstone",
     "matryoshka_recall_contract",
-    "dedup_minhash_recall_contract",
     "bpe_roundtrip_contract",
     "bpe_train_k_merges",
     "bpe_encode_token_counts",
@@ -223,7 +234,6 @@ _CHECK_FIRST: list[str] = [
     "tpch_q13_customer_distribution",
     "tpch_q16_supplier_count_by_part",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_sales_opportunity",
@@ -306,7 +316,6 @@ _CHECK_LAST: list[str] = [
     "schema_ddl_catalog",
     "multimodal_feature_extract",
     "export_view_opaque_roundtrip",
-    "dedup_components",
     "range_join_error_views",
     "sample_stratified_by_lang",
     "train_val_test_split",
@@ -329,10 +338,8 @@ _CHECK_LAST: list[str] = [
     "feature_binning_ntile",
     "dedup_fuzzy_name_pairs",
     "agg_stats_moments",
-    "upsert_orders",
     "topo_depth",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "window_rank_orders_per_customer",
     "setops_customer_segments",
