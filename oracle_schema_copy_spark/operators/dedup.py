@@ -130,7 +130,19 @@ def ngram_jaccard_pairs(
         F.explode_outer("shingle_set").alias("sh"),
     )
     postings = (
-        ex.groupBy("sh")
+        # Pin the posting exchange to hash(sh) at defaultParallelism (the
+        # spread() convention): the stage above it emits and
+        # map-side-combines the QUADRATIC pair stream, but its input is
+        # only a few MB of (sh, id) rows, so AQE's byte-based coalescing
+        # ran that stage on 6 of 32 cores (r14 stage profile: 2.4 s CPU /
+        # 0.70 s stage wall at sf0.1). The count must be EXPLICIT
+        # (REPARTITION_BY_NUM): a bare .repartition("sh") is still
+        # AQE-coalescible and does nothing. This replaces the groupBy's
+        # ensure-requirements exchange 1:1; bytes are unchanged (a
+        # collect_list partial aggregate concatenates — it never reduces
+        # shuffle payload).
+        ex.repartition(df.sparkSession.sparkContext.defaultParallelism, "sh")
+        .groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("id", "n_sh"))).alias("items"))
         .where((F.size("items") > 1) & (F.size("items") <= max_df))
     )
@@ -510,7 +522,13 @@ def minhash_candidate_pairs(
     # join sides read a ReusedExchange); the ``max_bucket`` guard drops
     # pathological buckets (boilerplate) via a window count applied to ONE
     # side — a pair exists iff its bucket survives on the filtered side.
-    bk = buckets.repartition("bucket")
+    # explicit count (REPARTITION_BY_NUM, the spread() convention): a bare
+    # .repartition("bucket") is AQE-coalescible, and at byte-coalescible
+    # volumes the whole window-count + self-join pair stream above this
+    # exchange collapsed onto ONE task (r14 stage profile)
+    bk = buckets.repartition(
+        sets.sparkSession.sparkContext.defaultParallelism, "bucket"
+    )
     build = (
         bk.withColumn(
             "__bs", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
@@ -525,6 +543,19 @@ def minhash_candidate_pairs(
         build.hint("merge").join(probe, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        # Pin the pair exchange at defaultParallelism (the spread()
+        # convention, REPARTITION_BY_NUM — see ngram_jaccard_pairs /
+        # lsh_banded_topk for why origin and placement matter): the
+        # distinct's final aggregate and every verify join above it
+        # otherwise run on ONE task at byte-coalescible volumes (r14
+        # stage profile: two 1-task stages, ~0.4 s serial of a 1.9 s
+        # query). Payload is unchanged — the map-side partial distinct it
+        # displaces deduplicated only same-partition band collisions,
+        # and downstream joins keyed on id_a alone still get their own
+        # ensure-requirements (skew-splittable) exchange at scale.
+        .repartition(
+            sets.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .distinct()
     )
 

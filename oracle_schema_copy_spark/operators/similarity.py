@@ -1229,8 +1229,36 @@ def lsh_banded_topk(
         postings.join(qb, postings["bk"] == qb["qbk"])
         .select("query_id", F.explode("ids").alias("neighbor_id"))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .distinct()
     )
+    if scorer == "exact":
+        # Pin the candidate exchange to hash(query_id) at
+        # defaultParallelism (the spread() convention): everything
+        # expensive (the distinct, the vector broadcast joins, the
+        # 64-term dot, the rank) computes ABOVE this exchange, whose
+        # payload is just (query_id, neighbor_id) id pairs — so AQE's
+        # byte-based coalescing sees a few-hundred-KB exchange and folds
+        # the whole rescore onto ONE task (measured: 582 ms CPU in 1 task
+        # while 31 cores idle, r14 stage profile). Placement and count
+        # both matter, per AB_SF01_r14_pinrepart{,2}.jsonl and the stage
+        # profiles: a bare .repartition("query_id") is still
+        # AQE-coalescible (a pure extra stage round), and pinning ABOVE
+        # the distinct adds a third exchange because one hash(query_id)
+        # exchange below it satisfies the distinct's
+        # (query_id, neighbor_id) clustering (subset rule) AND the
+        # window's — exactly what this pin provides. Skew is bounded
+        # (<= bands*max_bucket rows/query) at any scale.
+        #
+        # Exact scorer ONLY: the codegen'd dot gains 17% (5-round
+        # matched-probe A/B), but the Arrow scorer measured neutral-to-
+        # worse over 12 alternating rounds (AB_SF01_r14_pinvec.jsonl) —
+        # splitting its one big Arrow batch into per-core slivers trades
+        # the serial numpy reduction for 32 Python-worker round-trips. At
+        # production candidate volumes the exchange exceeds the coalesce
+        # target and the unpinned path parallelizes by itself.
+        cand = cand.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, "query_id"
+        )
+    cand = cand.distinct()
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     if scorer == "vectorized":

@@ -76,6 +76,14 @@ def _load_all() -> None:
 # least fresh information.  Names absent from both lists keep registry
 # (insertion) order in the middle.
 _CHECK_FIRST: list[str] = [
+    # (m14c3) changed late in round 14: explicit-count repartition pins
+    # in lsh_banded_topk (exact scorer only), ngram_jaccard_pairs and
+    # minhash_candidate_pairs — front the banded-family consumers; the
+    # dedup consumers are already fronted below
+    "similarity_topk_lsh_banded",
+    "similarity_topk_lsh_vectorized",
+    "mine_hard_negatives",
+    "ann_recall_contract",
     # (m14) implementation changed in round 14: minhash band-bucket
     # pair generation moved from collect_list posting arrays to a
     # sort-merge self-join with checkpointed signatures; upsert guard
@@ -162,7 +170,6 @@ _CHECK_FIRST: list[str] = [
     "sample_dsir_importance",
     "stream_stream_left_join_live",
     "stream_stream_full_join_live",
-    "mine_hard_negatives",
     # (r7) new in round 7 — first driver rows recorded r7
     "embedding_gram_matrix",
     "embedding_pca_projection",
@@ -189,10 +196,7 @@ _CHECK_FIRST: list[str] = [
     "scd2_point_in_time_attribution",
     "graph_triangle_counts_capped",
     # (m7) build path changed in round 7 — re-gate after the change
-    "similarity_topk_lsh_banded",
-    "similarity_topk_lsh_vectorized",
     "dedup_embedding_lsh",
-    "ann_recall_contract",
     "graph_triangle_counts",
     # (r6) new in round 6, all recorded green by the r6 driver
     "mor_time_travel_orders",

@@ -157,3 +157,50 @@ def test_shard_manifest_is_one_agg_pass(plans):
     assert "Join" not in p
     # formatted explain lists the single scan twice: tree node + detail
     assert p.count("Scan parquet") == 2
+
+
+def _pinned(plan: str, *keys: str) -> bool:
+    """True iff some exchange line hash-partitions on exactly these key
+    prefixes with a REPARTITION_BY_NUM origin (the r14 pins: an explicit
+    count is the ONLY origin AQE's byte-based coalescing cannot fold back
+    to one task — ENSURE_REQUIREMENTS and bare REPARTITION_BY_COL are
+    both coalescible)."""
+    for line in plan.splitlines():
+        if "REPARTITION_BY_NUM" in line and all(
+            f"{k}#" in line for k in keys
+        ) and "hashpartitioning" in line:
+            return True
+    return False
+
+
+def test_banded_rescore_exchange_is_pinned(plans):
+    """similarity_topk_lsh_banded (exact scorer): the candidate exchange
+    under the distinct/rescore/window is pinned at defaultParallelism —
+    AQE otherwise coalesces the few-hundred-KB id-pair payload to ONE
+    task and serializes the 64-term dot rescore (r14: 582 ms CPU on 1 of
+    32 cores; 17% end-to-end win from the pin, AB_SF01_r14_pinrepart2)."""
+    assert _pinned(plans("similarity_topk_lsh_banded"), "query_id")
+
+
+def test_vectorized_rescore_exchange_not_pinned(plans):
+    """The Arrow-scorer twin must NOT carry the pin: splitting its one
+    Arrow batch into per-core slivers trades the numpy reduction for 32
+    Python-worker round-trips (measured neutral-to-worse over 12
+    alternating rounds, AB_SF01_r14_pinvec)."""
+    assert not _pinned(plans("similarity_topk_lsh_vectorized"), "query_id")
+
+
+def test_ngram_posting_exchange_is_pinned(plans):
+    """dedup_ngram_jaccard: the shingle-posting exchange feeding the
+    quadratic pair-emit stage is pinned — byte-based coalescing ran that
+    stage on 6 of 32 cores at sf0.1 (16% end-to-end win)."""
+    assert _pinned(plans("dedup_ngram_jaccard"), "sh")
+
+
+def test_minhash_pair_exchanges_are_pinned(plans):
+    """dedup_minhash_lsh: both the band-bucket exchange (under the
+    window-count + self-join pair stream) and the pair exchange (under
+    the distinct/verify) are pinned."""
+    p = plans("dedup_minhash_lsh")
+    assert _pinned(p, "bucket")
+    assert _pinned(p, "id_a", "id_b")
