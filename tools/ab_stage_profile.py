@@ -1,0 +1,82 @@
+"""Matched-window alternating stage-profile A/B between two checkouts at a
+fixture scale — the wrapper behind AB_SF10_r14*.jsonl (OPTIMIZATION_r14.md
+§2 and the continuation-3 pin evidence). Each (tree, query) run is a fresh
+process (fresh JVM); the single-thread CPU probe is recorded immediately
+before and after every run so records can be read per the CLAUDE.md sf10
+rules (compare Σcpu/GC share within matched windows, never wall across
+windows).
+
+Usage: python tools/ab_stage_profile.py <treeA> <treeB> <sf_dir> \
+           <query[,query...]> <rounds> <out.jsonl>
+Appends one JSON line per (tree, query, round): {"tree", "round",
+"probe_before", "probe_after", "rec": stage_profile record}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def probe() -> float:
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 4)
+
+
+def main() -> None:
+    tree_a, tree_b, sf_dir, queries, rounds, out = (
+        sys.argv[1],
+        sys.argv[2],
+        sys.argv[3],
+        sys.argv[4].split(","),
+        int(sys.argv[5]),
+        sys.argv[6],
+    )
+    for rnd in range(rounds):
+        for q in queries:
+            for tree in (tree_a, tree_b):
+                p0 = probe()
+                r = subprocess.run(
+                    [sys.executable, f"{tree}/tools/stage_profile.py", sf_dir, q],
+                    capture_output=True,
+                    text=True,
+                    timeout=1800,
+                    cwd=tree,
+                )
+                p1 = probe()
+                rec = None
+                for line in r.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        try:
+                            cand = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        if cand.get("query") == q:
+                            rec = cand
+                row = {
+                    "tree": tree,
+                    "round": rnd + 1,
+                    "probe_before": p0,
+                    "probe_after": p1,
+                    "rec": rec,
+                }
+                if rec is None:
+                    row["err"] = (r.stderr or "")[-800:]
+                with open(out, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+                print(
+                    f"round {rnd + 1} {q} {tree}: "
+                    f"wall={rec and rec.get('wall_sec')} probes={p0}/{p1}",
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    main()
