@@ -191,6 +191,64 @@ def _cpu_probe() -> dict:
     return {"probe_sec": probe, "steal_pct": steal}
 
 
+def _bw_probe() -> float | None:
+    """Aggregate all-core memory bandwidth in GB/s: concurrent numpy
+    block copies on min(8, cpus) threads (numpy releases the GIL on
+    large copies), buffers far past LLC. Advisory telemetry only, never
+    a gate. Exists because the single-thread probe is provably blind to
+    all-core degradation: r14 session 4 recorded the fastest probe ever
+    (0.131 s) on a host whose 32-core bench ran ~9 % SLOWER than a
+    0.179 s-probe window and whose sf10 Σcpu on identical code swung
+    1.6–2.5× (BENCH_r14_c4 vs c2, AB_SF10_r14_quiet.jsonl)."""
+    try:
+        import threading
+
+        import numpy as np
+
+        threads = min(8, os.cpu_count() or 1)
+        # 8 MiB of float64 per buffer: aggregate working set 128 MiB
+        # (past any LLC) while keeping the one-time page-fault cost low —
+        # this host faults anonymous memory at ~55 MB/s in degraded
+        # windows, so big buffers made the probe itself cost ~10 s
+        words = 1024 * 1024
+        reps = 16
+        bufs = [
+            (np.ones(words), np.empty(words)) for _ in range(threads)
+        ]
+        for src, dst in bufs:  # fault every page in before timing
+            np.copyto(dst, src)
+
+        def trial() -> float | None:
+            barrier = threading.Barrier(threads + 1)
+
+            def work(i: int) -> None:
+                src, dst = bufs[i]
+                barrier.wait()
+                for _ in range(reps):
+                    np.copyto(dst, src)
+
+            ts = [
+                threading.Thread(target=work, args=(i,)) for i in range(threads)
+            ]
+            for t in ts:
+                t.start()
+            barrier.wait()
+            t0 = time.perf_counter()
+            for t in ts:
+                t.join()
+            dt = time.perf_counter() - t0
+            if dt <= 0:
+                return None
+            # each rep reads + writes the buffer once
+            return threads * reps * 2 * words * 8 / 1e9 / dt
+        # best-of-3: contention noise is one-sided (same rule as timings —
+        # trust the min time / max speed)
+        best = max(filter(None, (trial() for _ in range(3))), default=None)
+        return round(best, 2) if best else None
+    except Exception:
+        return None  # numpy missing / thread limits — telemetry only
+
+
 # Quiet-window reference probe time (r8 analysis, BENCH_NOTES_r08.md):
 # the fixed _cpu_probe workload takes ~0.19-0.21 s when the host is at
 # full speed. probe-normalized timings divide out host CPU-speed drift.
@@ -239,6 +297,7 @@ def main() -> None:
     set_name, fns = _query_set()
     names = list(fns)
     probe0 = _machine_gate()
+    probe0["bw_gbps"] = _bw_probe()
     load0 = probe0["loadavg_1m"]
     per_query: dict[str, dict] = {}
 
@@ -319,6 +378,7 @@ def main() -> None:
     spreads = {n: round(max(r["samples"]) - min(r["samples"]), 3) for n, r in per_query.items()}
     total = round(sum(timings.values()), 3)
     probe1 = _cpu_probe()
+    probe1["bw_gbps"] = _bw_probe()
     # run-wide floor: the FASTEST probe observed anywhere around the run —
     # probes share the queries' one-sided contention, so the min is the
     # best estimate of the host's top speed during the run

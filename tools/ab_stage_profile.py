@@ -29,6 +29,49 @@ def probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def bw_probe() -> float | None:
+    """All-core bandwidth (GB/s) — the single-thread probe alone cannot
+    gate sf10 A/B windows (r14 session 4: fastest-ever probe on a host
+    with degraded all-core throughput). Same workload as bench._bw_probe."""
+    try:
+        import threading
+
+        import numpy as np
+
+        threads = min(8, os.cpu_count() or 1)
+        words = 1024 * 1024  # 8 MiB/buffer — see bench._bw_probe
+        reps = 16
+        bufs = [(np.ones(words), np.empty(words)) for _ in range(threads)]
+        for src, dst in bufs:  # fault pages in before timing
+            np.copyto(dst, src)
+
+        def trial() -> float | None:
+            barrier = threading.Barrier(threads + 1)
+
+            def work(i: int) -> None:
+                src, dst = bufs[i]
+                barrier.wait()
+                for _ in range(reps):
+                    np.copyto(dst, src)
+
+            ts = [
+                threading.Thread(target=work, args=(i,)) for i in range(threads)
+            ]
+            for t in ts:
+                t.start()
+            barrier.wait()
+            t0 = time.perf_counter()
+            for t in ts:
+                t.join()
+            dt = time.perf_counter() - t0
+            return (threads * reps * 2 * words * 8 / 1e9 / dt) if dt > 0 else None
+
+        best = max(filter(None, (trial() for _ in range(3))), default=None)
+        return round(best, 2) if best else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     tree_a, tree_b, sf_dir, queries, rounds, out = (
         sys.argv[1],
@@ -42,6 +85,7 @@ def main() -> None:
         for q in queries:
             for tree in (tree_a, tree_b):
                 p0 = probe()
+                bw0 = bw_probe()
                 r = subprocess.run(
                     [sys.executable, f"{tree}/tools/stage_profile.py", sf_dir, q],
                     capture_output=True,
@@ -65,6 +109,8 @@ def main() -> None:
                     "round": rnd + 1,
                     "probe_before": p0,
                     "probe_after": p1,
+                    "bw_before": bw0,
+                    "bw_after": bw_probe(),
                     "rec": rec,
                 }
                 if rec is None:
