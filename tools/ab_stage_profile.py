@@ -84,8 +84,23 @@ def main() -> None:
     for rnd in range(rounds):
         for q in queries:
             for tree in (tree_a, tree_b):
-                p0 = probe()
+                # optional all-core bandwidth launch gate (r14 session 4:
+                # single-thread probe provably insufficient at sf10) —
+                # wait up to SPARK_GRAFT_AB_BW_WAIT s for bw_gbps >=
+                # SPARK_GRAFT_AB_BW_GATE, else launch anyway and let the
+                # recorded bw_before mark the row as gate-failed
+                gate = float(os.environ.get("SPARK_GRAFT_AB_BW_GATE", "0"))
+                wait = float(os.environ.get("SPARK_GRAFT_AB_BW_WAIT", "300"))
+                deadline = time.monotonic() + wait
                 bw0 = bw_probe()
+                while (
+                    gate
+                    and (bw0 or 0) < gate
+                    and time.monotonic() < deadline
+                ):
+                    time.sleep(15)
+                    bw0 = bw_probe()
+                p0 = probe()
                 r = subprocess.run(
                     [sys.executable, f"{tree}/tools/stage_profile.py", sf_dir, q],
                     capture_output=True,
